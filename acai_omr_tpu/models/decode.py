@@ -1,0 +1,333 @@
+"""KV-cached autoregressive decode — the hot path of the whole system.
+
+TPU-native redesign of the reference's cached decode subsystem
+(reference: acai_omr/models/kv_caching.py:1-302 and the Python token loops in
+acai_omr/models/models.py:600-647, 988-1049). Design:
+
+* **Functional caches.** Per-layer preallocated (B, H, T_cache, Dh) key/value
+  arrays live in the decode-loop carry and are updated with indexed writes
+  (``.at[:, :, t]``), which XLA performs in place inside the loop — the
+  equivalent of the reference's ``cache_pos`` trick (kv_caching.py:94-104)
+  without any mutable module state.
+* **Cross-attention K/V precomputed once per batch** from the stacked
+  ``in_proj`` kv columns (kv_caching.py:235-253), shared by every decode step.
+* **The entire token loop is one compiled ``lax.while_loop``** with early exit
+  when every sequence has emitted <eos> (models.py:609-611). No per-token
+  Python, no host↔device traffic during decode.
+* **Segmented cache growth.** Attending over a full 1536-slot cache on every
+  step would read ~3x more HBM than the weights themselves. Instead the cache
+  is allocated at a small segment length and doubled on demand; each segment
+  size is its own compiled program (a handful total thanks to geometric
+  growth), so short sequences — the common case — only ever touch short
+  caches. This is also what makes streamed generation cheap: stream chunks
+  are just small segments.
+* Greedy and top-k/temperature-sampled rollout decoding share one step
+  function; sampling threads a PRNG key through the carry
+  (rollout parity: models.py:988-1049).
+
+All matmuls run in bf16 with fp32 logits/softmax; argmax ties therefore follow
+fp32 logit order, matching the reference's autocast decode numerics
+(vitomr_inference.py:64-69).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import nn
+from .omr_decoder import DecoderConfig
+
+Params = dict
+
+
+class MemoryKV(NamedTuple):
+    """Per-layer cross-attention keys/values: (L, B, H, M, Dh)."""
+    k: jnp.ndarray
+    v: jnp.ndarray
+    bias: jnp.ndarray | None  # (B, 1, 1, M) additive padding bias
+
+
+class DecodeState(NamedTuple):
+    seqs: jnp.ndarray        # (B, max_len) int32, pos 0 = <bos>
+    log_probs: jnp.ndarray   # (B, max_len) float32
+    finished: jnp.ndarray    # (B,) bool
+    t: jnp.ndarray           # () int32 — next position to fill
+    k_cache: jnp.ndarray     # (L, B, H, T_cache, Dh)
+    v_cache: jnp.ndarray     # (L, B, H, T_cache, Dh)
+    rng: jnp.ndarray         # PRNG key (unused for greedy)
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingConfig:
+    """Top-k + temperature sampling for GRPO rollouts (models.py:1005-1020)."""
+    top_k: int = 50
+    temperature: float = 1.1
+
+
+def precompute_memory_kv(params: Params, cfg: DecoderConfig,
+                         img_latent: jnp.ndarray,
+                         latent_valid: jnp.ndarray | None,
+                         compute_dtype=jnp.bfloat16) -> MemoryKV:
+    """Project encoder memory into per-layer cross K/V once per batch."""
+    e = cfg.hidden_dim
+    in_kernel = params["blocks"]["cross_attn"]["in_kernel"]  # (L, E, 3E)
+    in_bias = params["blocks"]["cross_attn"]["in_bias"]      # (L, 3E)
+    kv_kernel = in_kernel[:, :, e:].astype(compute_dtype)    # (L, E, 2E)
+    kv_bias = in_bias[:, e:].astype(compute_dtype)           # (L, 2E)
+    mem = img_latent.astype(compute_dtype)
+    kv = jnp.einsum("bme,lef->lbmf", mem, kv_kernel) + kv_bias[:, None, None, :]
+    k, v = jnp.split(kv, 2, axis=-1)                         # (L, B, M, E)
+
+    def heads(x):
+        l, b, m, _ = x.shape
+        x = x.reshape(l, b, m, cfg.num_heads, cfg.head_dim)
+        return jnp.transpose(x, (0, 1, 3, 2, 4))             # (L, B, H, M, Dh)
+
+    bias = nn.valid_to_bias(latent_valid) if latent_valid is not None else None
+    return MemoryKV(heads(k), heads(v), bias)
+
+
+def init_decode_state(cfg: DecoderConfig, batch_size: int, max_len: int,
+                      cache_len: int, rng=None,
+                      cache_dtype=jnp.bfloat16) -> DecodeState:
+    """Fresh decode state with <bos>-seeded sequences (models.py:562-573)."""
+    seqs = jnp.full((batch_size, max_len), cfg.pad_idx, dtype=jnp.int32)
+    seqs = seqs.at[:, 0].set(cfg.bos_idx)
+    log_probs = jnp.zeros((batch_size, max_len), dtype=jnp.float32)
+    finished = jnp.zeros((batch_size,), dtype=bool)
+    shape = (cfg.num_layers, batch_size, cfg.num_heads, cache_len, cfg.head_dim)
+    k_cache = jnp.zeros(shape, dtype=cache_dtype)
+    v_cache = jnp.zeros(shape, dtype=cache_dtype)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    return DecodeState(seqs, log_probs, finished, jnp.int32(1), k_cache, v_cache, rng)
+
+
+def grow_cache(state: DecodeState, new_cache_len: int) -> DecodeState:
+    """Pad the KV caches to a longer segment (host-triggered, rare)."""
+    cur = state.k_cache.shape[3]
+    if new_cache_len <= cur:
+        return state
+    pad = [(0, 0), (0, 0), (0, 0), (0, new_cache_len - cur), (0, 0)]
+    return state._replace(k_cache=jnp.pad(state.k_cache, pad),
+                          v_cache=jnp.pad(state.v_cache, pad))
+
+
+# ---------------------------------------------------------------------------
+# one decode step
+# ---------------------------------------------------------------------------
+
+def _decode_step_logits(params: Params, cfg: DecoderConfig, x: jnp.ndarray,
+                        t: jnp.ndarray, k_cache: jnp.ndarray,
+                        v_cache: jnp.ndarray, mem: MemoryKV,
+                        compute_dtype=jnp.bfloat16):
+    """Advance one token: x (B, E) = embedded token at position t-1.
+
+    Returns (logits (B, V) fp32, new k_cache, new v_cache). The 12-layer loop
+    is unrolled in Python so the cache writes stay simple indexed updates on
+    the loop carry (in-place under XLA).
+    """
+    e = cfg.hidden_dim
+    h, dh = cfg.num_heads, cfg.head_dim
+    b = x.shape[0]
+    cache_len = k_cache.shape[3]
+    pos = t - 1  # cache slot for this token's k/v
+
+    # positions 0..pos are attendable
+    pos_idx = jnp.arange(cache_len)
+    self_bias = jnp.where(pos_idx[None, :] <= pos, 0.0, nn.NEG_INF)  # (1, T)
+    self_bias = self_bias[None, None, :, :].astype(jnp.float32)      # (1,1,1,T)
+
+    blocks = params["blocks"]
+
+    def layer(i, x, k_cache, v_cache):
+        lp = jax.tree.map(lambda a: a[i], blocks)
+        sa = lp["self_attn"]
+        qkv = jnp.dot(x, sa["in_kernel"].astype(compute_dtype)) + sa["in_bias"].astype(compute_dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, h, 1, dh)
+        k = k.reshape(b, h, dh).astype(k_cache.dtype)
+        v = v.reshape(b, h, dh).astype(v_cache.dtype)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k[None, :, :, None, :], (i, 0, 0, pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v[None, :, :, None, :], (i, 0, 0, pos, 0))
+        attn = nn.attention(q, k_cache[i].astype(compute_dtype),
+                            v_cache[i].astype(compute_dtype), self_bias)
+        attn = nn.dense(sa["out"], attn.reshape(b, e))
+        x = nn.layernorm(lp["norm1"], x + attn, eps=1e-5)
+
+        ca = lp["cross_attn"]
+        qc = jnp.dot(x, ca["in_kernel"][:, :e].astype(compute_dtype)) + ca["in_bias"][:e].astype(compute_dtype)
+        qc = qc.reshape(b, h, 1, dh)
+        cattn = nn.attention(qc, mem.k[i].astype(compute_dtype),
+                             mem.v[i].astype(compute_dtype), mem.bias)
+        cattn = nn.dense(ca["out"], cattn.reshape(b, e))
+        x = nn.layernorm(lp["norm2"], x + cattn, eps=1e-5)
+
+        ff = nn.dense(lp["linear2"], nn.gelu(nn.dense(lp["linear1"], x)))
+        x = nn.layernorm(lp["norm3"], x + ff, eps=1e-5)
+        return x, k_cache, v_cache
+
+    for i in range(cfg.num_layers):
+        x, k_cache, v_cache = layer(i, x, k_cache, v_cache)
+
+    x = nn.layernorm(params["final_norm"], x, eps=1e-6)
+    logits = nn.dense(params["unembed"], x).astype(jnp.float32)
+    return logits, k_cache, v_cache
+
+
+def _embed_token(params: Params, tok: jnp.ndarray, pos: jnp.ndarray,
+                 compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(B,) token ids at sequence position ``pos`` -> (B, E)."""
+    x = jnp.take(params["vocab_embedding"]["table"], tok, axis=0)
+    pe = jax.lax.dynamic_index_in_dim(params["pos_embedding"], pos, axis=0,
+                                      keepdims=False)
+    return (x + pe).astype(compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# compiled decode segment
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_steps", "sampling", "compute_dtype"))
+def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
+                   mem: MemoryKV, num_steps: int,
+                   sampling: SamplingConfig | None = None,
+                   compute_dtype=jnp.bfloat16) -> DecodeState:
+    """Run up to ``num_steps`` decode steps inside one lax.while_loop.
+
+    Stops early when all sequences are finished or the segment budget, the
+    cache length, or max_len is exhausted. Greedy when ``sampling`` is None,
+    else top-k/temperature sampling with per-step PRNG splitting.
+    """
+    max_len = state.seqs.shape[1]
+    cache_len = state.k_cache.shape[3]
+    stop_t = jnp.minimum(state.t + num_steps, min(max_len, cache_len + 1))
+
+    def cond(s: DecodeState):
+        return (s.t < stop_t) & ~jnp.all(s.finished)
+
+    def body(s: DecodeState):
+        prev_tok = jnp.take_along_axis(s.seqs, (s.t - 1)[None, None], axis=1)[:, 0]
+        x = _embed_token(params, prev_tok, s.t - 1, compute_dtype)
+        logits, k_cache, v_cache = _decode_step_logits(
+            params, cfg, x, s.t, s.k_cache, s.v_cache, mem, compute_dtype)
+
+        rng = s.rng
+        if sampling is None:
+            next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            chosen_lp = jnp.take_along_axis(lp, next_tok[:, None], axis=-1)[:, 0]
+        else:
+            rng, step_rng = jax.random.split(rng)
+            topk_logits, topk_idx = jax.lax.top_k(logits, sampling.top_k)
+            # sample in top-k space with temperature; log-probs are over the
+            # *untempered* top-k logits (reference: models.py:1009-1020)
+            choice = jax.random.categorical(
+                step_rng, topk_logits / sampling.temperature, axis=-1)
+            next_tok = jnp.take_along_axis(topk_idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+            topk_lp = jax.nn.log_softmax(topk_logits, axis=-1)
+            chosen_lp = jnp.take_along_axis(topk_lp, choice[:, None], axis=-1)[:, 0]
+
+        seqs = jax.lax.dynamic_update_slice(s.seqs, next_tok[:, None], (0, s.t))
+        log_probs = jax.lax.dynamic_update_slice(
+            s.log_probs, chosen_lp[:, None].astype(jnp.float32), (0, s.t))
+        finished = s.finished | (next_tok == cfg.eos_idx)
+        return DecodeState(seqs, log_probs, finished, s.t + 1, k_cache, v_cache, rng)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+# ---------------------------------------------------------------------------
+# host-level drivers
+# ---------------------------------------------------------------------------
+
+def _next_segment(cur: int, max_len: int, initial: int = 256) -> int:
+    return min(max(initial, cur * 2), max_len)
+
+
+def create_inference_mask(seqs: jnp.ndarray, eos_idx: int) -> jnp.ndarray:
+    """True up to and including each row's first <eos> (models.py:550-559)."""
+    eos = seqs == eos_idx
+    seen = jnp.cumsum(eos.astype(jnp.int32), axis=-1)
+    first_eos = eos & (seen == 1)
+    return (seen == 0) | first_eos
+
+
+def mask_and_clip_seqs(seqs, log_probs, eos_idx: int, pad_idx: int):
+    """Pad-fill junk after first <eos> and trim excess (models.py:585-596)."""
+    mask = create_inference_mask(seqs, eos_idx)
+    seqs = jnp.where(mask, seqs, pad_idx)
+    log_probs = jnp.where(mask, log_probs, 0.0)
+    max_len = int(jnp.max(jnp.sum(mask, axis=-1)))
+    return seqs[:, :max_len], log_probs[:, :max_len], mask[:, :max_len]
+
+
+def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
+             *, max_len: int = 1536, sampling: SamplingConfig | None = None,
+             rng=None, initial_segment: int = 256, segment_steps: int | None = None,
+             compute_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16):
+    """Batched KV-cached generation (greedy or sampled).
+
+    Equivalent of ``ViTOMR.cached_greedy_generate`` /
+    ``GRPOViTOMR.cached_forward_rollout_policy`` (models.py:600-615, 988-1049).
+    Decodes in geometrically growing cache segments; returns
+    (seqs, log_probs, seq_mask) trimmed to the longest live sequence.
+    """
+    b = img_latent.shape[0]
+    mem = precompute_memory_kv(params, cfg, img_latent, latent_valid, compute_dtype)
+    cache_len = min(initial_segment, max_len)
+    state = init_decode_state(cfg, b, max_len, cache_len, rng, cache_dtype)
+
+    # num_steps is an upper bound (stop_t also respects cache_len/max_len);
+    # keeping it a constant avoids recompiling per segment position.
+    steps = segment_steps or max_len
+    while True:
+        state = decode_segment(params, cfg, state, mem, steps, sampling, compute_dtype)
+        t = int(state.t)
+        if t >= max_len or bool(jnp.all(state.finished)):
+            break
+        if t > int(state.k_cache.shape[3]):
+            state = grow_cache(state, _next_segment(int(state.k_cache.shape[3]), max_len))
+
+    return mask_and_clip_seqs(state.seqs, state.log_probs, cfg.eos_idx, cfg.pad_idx)
+
+
+def streamed_generate(params: Params, cfg: DecoderConfig, img_latent,
+                      latent_valid, *, max_len: int = 1536,
+                      flush_interval: int = 25, compute_dtype=jnp.bfloat16):
+    """Greedy generation yielding token chunks every ``flush_interval`` steps.
+
+    Generator analogue of ``streamed_cached_greedy_generate``
+    (models.py:625-647): yields ("step", np.ndarray tokens) chunks, then a
+    final ("finish", (seqs, log_probs, mask)). Single-image batches only.
+    """
+    import numpy as np
+
+    if img_latent.shape[0] != 1:
+        raise ValueError("Streamed generation only supports single image batches")
+    mem = precompute_memory_kv(params, cfg, img_latent, latent_valid, compute_dtype)
+    state = init_decode_state(cfg, 1, max_len, min(256, max_len))
+
+    while True:
+        start_t = int(state.t)
+        if start_t >= max_len or bool(jnp.all(state.finished)):
+            break
+        if start_t + flush_interval - 1 > int(state.k_cache.shape[3]):
+            state = grow_cache(state, _next_segment(int(state.k_cache.shape[3]), max_len))
+        state = decode_segment(params, cfg, state, mem, flush_interval,
+                               None, compute_dtype)
+        t = int(state.t)
+        new_tokens = np.asarray(state.seqs[:, start_t:t])
+        if t < max_len and not bool(jnp.all(state.finished)):
+            yield ("step", new_tokens)
+
+    yield ("finish", mask_and_clip_seqs(state.seqs, state.log_probs,
+                                        cfg.eos_idx, cfg.pad_idx))

@@ -1,0 +1,220 @@
+"""ViTOMR: ViT encoder -> transition head -> LMX decoder.
+
+Capability parity with the reference's ``ViTOMR`` family —
+``TeacherForcedViTOMR``, ``ScheduledSamplingViTOMR``, ``GRPOViTOMR``
+(reference: acai_omr/models/models.py:542-1049) — as one parameter pytree and
+a set of pure forward functions. The torch subclass tower collapses into
+config flags + optimizer masks:
+
+* MAE -> encoder weight transfer is plain pytree surgery
+  (:func:`vitomr_params_from_mae`) instead of regex state-dict renumbering
+  (models.py:679-713): stacked layers make the frozen/fine-tune split a slice.
+* freezing policies (frozen blocks, GRPO's frozen encoder+head,
+  models.py:668-677, 850-859) are optax masks built from
+  :func:`trainable_mask` in parallel/trainer.py.
+* greedy / sampled generation delegates to :mod:`acai_omr_tpu.models.decode`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import nn
+from . import decode as decode_lib
+from . import omr_decoder, vit_encoder
+from .omr_decoder import DecoderConfig
+from .vit_encoder import EncoderConfig
+
+Params = dict
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTOMRConfig:
+    encoder: EncoderConfig = dataclasses.field(
+        default_factory=lambda: EncoderConfig(dropout=0.05, fine_tune_depth=12))
+    decoder: DecoderConfig = dataclasses.field(default_factory=DecoderConfig)
+    transition_head_dim: int = 4096
+    transition_head_dropout: float = 0.05
+
+
+def init_vitomr_params(key, cfg: ViTOMRConfig, dtype=jnp.float32) -> Params:
+    kenc, kh1, kh2, kdec = jax.random.split(key, 4)
+    return {
+        "encoder": vit_encoder.init_encoder_params(kenc, cfg.encoder, dtype),
+        "transition_head": {
+            "linear1": nn.dense_init(kh1, cfg.encoder.hidden_dim,
+                                     cfg.transition_head_dim, dtype),
+            "linear2": nn.dense_init(kh2, cfg.transition_head_dim,
+                                     cfg.decoder.hidden_dim, dtype),
+        },
+        "decoder": omr_decoder.init_decoder_params(kdec, cfg.decoder, dtype),
+    }
+
+
+def vitomr_params_from_mae(vitomr_params: Params, mae_params: Params) -> Params:
+    """Transplant a pretrained MAE encoder into a ViTOMR param tree.
+
+    Pytree analogue of ``create_omr_encoder_state_dict_from_mae``
+    (reference: models.py:679-713): the encoder subtree is shared verbatim —
+    frozen/fine-tune layer splitting needs no renaming because layers are a
+    stacked array sliced at runtime.
+    """
+    out = dict(vitomr_params)
+    out["encoder"] = jax.tree.map(lambda x: x, mae_params["encoder"])
+    return out
+
+
+def transition_head(params: Params, x: jnp.ndarray, dropout_rate: float = 0.0,
+                    rng=None, deterministic: bool = True) -> jnp.ndarray:
+    """Linear(768->4096) -> GELU -> Dropout -> Linear(4096->1024)
+    (reference: models.py:655-660)."""
+    h = nn.gelu(nn.dense(params["linear1"], x))
+    h = nn.dropout(rng, h, dropout_rate, deterministic)
+    return nn.dense(params["linear2"], h)
+
+
+def encode_image(params: Params, cfg: ViTOMRConfig, patches, pe_idx, pe_w,
+                 valid, *, compute_dtype=jnp.float32, rng=None,
+                 deterministic: bool = True, frozen_stop_gradient: bool = False):
+    """Encoder + transition head -> (img_latent (B, L, E_dec), latent_valid)."""
+    enc_rng = head_rng = None
+    if rng is not None:
+        enc_rng, head_rng = jax.random.split(rng)
+    latent, latent_valid = vit_encoder.encode(
+        params["encoder"], cfg.encoder, patches, pe_idx, pe_w, valid,
+        compute_dtype=compute_dtype, rng=enc_rng, deterministic=deterministic,
+        frozen_stop_gradient=frozen_stop_gradient)
+    latent = transition_head(params["transition_head"], latent,
+                             cfg.transition_head_dropout, head_rng, deterministic)
+    return latent, latent_valid
+
+
+def forward_teacher_forced(params: Params, cfg: ViTOMRConfig, patches, pe_idx,
+                           pe_w, valid, input_seqs, lmx_valid, *,
+                           compute_dtype=jnp.float32, rng=None,
+                           deterministic: bool = True,
+                           frozen_stop_gradient: bool = False,
+                           remat: bool = False) -> jnp.ndarray:
+    """Image batch + right-shifted LMX -> (B, T, V) logits
+    (reference: TeacherForcedViTOMR.forward, models.py:722-736)."""
+    enc_rng = dec_rng = None
+    if rng is not None:
+        enc_rng, dec_rng = jax.random.split(rng)
+    img_latent, latent_valid = encode_image(
+        params, cfg, patches, pe_idx, pe_w, valid, compute_dtype=compute_dtype,
+        rng=enc_rng, deterministic=deterministic,
+        frozen_stop_gradient=frozen_stop_gradient)
+    return omr_decoder.forward(
+        params["decoder"], cfg.decoder, input_seqs, img_latent, lmx_valid,
+        latent_valid, compute_dtype=compute_dtype, rng=dec_rng,
+        deterministic=deterministic, remat=remat)
+
+
+# ---------------------------------------------------------------------------
+# scheduled sampling (reference: ScheduledSamplingViTOMR, models.py:798-838)
+# ---------------------------------------------------------------------------
+
+def gumbel_softmax(rng, logits: jnp.ndarray, tau: float, hard: bool) -> jnp.ndarray:
+    """F.gumbel_softmax equivalent (straight-through when hard=True)."""
+    g = jax.random.gumbel(rng, logits.shape, dtype=jnp.float32)
+    y = jax.nn.softmax((logits.astype(jnp.float32) + g) / tau, axis=-1)
+    if hard:
+        idx = jnp.argmax(y, axis=-1)
+        y_hard = jax.nn.one_hot(idx, logits.shape[-1], dtype=y.dtype)
+        y = y_hard + y - jax.lax.stop_gradient(y)
+    return y
+
+
+def sample_and_mix_seqs(params: Params, rng, tf_input_seqs: jnp.ndarray,
+                        tf_pred_logits: jnp.ndarray, teacher_forcing_prob: float,
+                        sample_tau: float, use_hard_sampling: bool,
+                        compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Mix gold embeddings with gumbel-softmax expected embeddings of the
+    first pass' predictions (reference: models.py:801-817)."""
+    mix_rng, gumbel_rng = jax.random.split(rng)
+    sampling_ratio = 1.0 - teacher_forcing_prob
+    sample_mask = jax.random.uniform(mix_rng, tf_input_seqs.shape) < sampling_ratio
+
+    table = params["decoder"]["vocab_embedding"]["table"].astype(compute_dtype)
+    gold = jnp.take(table, tf_input_seqs, axis=0)                   # (B, T, E)
+
+    distr = gumbel_softmax(gumbel_rng, tf_pred_logits, sample_tau, use_hard_sampling)
+    expected = jnp.einsum("btv,ve->bte", distr.astype(compute_dtype), table)
+
+    # right-shift predictions to align with right-shifted inputs: prepend the
+    # <bos> embedding stem, drop the last step (models.py:811-814)
+    bos_stem = gold[:, :1, :]
+    expected = jnp.concatenate([bos_stem, expected[:, :-1, :]], axis=1)
+    return jnp.where(sample_mask[..., None], expected, gold)
+
+
+def forward_scheduled_sampling(params: Params, cfg: ViTOMRConfig, patches,
+                               pe_idx, pe_w, valid, input_seqs, lmx_valid,
+                               teacher_forcing_prob, sample_tau,
+                               use_hard_sampling: bool, rng, *,
+                               compute_dtype=jnp.float32,
+                               deterministic: bool = False,
+                               frozen_stop_gradient: bool = True,
+                               remat: bool = False) -> jnp.ndarray:
+    """Two-pass scheduled-sampling forward (models.py:819-834):
+    teacher-forced logits -> gumbel-mixed embeddings -> second decoder pass."""
+    enc_rng, dec1_rng, mix_rng, dec2_rng = jax.random.split(rng, 4)
+    img_latent, latent_valid = encode_image(
+        params, cfg, patches, pe_idx, pe_w, valid, compute_dtype=compute_dtype,
+        rng=enc_rng, deterministic=deterministic,
+        frozen_stop_gradient=frozen_stop_gradient)
+    tf_logits = omr_decoder.forward(
+        params["decoder"], cfg.decoder, input_seqs, img_latent, lmx_valid,
+        latent_valid, compute_dtype=compute_dtype, rng=dec1_rng,
+        deterministic=deterministic, remat=remat)
+    mixed = sample_and_mix_seqs(params, mix_rng, input_seqs, tf_logits,
+                                teacher_forcing_prob, sample_tau,
+                                use_hard_sampling, compute_dtype)
+    return omr_decoder.forward(
+        params["decoder"], cfg.decoder, mixed, img_latent, lmx_valid,
+        latent_valid, token_idxs_input=False, compute_dtype=compute_dtype,
+        rng=dec2_rng, deterministic=deterministic, remat=remat)
+
+
+def omr_ce_loss(logits: jnp.ndarray, target_seqs: jnp.ndarray, pad_idx: int,
+                label_smoothing: float = 0.0) -> jnp.ndarray:
+    """Cross entropy with ignore_index=pad (reference: models.py:784-796)."""
+    v = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, target_seqs[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        smooth = -jnp.mean(logp, axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    mask = (target_seqs != pad_idx).astype(jnp.float32)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# generation entry points
+# ---------------------------------------------------------------------------
+
+def cached_greedy_generate(params: Params, cfg: ViTOMRConfig, img_latent,
+                           latent_valid=None, max_len: int = 1536, **kwargs):
+    """(seqs, log_probs, seq_mask) — reference models.py:600-615."""
+    return decode_lib.generate(params["decoder"], cfg.decoder, img_latent,
+                               latent_valid, max_len=max_len, **kwargs)
+
+
+def expand_img_latent_for_rollout(img_latent, latent_valid, group_size: int):
+    """(B, T, E) -> (B*G, T, E) rollout expansion (models.py:883-891)."""
+    latent = jnp.repeat(img_latent, group_size, axis=0)
+    valid = jnp.repeat(latent_valid, group_size, axis=0)
+    return latent, valid
+
+
+def forward_rollout_policy(params: Params, cfg: ViTOMRConfig, img_latent,
+                           latent_valid, rng, max_actions: int = 768,
+                           top_k: int = 50, temperature: float = 1.1, **kwargs):
+    """Sampled rollouts with KV caching (models.py:988-1049)."""
+    sampling = decode_lib.SamplingConfig(top_k=top_k, temperature=temperature)
+    return decode_lib.generate(params["decoder"], cfg.decoder, img_latent,
+                               latent_valid, max_len=max_actions,
+                               sampling=sampling, rng=rng, **kwargs)

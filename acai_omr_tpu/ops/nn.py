@@ -1,0 +1,218 @@
+"""Functional NN primitives on explicit parameter pytrees.
+
+This is the substrate of the whole framework: every model is a pure function
+``apply(params, inputs, ...) -> outputs`` over nested dicts of jnp arrays, so
+``jax.jit`` / ``pjit`` / ``jax.grad`` / ``jax.checkpoint`` compose freely and
+sharding rules can be expressed as tree-path -> PartitionSpec maps.
+
+Numerics deliberately match the PyTorch modules the reference builds on
+(``nn.Linear``, ``nn.LayerNorm``, ``nn.MultiheadAttention`` — reference:
+acai_omr/models/models.py:29-34) so that weight-transfer parity tests are
+meaningful:
+
+* dense kernels are stored ``(in, out)`` (JAX layout; torch stores the
+  transpose),
+* attention uses a fused qkv projection of shape ``(E, 3E)`` mirroring torch's
+  ``in_proj_weight`` (reference: acai_omr/models/kv_caching.py:193-194),
+* GELU is the exact erf form (torch's default for ``activation="gelu"``),
+* softmax/layernorm run in fp32 regardless of the compute dtype.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+Params = dict
+
+# Large negative additive-mask value. Finite (not -inf) so fully-masked rows
+# produce a uniform distribution instead of NaNs; fp32 softmax makes the
+# surviving probability mass < 1e-38, indistinguishable from zero.
+NEG_INF = -1e9
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+def trunc_normal(key, shape, std=0.1, dtype=jnp.float32):
+    """Truncated-normal init matching torch.nn.init.trunc_normal_ (±2σ)."""
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+
+
+def _kaiming_uniform(key, shape, fan_in, dtype=jnp.float32):
+    # torch.nn.Linear default weight init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+    # scaled by sqrt(5) kaiming -> effectively U(-sqrt(1/fan_in)*sqrt(3)*..)
+    # We reproduce torch's observable bound: sqrt(1/fan_in) * sqrt(3) / sqrt(3)
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+    return jax.random.uniform(key, shape, dtype, -bound * math.sqrt(3.0), bound * math.sqrt(3.0))
+
+
+def dense_init(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> Params:
+    """nn.Linear-equivalent init: kaiming-uniform kernel, uniform bias."""
+    kkey, bkey = jax.random.split(key)
+    kernel = _kaiming_uniform(kkey, (in_dim, out_dim), in_dim, dtype)
+    bound = 1.0 / math.sqrt(in_dim)
+    bias = jax.random.uniform(bkey, (out_dim,), dtype, -bound, bound)
+    return {"kernel": kernel, "bias": bias}
+
+
+def layernorm_init(dim: int, dtype=jnp.float32) -> Params:
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def embedding_init(key, vocab_size: int, dim: int, pad_idx: int | None = None,
+                   dtype=jnp.float32) -> Params:
+    """nn.Embedding init: N(0, 1), padding row zeroed."""
+    table = jax.random.normal(key, (vocab_size, dim), dtype)
+    if pad_idx is not None:
+        table = table.at[pad_idx].set(0.0)
+    return {"table": table}
+
+
+def mha_init(key, dim: int, dtype=jnp.float32) -> Params:
+    """nn.MultiheadAttention-equivalent params.
+
+    in_proj kernel is (E, 3E): columns [0:E)=q, [E:2E)=k, [2E:3E)=v, matching
+    the row blocks of torch's (3E, E) in_proj_weight after transpose. torch
+    initializes in_proj_weight with xavier_uniform and biases to zero.
+    """
+    ikey, okey = jax.random.split(key)
+    # torch xavier_uniform over the (3E, E) in_proj matrix: fan_in=E, fan_out=3E
+    limit = math.sqrt(6.0 / (dim + 3 * dim))
+    in_kernel = jax.random.uniform(ikey, (dim, 3 * dim), dtype, -limit, limit)
+    out = {"kernel": _kaiming_uniform(okey, (dim, dim), dim, dtype),
+           "bias": jnp.zeros((dim,), dtype)}
+    return {
+        "in_kernel": in_kernel,
+        "in_bias": jnp.zeros((3 * dim,), dtype),
+        "out": out,
+    }
+
+
+# ---------------------------------------------------------------------------
+# forward primitives
+# ---------------------------------------------------------------------------
+
+def dense(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.dot(x, params["kernel"].astype(x.dtype)) + params["bias"].astype(x.dtype)
+
+
+def layernorm(params: Params, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm in fp32 (biased variance, matching torch)."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def embed(params: Params, idxs: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    table = params["table"]
+    if dtype is not None:
+        table = table.astype(dtype)
+    return jnp.take(table, idxs, axis=0)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.gelu(x, approximate=False)
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(..., T, E) -> (..., H, T, Dh)."""
+    *lead, t, e = x.shape
+    x = x.reshape(*lead, t, num_heads, e // num_heads)
+    return jnp.swapaxes(x, -3, -2)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, T, Dh) -> (..., T, E)."""
+    x = jnp.swapaxes(x, -3, -2)
+    *lead, t, h, d = x.shape
+    return x.reshape(*lead, t, h * d)
+
+
+def masked_softmax(logits: jnp.ndarray, bias: jnp.ndarray | None) -> jnp.ndarray:
+    """Softmax over the last axis in fp32 with an optional additive bias."""
+    logits = logits.astype(jnp.float32)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Scaled dot-product attention.
+
+    q: (B, H, Tq, Dh), k/v: (B, H, Tk, Dh), bias broadcastable to
+    (B, H, Tq, Tk) additive in fp32. Returns (B, H, Tq, Dh) in q.dtype.
+    """
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("...qd,...kd->...qk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    weights = masked_softmax(logits, bias)
+    out = jnp.einsum("...qk,...kd->...qd", weights.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def mha(params: Params, x_q: jnp.ndarray, x_kv: jnp.ndarray, num_heads: int,
+        bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Full multi-head attention block (projections + SDPA + out proj).
+
+    Mirrors torch nn.MultiheadAttention with a fused in_proj: when
+    ``x_q is x_kv`` a single (E, 3E) matmul produces q,k,v; otherwise the
+    kernel is sliced into its q and kv column blocks (reference slices the
+    same fused weight for cached cross-attention,
+    acai_omr/models/kv_caching.py:212-216, 241-244).
+    """
+    e = x_q.shape[-1]
+    in_kernel = params["in_kernel"].astype(x_q.dtype)
+    in_bias = params["in_bias"].astype(x_q.dtype)
+    if x_q is x_kv:
+        qkv = jnp.dot(x_q, in_kernel) + in_bias
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = jnp.dot(x_q, in_kernel[:, :e]) + in_bias[:e]
+        kv = jnp.dot(x_kv, in_kernel[:, e:]) + in_bias[e:]
+        k, v = jnp.split(kv, 2, axis=-1)
+    q, k, v = (split_heads(t, num_heads) for t in (q, k, v))
+    out = merge_heads(attention(q, k, v, bias))
+    return dense(params["out"], out)
+
+
+# ---------------------------------------------------------------------------
+# mask helpers
+# ---------------------------------------------------------------------------
+
+def valid_to_bias(valid: jnp.ndarray) -> jnp.ndarray:
+    """(B, Tk) bool validity -> (B, 1, 1, Tk) additive bias (0 / NEG_INF)."""
+    return jnp.where(valid, 0.0, NEG_INF)[:, None, None, :].astype(jnp.float32)
+
+
+def causal_bias(t: int) -> jnp.ndarray:
+    """(1, 1, T, T) additive causal bias."""
+    mask = jnp.tril(jnp.ones((t, t), dtype=bool))
+    return jnp.where(mask, 0.0, NEG_INF)[None, None, :, :].astype(jnp.float32)
+
+
+def combine_bias(*biases) -> jnp.ndarray | None:
+    out = None
+    for b in biases:
+        if b is None:
+            continue
+        out = b if out is None else out + b
+    return out
+
+
+def dropout(key, x: jnp.ndarray, rate: float, deterministic: bool) -> jnp.ndarray:
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)

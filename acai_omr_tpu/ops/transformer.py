@@ -1,0 +1,177 @@
+"""Stacked post-norm transformer blocks driven by ``lax.scan``.
+
+The reference uses ``nn.TransformerEncoder`` / ``nn.TransformerDecoder`` with
+post-norm layers, exact GELU, per-layer LayerNorm eps 1e-5 and a final norm
+with eps 1e-6 (reference: acai_omr/models/models.py:30-34, 412-426). We keep
+those numerics but store each stack's parameters as a single pytree whose
+leaves carry a leading ``num_layers`` axis, and run the stack with
+``lax.scan``. That gives O(1) compile cost in depth, lets remat
+(`jax.checkpoint`) wrap exactly one layer (the reference's per-layer
+``checkpoint_sequential``, models.py:470-478), and makes tensor-parallel
+sharding a single PartitionSpec per leaf.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import nn
+
+Params = dict
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def encoder_layer_init(key, dim: int, mlp_dim: int, dtype=jnp.float32) -> Params:
+    keys = jax.random.split(key, 3)
+    return {
+        "self_attn": nn.mha_init(keys[0], dim, dtype),
+        "norm1": nn.layernorm_init(dim, dtype),
+        "linear1": nn.dense_init(keys[1], dim, mlp_dim, dtype),
+        "linear2": nn.dense_init(keys[2], mlp_dim, dim, dtype),
+        "norm2": nn.layernorm_init(dim, dtype),
+    }
+
+
+def decoder_layer_init(key, dim: int, mlp_dim: int, dtype=jnp.float32) -> Params:
+    keys = jax.random.split(key, 4)
+    return {
+        "self_attn": nn.mha_init(keys[0], dim, dtype),
+        "norm1": nn.layernorm_init(dim, dtype),
+        "cross_attn": nn.mha_init(keys[1], dim, dtype),
+        "norm2": nn.layernorm_init(dim, dtype),
+        "linear1": nn.dense_init(keys[2], dim, mlp_dim, dtype),
+        "linear2": nn.dense_init(keys[3], mlp_dim, dim, dtype),
+        "norm3": nn.layernorm_init(dim, dtype),
+    }
+
+
+def stack_init(layer_init, key, num_layers: int, *args, **kwargs) -> Params:
+    """Init ``num_layers`` layers and stack leaves along a leading axis."""
+    layers = [layer_init(k, *args, **kwargs) for k in jax.random.split(key, num_layers)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def stack_slice(stacked: Params, lo: int, hi: int) -> Params:
+    """Sub-stack [lo, hi) of a stacked layer pytree (for frozen/fine-tune splits)."""
+    return jax.tree.map(lambda x: x[lo:hi], stacked)
+
+
+def stack_concat(a: Params, b: Params) -> Params:
+    return jax.tree.map(lambda x, y: jnp.concatenate([x, y], axis=0), a, b)
+
+
+def num_stacked_layers(stacked: Params) -> int:
+    return jax.tree.leaves(stacked)[0].shape[0]
+
+
+# ---------------------------------------------------------------------------
+# single-layer forwards (post-norm, torch semantics)
+# ---------------------------------------------------------------------------
+
+def encoder_layer(params: Params, x: jnp.ndarray, bias, num_heads: int,
+                  dropout_rate: float = 0.0, rng=None,
+                  deterministic: bool = True) -> jnp.ndarray:
+    """x = norm1(x + SA(x)); x = norm2(x + FF(x)). bias: additive attn bias."""
+    if rng is None:
+        rngs = (None,) * 3
+    else:
+        rngs = jax.random.split(rng, 3)
+    sa = nn.mha(params["self_attn"], x, x, num_heads, bias)
+    sa = nn.dropout(rngs[0], sa, dropout_rate, deterministic)
+    x = nn.layernorm(params["norm1"], x + sa, eps=1e-5)
+    h = nn.gelu(nn.dense(params["linear1"], x))
+    h = nn.dropout(rngs[1], h, dropout_rate, deterministic)
+    h = nn.dense(params["linear2"], h)
+    h = nn.dropout(rngs[2], h, dropout_rate, deterministic)
+    return nn.layernorm(params["norm2"], x + h, eps=1e-5)
+
+
+def decoder_layer(params: Params, x: jnp.ndarray, memory: jnp.ndarray,
+                  self_bias, cross_bias, num_heads: int,
+                  dropout_rate: float = 0.0, rng=None,
+                  deterministic: bool = True) -> jnp.ndarray:
+    """Post-norm decoder layer: SA -> norm1, CA -> norm2, FF -> norm3."""
+    if rng is None:
+        rngs = (None,) * 4
+    else:
+        rngs = jax.random.split(rng, 4)
+    sa = nn.mha(params["self_attn"], x, x, num_heads, self_bias)
+    sa = nn.dropout(rngs[0], sa, dropout_rate, deterministic)
+    x = nn.layernorm(params["norm1"], x + sa, eps=1e-5)
+    ca = nn.mha(params["cross_attn"], x, memory, num_heads, cross_bias)
+    ca = nn.dropout(rngs[1], ca, dropout_rate, deterministic)
+    x = nn.layernorm(params["norm2"], x + ca, eps=1e-5)
+    h = nn.gelu(nn.dense(params["linear1"], x))
+    h = nn.dropout(rngs[2], h, dropout_rate, deterministic)
+    h = nn.dense(params["linear2"], h)
+    h = nn.dropout(rngs[3], h, dropout_rate, deterministic)
+    return nn.layernorm(params["norm3"], x + h, eps=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# stacked forwards
+# ---------------------------------------------------------------------------
+
+def encoder_stack(stacked: Params, x: jnp.ndarray, bias, num_heads: int,
+                  dropout_rate: float = 0.0, rng=None,
+                  deterministic: bool = True, remat: bool = False) -> jnp.ndarray:
+    """Run a stack of encoder layers with lax.scan over the layer axis."""
+    n = num_stacked_layers(stacked)
+    layer_rngs = None if rng is None else jax.random.split(rng, n)
+
+    def run_layer(layer_params, carry, layer_rng):
+        return encoder_layer(layer_params, carry, bias, num_heads,
+                             dropout_rate, layer_rng, deterministic)
+
+    if remat:
+        run_layer = jax.checkpoint(run_layer)
+
+    if layer_rngs is None:
+        def body(carry, layer_params):
+            return run_layer(layer_params, carry, None), None
+        out, _ = jax.lax.scan(body, x, stacked)
+    else:
+        def body(carry, xs):
+            layer_params, layer_rng = xs
+            return run_layer(layer_params, carry, layer_rng), None
+        out, _ = jax.lax.scan(body, x, (stacked, layer_rngs))
+    return out
+
+
+def decoder_stack(stacked: Params, x: jnp.ndarray, memory: jnp.ndarray,
+                  self_bias, cross_bias, num_heads: int,
+                  dropout_rate: float = 0.0, rng=None,
+                  deterministic: bool = True, remat: bool = False) -> jnp.ndarray:
+    """Run a stack of decoder layers with lax.scan over the layer axis.
+
+    ``remat=True`` recomputes each layer's activations in the backward pass —
+    the TPU-native analogue of the reference's layer-wise
+    ``checkpoint_sequential`` used to fit GRPO rollouts in memory
+    (reference: acai_omr/models/models.py:470-478).
+    """
+    n = num_stacked_layers(stacked)
+    layer_rngs = None if rng is None else jax.random.split(rng, n)
+
+    def run_layer(layer_params, carry, layer_rng):
+        return decoder_layer(layer_params, carry, memory, self_bias, cross_bias,
+                             num_heads, dropout_rate, layer_rng, deterministic)
+
+    if remat:
+        run_layer = jax.checkpoint(run_layer)
+
+    if layer_rngs is None:
+        def body(carry, layer_params):
+            return run_layer(layer_params, carry, None), None
+        out, _ = jax.lax.scan(body, x, stacked)
+    else:
+        def body(carry, xs):
+            layer_params, layer_rng = xs
+            return run_layer(layer_params, carry, layer_rng), None
+        out, _ = jax.lax.scan(body, x, (stacked, layer_rngs))
+    return out

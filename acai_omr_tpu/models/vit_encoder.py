@@ -81,7 +81,9 @@ class PatchBatch:
     dims: list               # [(hp, wp)] per image, for unpatchify/decoder PE
 
 
-def bucket_len(n: int, multiple: int = 128, minimum: int = 128) -> int:
+def bucket_len(n: int, multiple: int = 128, minimum: int | None = None) -> int:
+    if minimum is None:
+        minimum = multiple
     return max(minimum, -(-n // multiple) * multiple)
 
 

@@ -124,7 +124,8 @@ def gumbel_softmax(rng, logits: jnp.ndarray, tau: float, hard: bool) -> jnp.ndar
     if hard:
         idx = jnp.argmax(y, axis=-1)
         y_hard = jax.nn.one_hot(idx, logits.shape[-1], dtype=y.dtype)
-        y = y_hard + y - jax.lax.stop_gradient(y)
+        # torch's straight-through op order: y_hard - y.detach() + y
+        y = y_hard - jax.lax.stop_gradient(y) + y
     return y
 
 

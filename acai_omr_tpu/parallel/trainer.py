@@ -1,0 +1,181 @@
+"""Sharded functional training: optimizers, train states, pjit'd steps.
+
+Replaces the reference's single-GPU torch loops (reference:
+acai_omr/train/pre_train.py:46-71, omr_teacher_force_train.py:104-142) with
+jitted, mesh-sharded train steps:
+
+* params + optimizer state live as sharded pytrees (DP-replicated /
+  TP-partitioned per parallel.sharding rules),
+* the per-batch step is one compiled function — forward, loss, backward,
+  optimizer — with donated state,
+* gradient accumulation is a ``lax.scan`` over microbatches inside the step
+  (reference: 8x accumulation, omr_teacher_force_train.py:126-130),
+* layer-wise LR decay and layer freezing act on the *layer axis* of stacked
+  block parameters via :func:`layerwise_lr_scale` — the TPU-native analogue of
+  the reference's per-layer param groups (models.py:761-781), which can't be
+  expressed as optax leaf masks because layers share one leaf,
+* frozen subtrees (MAE->OMR frozen prefix, GRPO's encoder+head,
+  models.py:668-677, 850-859) use ``optax.masked`` over whole leaves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+Params = Any
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Params
+    opt_state: Any
+
+
+# ---------------------------------------------------------------------------
+# optimizer building blocks
+# ---------------------------------------------------------------------------
+
+def layerwise_lr_scale(scale_tree_fn: Callable[[Params], Params]) -> optax.GradientTransformation:
+    """Multiply updates elementwise by per-leaf (broadcastable) factors.
+
+    ``scale_tree_fn(params)`` returns a pytree matching ``params`` whose
+    leaves are scalars or arrays broadcastable against the leaf — e.g. a
+    (num_layers, 1, 1) vector over a stacked block leaf implementing LLRD, or
+    0.0 to freeze. Applied after the optimizer core, so weight decay is scaled
+    (and fully suppressed for frozen layers) too.
+    """
+
+    def init_fn(params):
+        return scale_tree_fn(params)
+
+    def update_fn(updates, state, params=None):
+        updates = jax.tree.map(lambda u, s: u * s, updates, state)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def freeze_mask_zeros(mask_tree: Params) -> Callable:
+    """Convert a {True: train, False: freeze} pytree into a scale tree fn."""
+    def fn(params):
+        return jax.tree.map(lambda m: 1.0 if m else 0.0, mask_tree)
+    return fn
+
+
+def adamw(learning_rate, betas=(0.9, 0.95), weight_decay: float = 0.05,
+          max_grad_norm: float | None = None,
+          scale_tree_fn: Callable | None = None) -> optax.GradientTransformation:
+    """AdamW matching the reference settings (pre_train.py:32-35), with
+    optional grad clipping and per-layer/frozen scaling."""
+    chain = []
+    if max_grad_norm is not None:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(optax.adamw(learning_rate, b1=betas[0], b2=betas[1],
+                             weight_decay=weight_decay))
+    if scale_tree_fn is not None:
+        chain.append(layerwise_lr_scale(scale_tree_fn))
+    return optax.chain(*chain)
+
+
+def encoder_llrd_scales(params: Params, cfg, fine_tune_lr_ratio: float,
+                        decay_factor: float) -> Params:
+    """Scale tree implementing the reference's fine-tune param groups
+    (models.py:761-781) on stacked leaves.
+
+    Base LR applies to decoder + transition head (scale 1). Encoder fine-tune
+    layer i (deepest = num_layers-1) is scaled by
+    ``fine_tune_lr_ratio * decay^(num_layers-1-i)``; frozen prefix layers get
+    0. PE grid + projection get the minimum layer scale; the encoder final
+    norm gets ``fine_tune_lr_ratio``.
+    """
+    enc_cfg = cfg.encoder
+    n = enc_cfg.num_layers
+    n_frozen = n - enc_cfg.fine_tune_depth if enc_cfg.fine_tune_depth else 0
+
+    layer_scale = jnp.zeros((n,))
+    for i in range(n_frozen, n):
+        depth_from_top = n - 1 - i
+        layer_scale = layer_scale.at[i].set(
+            fine_tune_lr_ratio * decay_factor ** depth_from_top)
+    min_scale = float(fine_tune_lr_ratio * decay_factor ** (enc_cfg.fine_tune_depth - 1)) \
+        if enc_cfg.fine_tune_depth else 0.0
+
+    def scale_for(path_names, leaf):
+        if path_names[0] != "encoder":
+            return 1.0
+        if "blocks" in path_names:
+            extra = (1,) * (leaf.ndim - 1)
+            return layer_scale.reshape((n,) + extra)
+        if path_names[1] == "final_norm":
+            return fine_tune_lr_ratio if enc_cfg.fine_tune_depth else 0.0
+        # pos_embedding, projection — lowest fine-tune LR (models.py:776-777)
+        return min_scale if enc_cfg.fine_tune_depth else 0.0
+
+    def names(kp):
+        return tuple(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, leaf: scale_for(names(kp), leaf), params)
+
+
+# ---------------------------------------------------------------------------
+# train state + steps
+# ---------------------------------------------------------------------------
+
+def create_train_state(params: Params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+
+
+def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
+                    donate: bool = True):
+    """Build a jitted train step.
+
+    ``loss_fn(params, batch, rng) -> (loss, aux)``; batch is any pytree of
+    arrays (already device-resident / sharded). Returns
+    ``step(state, batch, rng) -> (state, metrics)``.
+    """
+
+    def step(state: TrainState, batch, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **aux}
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_accum_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
+                          num_microbatches: int, donate: bool = True):
+    """Gradient-accumulation variant: ``batch`` leaves carry a leading
+    (num_microbatches, ...) axis; grads are averaged over microbatches with a
+    lax.scan before one optimizer step (reference: 8-step accumulation,
+    omr_teacher_force_train.py:40,126)."""
+
+    def step(state: TrainState, batch, rng):
+        rngs = jax.random.split(rng, num_microbatches)
+
+        def micro(carry, xs):
+            grads_acc, loss_acc = carry
+            mb, r = xs
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, mb, r)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return (grads_acc, loss_acc + loss), None
+
+        zero = jax.tree.map(jnp.zeros_like, state.params)
+        (grads, loss_sum), _ = jax.lax.scan(micro, (zero, 0.0), (batch, rngs))
+        grads = jax.tree.map(lambda g: g / num_microbatches, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss_sum / num_microbatches,
+                   "grad_norm": optax.global_norm(grads)}
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,89 @@
+"""Benchmark: KV-cached LMX decode throughput (systems/sec/chip).
+
+The north-star metric (BASELINE.json): batched KV-cached greedy decode on the
+flagship 12x1024 LMX decoder with cross-attention to a 512-patch encoder
+latent — the hot loop of acai-omr inference (reference:
+acai_omr/models/kv_caching.py + models.py:600-615).
+
+Workload: B systems decoded for a full ``DECODE_LEN`` tokens each with early
+exit disabled (eos never matches), i.e. worst-case sequence length — a
+conservative lower bound on real-workload throughput, and deterministic
+across runs/weights.
+
+``vs_baseline`` compares against the CPU reference point stored in
+``bench_baseline.json`` (same program, jax CPU backend, measured once; see
+that file for provenance). Prints exactly one JSON line.
+"""
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BATCH = 32
+MEM_LEN = 512
+DECODE_LEN = 512
+BASELINE_PATH = Path(__file__).parent / "bench_baseline.json"
+
+
+def build():
+    from acai_omr_tpu.models import omr_decoder
+    from acai_omr_tpu.models.omr_decoder import DecoderConfig
+
+    # eos_idx=-1 never matches a generated token -> no early exit
+    cfg = DecoderConfig(max_lmx_seq_len=DECODE_LEN, eos_idx=-1)
+    params = omr_decoder.init_decoder_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+    rng = np.random.default_rng(0)
+    mem = jnp.asarray(rng.standard_normal((BATCH, MEM_LEN, cfg.hidden_dim)),
+                      dtype=jnp.bfloat16)
+    mem_valid = jnp.ones((BATCH, MEM_LEN), dtype=bool)
+    return cfg, params, mem, mem_valid
+
+
+def run_decode(cfg, params, mem, mem_valid):
+    from acai_omr_tpu.models import decode as decode_lib
+    seqs, lps, mask = decode_lib.generate(
+        params, cfg, mem, mem_valid, max_len=DECODE_LEN,
+        compute_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16)
+    jax.block_until_ready(seqs)
+    return seqs
+
+
+def main():
+    cfg, params, mem, mem_valid = build()
+    run_decode(cfg, params, mem, mem_valid)  # warm-up / compile
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_decode(cfg, params, mem, mem_valid)
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+
+    systems_per_sec = BATCH / elapsed
+    tokens_per_sec = BATCH * (DECODE_LEN - 1) / elapsed
+
+    vs_baseline = None
+    if BASELINE_PATH.exists():
+        base = json.loads(BASELINE_PATH.read_text())
+        if base.get("systems_per_sec"):
+            vs_baseline = systems_per_sec / base["systems_per_sec"]
+
+    print(json.dumps({
+        "metric": "systems/sec/chip (KV-cached LMX decode, B=32, 511 tok/system, mem 512)",
+        "value": round(systems_per_sec, 3),
+        "unit": "systems/sec",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "tokens_per_sec": round(tokens_per_sec, 1),
+        "decode_wall_s": round(elapsed, 3),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

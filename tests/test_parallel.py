@@ -1,0 +1,102 @@
+"""Mesh/sharding/trainer tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from acai_omr_tpu.models import vitomr
+from acai_omr_tpu.models.omr_decoder import DecoderConfig
+from acai_omr_tpu.models.vit_encoder import EncoderConfig
+from acai_omr_tpu.models.vitomr import ViTOMRConfig
+from acai_omr_tpu.parallel import mesh as mesh_lib
+from acai_omr_tpu.parallel import sharding, trainer
+
+CFG = ViTOMRConfig(
+    encoder=EncoderConfig(patch_size=4, pe_max_height=8, pe_max_width=8,
+                          num_layers=4, hidden_dim=16, num_heads=2, mlp_dim=32,
+                          dropout=0.0, fine_tune_depth=2),
+    decoder=DecoderConfig(max_lmx_seq_len=32, vocab_size=11, num_layers=2,
+                          hidden_dim=16, num_heads=2, mlp_dim=32, dropout=0.0),
+    transition_head_dim=24, transition_head_dropout=0.0)
+
+
+def test_mesh_and_param_placement():
+    assert len(jax.devices()) == 8
+    mesh = mesh_lib.make_mesh(4, 2)
+    params = vitomr.init_vitomr_params(jax.random.PRNGKey(0), CFG)
+    sharded = sharding.shard_params(mesh, params)
+    # linear1 kernels shard their output dim over model axis
+    spec = sharded["decoder"]["blocks"]["linear1"]["kernel"].sharding.spec
+    assert spec == P(None, None, mesh_lib.MODEL_AXIS)
+    # norms replicate
+    spec = sharded["decoder"]["final_norm"]["scale"].sharding.spec
+    assert spec == P()
+    # vocab-sized unembed (11) doesn't divide 2 -> falls back to replication
+    spec = sharded["decoder"]["unembed"]["kernel"].sharding.spec
+    assert spec == P()
+
+
+def test_llrd_scales_structure():
+    params = vitomr.init_vitomr_params(jax.random.PRNGKey(0), CFG)
+    scales = trainer.encoder_llrd_scales(params, CFG, fine_tune_lr_ratio=0.1,
+                                         decay_factor=0.9)
+    blk = np.asarray(
+        jax.tree.leaves({"k": scales["encoder"]["blocks"]["self_attn"]["in_kernel"]})[0]
+    ).reshape(-1)
+    # 4 layers, fine_tune_depth=2: layers 0,1 frozen (0), layer 2 = 0.1*0.9,
+    # layer 3 (deepest) = 0.1
+    np.testing.assert_allclose(blk, [0.0, 0.0, 0.09, 0.1], rtol=1e-6)
+    assert scales["decoder"]["unembed"]["kernel"] == 1.0
+    assert scales["transition_head"]["linear1"]["kernel"] == 1.0
+    assert scales["encoder"]["final_norm"]["scale"] == 0.1
+    # projection/PE at min layer scale
+    np.testing.assert_allclose(scales["encoder"]["projection"]["kernel"], 0.09)
+
+
+def test_frozen_layers_do_not_move():
+    params = vitomr.init_vitomr_params(jax.random.PRNGKey(0), CFG)
+    tx = trainer.adamw(1e-2, weight_decay=0.1, scale_tree_fn=lambda p:
+                       trainer.encoder_llrd_scales(p, CFG, 0.1, 0.9))
+    state = trainer.create_train_state(params, tx)
+
+    def loss_fn(p, batch, rng):
+        s = sum(jnp.sum(x ** 2) for x in jax.tree.leaves(p))
+        return s, {}
+
+    step = trainer.make_train_step(loss_fn, tx, donate=False)
+    new_state, metrics = step(state, {}, jax.random.PRNGKey(0))
+
+    old_blk = np.asarray(params["encoder"]["blocks"]["self_attn"]["in_kernel"])
+    new_blk = np.asarray(new_state.params["encoder"]["blocks"]["self_attn"]["in_kernel"])
+    # frozen layers 0-1 identical (incl. no weight decay drift)
+    np.testing.assert_array_equal(new_blk[:2], old_blk[:2])
+    # fine-tune layers moved
+    assert np.abs(new_blk[2:] - old_blk[2:]).max() > 0
+    # decoder moved
+    assert np.abs(np.asarray(new_state.params["decoder"]["unembed"]["kernel"]) -
+                  np.asarray(params["decoder"]["unembed"]["kernel"])).max() > 0
+
+
+def test_accum_step_matches_single_large_batch():
+    """Accumulated microbatch grads == one big batch (linear loss)."""
+    key = jax.random.PRNGKey(0)
+    params = {"w": jnp.ones((4,))}
+    tx = trainer.adamw(1e-1, weight_decay=0.0)
+
+    def loss_fn(p, batch, rng):
+        return jnp.mean(jnp.sum(p["w"] * batch["x"], axis=-1)), {}
+
+    x = jax.random.normal(key, (4, 2, 4))  # 4 microbatches of 2
+    accum_step = trainer.make_accum_train_step(loss_fn, tx, 4, donate=False)
+    s1 = trainer.create_train_state(params, tx)
+    s1, m1 = accum_step(s1, {"x": x}, key)
+
+    big_step = trainer.make_train_step(loss_fn, tx, donate=False)
+    s2 = trainer.create_train_state(params, tx)
+    s2, m2 = big_step(s2, {"x": x.reshape(8, 4)}, key)
+
+    np.testing.assert_allclose(np.asarray(s1.params["w"]),
+                               np.asarray(s2.params["w"]), atol=1e-6)

@@ -105,7 +105,8 @@ def forward(params: Params, cfg: DecoderConfig, input_seqs: jnp.ndarray,
     return logits.astype(jnp.float32)
 
 
-def batchify_and_split_lmx_seqs(lmx_seqs, pad_idx: int, bucket_multiple: int = 128):
+def batchify_and_split_lmx_seqs(lmx_seqs, pad_idx: int, bucket_multiple: int = 128,
+                                max_len: int | None = None):
     """Pad ragged LMX id sequences and split into (input, target, valid).
 
     Host-side analogue of the reference's nested-tensor pad + right/left shift
@@ -118,6 +119,11 @@ def batchify_and_split_lmx_seqs(lmx_seqs, pad_idx: int, bucket_multiple: int = 1
 
     lens = [len(s) for s in lmx_seqs]
     tmax = bucket_len(max(lens) - 1, bucket_multiple)
+    if max_len is not None:
+        # never bucket past the decoder's PE table; real sequences longer than
+        # max_len still raise downstream, matching the reference guard
+        # (models.py:457-458)
+        tmax = min(tmax, max(max_len, max(lens) - 1))
     b = len(lmx_seqs)
     inputs = np.full((b, tmax), pad_idx, dtype=np.int32)
     targets = np.full((b, tmax), pad_idx, dtype=np.int32)

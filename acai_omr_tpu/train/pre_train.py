@@ -1,0 +1,218 @@
+"""MAE pretraining loop (stage 1 of 3).
+
+Capability parity with the reference pretraining script (reference:
+acai_omr/train/pre_train.py:1-211): same model shape, hyperparameters,
+augmentation policy, 4-dataset mix, per-epoch cosine schedule and checkpoint
+cadence — rebuilt as a jitted, mesh-sharded train step fed by the threaded
+bucket loader. Run as ``python -m acai_omr_tpu.train.pre_train``.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import (DOREMI_PREPARED_ROOT_DIR, GRAND_STAFF_ROOT_DIR,
+                      MAE_MAX_SEQ_LEN, OLIMPIC_SCANNED_ROOT_DIR,
+                      OLIMPIC_SYNTHETIC_ROOT_DIR, PATCH_SIZE, PE_MAX_HEIGHT,
+                      PE_MAX_WIDTH, PRIMUS_PREPARED_ROOT_DIR)
+from ..data import datasets as ds_lib
+from ..data import transforms as tf_lib
+from ..data.bucketing import BucketBatchSampler, default_bucket_boundaries
+from ..data.loader import PrefetchLoader, pack_mae_batch
+from ..models import mae as mae_lib
+from ..models.mae import MaeConfig
+from ..models.vit_encoder import EncoderConfig
+from ..parallel import mesh as mesh_lib
+from ..parallel import trainer
+from ..utils import checkpoint as ckpt_lib
+from ..utils.metrics import MetricsWriter
+from .schedules import cosine_anneal_with_warmup
+
+MODEL_DIR_PATH = Path("mae_pre_train")
+
+# MAE constants (reference: pre_train.py:15-37)
+MASK_RATIO = 0.75
+AUGMENTATION_P = 0.2
+EPOCHS = 500
+CHECKPOINT_FREQ = 50
+BASE_LR = 1.5e-4
+MIN_LR = 1e-6
+ADAMW_BETAS = (0.9, 0.95)
+ADAMW_WEIGHT_DECAY = 0.05
+WARMUP_EPOCHS = 50
+BATCH_SIZE = 64
+NUM_WORKERS = 24
+
+
+def set_up_mae() -> MaeConfig:
+    """ViT-B/16 MAE, 60x200 PE grid, mask 0.75 (reference: pre_train.py:156-159)."""
+    return MaeConfig(
+        encoder=EncoderConfig(patch_size=PATCH_SIZE, pe_max_height=PE_MAX_HEIGHT,
+                              pe_max_width=PE_MAX_WIDTH),
+        mask_ratio=MASK_RATIO)
+
+
+def make_loss_fn(cfg: MaeConfig, compute_dtype=jnp.bfloat16):
+    def loss_fn(params, batch, rng):
+        pred, loss_mask, target = mae_lib.forward(
+            params, cfg, rng, batch["patches"], batch["pe_idx"], batch["pe_w"],
+            batch["valid"], batch["lengths"], batch["target_patches"],
+            compute_dtype=compute_dtype)
+        loss = mae_lib.mae_loss(pred, loss_mask, target)
+        return loss, {}
+    return loss_fn
+
+
+def make_eval_fn(cfg: MaeConfig, compute_dtype=jnp.bfloat16):
+    @jax.jit
+    def eval_fn(params, batch, rng):
+        pred, loss_mask, target = mae_lib.forward(
+            params, cfg, rng, batch["patches"], batch["pe_idx"], batch["pe_w"],
+            batch["valid"], batch["lengths"], batch["target_patches"],
+            compute_dtype=compute_dtype)
+        return mae_lib.mae_loss(pred, loss_mask, target)
+    return eval_fn
+
+
+def _device_batch(batch, sharding=None):
+    arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    if sharding is None:
+        return jax.tree.map(jnp.asarray, arrays)
+    return {k: jax.device_put(v, sharding) for k, v in arrays.items()}
+
+
+def pre_train(mae_cfg: MaeConfig, train_dataset, validation_dataset, *,
+              params=None, epochs: int = EPOCHS, batch_size: int = BATCH_SIZE,
+              warmup_epochs: int = WARMUP_EPOCHS, base_lr: float = BASE_LR,
+              min_lr: float = MIN_LR, checkpoint_freq: int = CHECKPOINT_FREQ,
+              model_dir: Path = MODEL_DIR_PATH, num_workers: int = NUM_WORKERS,
+              bucket_boundaries=None, seed: int = 0,
+              compute_dtype=jnp.bfloat16):
+    """Full pretraining loop; returns (params, stats). Testable with tiny
+    datasets/configs (reference test pattern: full-loop smoke test)."""
+    model_dir = Path(model_dir)
+    model_dir.mkdir(parents=True, exist_ok=False)  # refuse to overwrite a run
+    (model_dir / "checkpoints").mkdir()
+
+    if params is None:
+        params = mae_lib.init_mae_params(jax.random.PRNGKey(seed), mae_cfg)
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+    print(f"Trainable parameters count: {n_params}")
+
+    n_dev = len(jax.devices())
+    use_dp = n_dev > 1 and batch_size % n_dev == 0
+    data_sh = None
+    if use_dp:
+        mesh = mesh_lib.make_mesh()
+        data_sh = mesh_lib.data_sharding(mesh)
+        params = jax.tree.map(
+            lambda x: jax.device_put(x, mesh_lib.replicated(mesh)), params)
+
+    boundaries = bucket_boundaries or default_bucket_boundaries(mae_cfg.patch_size)
+    train_sampler = BucketBatchSampler(train_dataset, list(boundaries), batch_size, seed=seed)
+    val_sampler = BucketBatchSampler(validation_dataset, list(boundaries), batch_size,
+                                     shuffle=False, seed=seed)
+    pack = lambda ex: pack_mae_batch(ex, mae_cfg.encoder,
+                                     pad_to_batch=batch_size if use_dp else None)
+    train_loader = PrefetchLoader(train_dataset, train_sampler, pack, num_workers)
+    val_loader = PrefetchLoader(validation_dataset, val_sampler, pack, num_workers)
+
+    # per-epoch schedule, stepped per optimizer step (reference steps the
+    # scheduler once per epoch; we evaluate the same curve at epoch granularity)
+    steps_per_epoch = max(len(train_sampler), 1)
+    schedule = lambda step: cosine_anneal_with_warmup(
+        base_lr, warmup_epochs, epochs, min_lr)(step // steps_per_epoch)
+    tx = trainer.adamw(schedule, betas=ADAMW_BETAS,
+                       weight_decay=ADAMW_WEIGHT_DECAY)
+    state = trainer.create_train_state(params, tx)
+    step_fn = trainer.make_train_step(make_loss_fn(mae_cfg, compute_dtype), tx)
+    eval_fn = make_eval_fn(mae_cfg, compute_dtype)
+
+    writer = MetricsWriter(str(model_dir / "tb"), str(model_dir / "stats.csv"))
+    rng = jax.random.PRNGKey(seed + 1)
+    train_losses, val_losses = [], []
+
+    for epoch in range(epochs):
+        t0 = time.perf_counter()
+        epoch_loss, n_batches = 0.0, 0
+        for batch in train_loader:
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = step_fn(state, _device_batch(batch, data_sh), step_rng)
+            epoch_loss += float(metrics["loss"])
+            n_batches += 1
+        train_loss = epoch_loss / max(n_batches, 1)
+
+        val_loss, n_val = 0.0, 0
+        for batch in val_loader:
+            rng, step_rng = jax.random.split(rng)
+            val_loss += float(eval_fn(state.params, _device_batch(batch, data_sh), step_rng))
+            n_val += 1
+        val_loss /= max(n_val, 1)
+
+        dt = time.perf_counter() - t0
+        print(f"Epoch {epoch + 1}: train {train_loss:.5f} val {val_loss:.5f} "
+              f"({dt:.1f}s, {n_batches} batches)")
+        writer.scalars("epoch", {"train_loss": train_loss, "val_loss": val_loss,
+                                 "seconds": dt}, epoch)
+        writer.flush()
+        train_losses.append(train_loss)
+        val_losses.append(val_loss)
+
+        if (epoch + 1) % checkpoint_freq == 0:
+            ckpt_lib.save_train_state(
+                model_dir / "checkpoints" / f"epoch_{epoch + 1}", state)
+
+    ckpt_lib.save_pytree(model_dir / "pretrained_mae", state.params)
+    return state.params, {"train_losses": train_losses, "val_losses": val_losses}
+
+
+def build_datasets():
+    """The reference's 4-dataset pretraining mix (pre_train.py:178-198)."""
+    base = tf_lib.Compose([
+        tf_lib.to_float_chw,
+        tf_lib.DynamicResize(PATCH_SIZE, MAE_MAX_SEQ_LEN, PE_MAX_HEIGHT,
+                             PE_MAX_WIDTH, crop_imgs=True),
+    ])
+    camera = tf_lib.RandomApply([
+        tf_lib.GaussianBlur(15, (0.2, 0.7)),
+        tf_lib.GaussianNoise(0.03),
+        tf_lib.RandomRotation((-2, 2)),
+        tf_lib.RandomPerspective(0.2, 1.0),
+        tf_lib.ColorJitter(0.15, 0.2, 0.2, 0),
+    ], p=AUGMENTATION_P)
+
+    grand_staff = ds_lib.GrandStaffLMXDataset(
+        GRAND_STAFF_ROOT_DIR, "samples.train.txt", img_transform=base)
+    primus = ds_lib.PreparedDataset(PRIMUS_PREPARED_ROOT_DIR, transform=base)
+    doremi = ds_lib.PreparedDataset(DOREMI_PREPARED_ROOT_DIR, transform=base)
+    olimpic = ds_lib.OlimpicDataset(
+        OLIMPIC_SYNTHETIC_ROOT_DIR, "samples.train.txt", img_transform=base)
+
+    train = ds_lib.ConcatDataset([
+        ds_lib.GrandStaffPreTrainWrapper(grand_staff, AUGMENTATION_P, camera),
+        ds_lib.PreTrainWrapper(primus, transform=camera),
+        ds_lib.PreTrainWrapper(doremi, transform=camera),
+        ds_lib.OlimpicPreTrainWrapper(olimpic, transform=camera),
+    ])
+
+    gs_val = ds_lib.GrandStaffLMXDataset(GRAND_STAFF_ROOT_DIR, "samples.dev.txt",
+                                         img_transform=base)
+    ol_val = ds_lib.OlimpicDataset(OLIMPIC_SYNTHETIC_ROOT_DIR, "samples.dev.txt",
+                                   img_transform=base)
+    val = ds_lib.ConcatDataset([
+        ds_lib.GrandStaffPreTrainWrapper(gs_val),
+        ds_lib.OlimpicPreTrainWrapper(ol_val),
+    ])
+    return train, val
+
+
+if __name__ == "__main__":
+    cfg = set_up_mae()
+    train_ds, val_ds = build_datasets()
+    pre_train(cfg, train_ds, val_ds)

@@ -1,0 +1,203 @@
+"""LMX linearization / delinearization / TEDn tests.
+
+Fixture sequences in tests/data are real LMX target sequences from the
+reference's sampled predictions (ground-truth GrandStaff/OLiMPiC encodings) —
+used as grammar conformance inputs.
+"""
+
+import xml.etree.ElementTree as ET
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from acai_omr_tpu.lmx import tedn as tedn_lib
+from acai_omr_tpu.lmx.delinearizer import (DelinearizationError, delinearize,
+                                           delinearize_to_element)
+from acai_omr_tpu.lmx.linearizer import linearize
+
+DATA = Path(__file__).parent / "data"
+
+
+def load_sample(i):
+    text = (DATA / f"sample_lmx_{i}.txt").read_text().strip()
+    return text.replace("<eos>", "").strip()
+
+
+@pytest.mark.parametrize("i", [0, 1])
+def test_delinearize_real_sequences(i):
+    lmx = load_sample(i)
+    root, errors = delinearize_to_element(lmx)
+    assert errors == [], errors
+    assert root.tag == "score-partwise"
+    part = root.find("part")
+    measures = part.findall("measure")
+    assert len(measures) == lmx.split().count("measure")
+    # first measure declares divisions, key, time, staves, both clefs
+    attrs = measures[0].find("attributes")
+    assert attrs.find("divisions") is not None
+    assert attrs.find("key/fifths") is not None
+    assert attrs.find("time/beats") is not None
+    assert int(attrs.find("staves").text) == 2
+    assert len(attrs.findall("clef")) == 2
+    # notes carry pitch + duration + type
+    note = part.find("measure/note")
+    assert note.find("pitch/step") is not None
+    assert note.find("duration") is not None
+
+
+@pytest.mark.parametrize("i", [0, 1])
+def test_roundtrip_linearize(i):
+    """delinearize -> linearize reproduces the token stream exactly."""
+    lmx = load_sample(i)
+    root, _ = delinearize_to_element(lmx)
+    back = linearize(ET.tostring(root, encoding="unicode"))
+    assert back.split() == lmx.split()
+
+
+def test_measure_voice_time_consistency():
+    lmx = load_sample(0)
+    root, _ = delinearize_to_element(lmx)
+    # 3/4 time: voice-1 content of measure 1 must sum to 3 quarters of divisions
+    attrs = root.find("part/measure/attributes")
+    div = int(attrs.find("divisions").text)
+    m1 = root.find("part/measure")
+    total = 0
+    for note in m1.findall("note"):
+        if note.find("chord") is None and (note.find("voice") is None or
+                                           note.find("voice").text == "1"):
+            if note.find("voice") is not None and note.find("voice").text != "1":
+                continue
+            d = note.find("duration")
+            if d is not None and (note.find("voice") is None or note.find("voice").text == "1"):
+                total += int(d.text)
+    # voice 1: six eighths = 3 quarters
+    assert total == 3 * div
+
+
+def test_alter_reconstruction():
+    """key:fifths:-1 -> B gets alter -1 without printed accidental; printed
+    natural cancels within the measure."""
+    lmx = ("measure key:fifths:-1 time beats:4 beat-type:4 clef:G2 "
+           "B4 voice:1 quarter B4 quarter natural B4 quarter A4 quarter")
+    root, errors = delinearize_to_element(lmx)
+    notes = root.findall("part/measure/note")
+    # first B4: flat from key signature
+    assert notes[0].find("pitch/alter").text == "-1"
+    # second B4: printed natural -> no alter element
+    assert notes[1].find("pitch/alter") is None
+    # third B4 inherits the in-measure natural
+    assert notes[2].find("pitch/alter") is None
+    # A4 unaffected by key
+    assert notes[3].find("pitch/alter") is None
+
+
+def test_backup_accumulation():
+    lmx = ("measure time beats:3 beat-type:4 clef:F4 C3 voice:1 half dot "
+           "backup half backup quarter C2 voice:2 half dot")
+    root, errors = delinearize_to_element(lmx)
+    assert errors == []
+    m = root.find("part/measure")
+    div = int(m.find("attributes/divisions").text)
+    backups = m.findall("backup")
+    assert len(backups) == 2
+    assert int(backups[0].find("duration").text) == 2 * div
+    assert int(backups[1].find("duration").text) == 1 * div
+
+
+def test_rest_measure_duration_follows_time():
+    lmx = "measure time beats:6 beat-type:8 clef:G2 rest:measure voice:1"
+    root, _ = delinearize_to_element(lmx)
+    m = root.find("part/measure")
+    div = int(m.find("attributes/divisions").text)
+    note = m.find("note")
+    assert note.find("rest").get("measure") == "yes"
+    assert int(note.find("duration").text) == 3 * div  # 6/8 = 3 quarters
+
+
+def test_catastrophic_and_minor_errors():
+    with pytest.raises(DelinearizationError):
+        delinearize_to_element("")
+    # stray modifier tokens are minor errors, not fatal
+    root, errors = delinearize_to_element("measure clef:G2 dot sharp C4 voice:1 quarter")
+    assert len(errors) == 2
+    assert root.find("part/measure/note") is not None
+
+
+def test_tuplet_time_modification():
+    lmx = ("measure time beats:4 beat-type:4 clef:G2 "
+           "C4 voice:1 eighth 3in2 tuplet:start D4 eighth 3in2 E4 eighth 3in2 tuplet:stop")
+    root, errors = delinearize_to_element(lmx)
+    assert errors == []
+    notes = root.findall("part/measure/note")
+    div = int(root.find("part/measure/attributes/divisions").text)
+    # triplet eighth = 1/3 quarter
+    assert int(notes[0].find("duration").text) == div // 3
+    tm = notes[0].find("time-modification")
+    assert tm.find("actual-notes").text == "3"
+    assert notes[0].find("notations/tuplet").get("type") == "start"
+
+
+# ---------------------------------------------------------------------------
+# TEDn
+# ---------------------------------------------------------------------------
+
+def test_tedn_identity_zero():
+    lmx = load_sample(0)
+    xml, _ = delinearize(lmx)
+    cost, catastrophic, minor = tedn_lib.TEDn_lmx_xml(lmx, xml)
+    assert cost == 0.0 and not catastrophic and minor == 0
+
+
+def test_tedn_detects_differences():
+    lmx = load_sample(0)
+    xml, _ = delinearize(lmx)
+    toks = lmx.split()
+    # change one pitch
+    idx = toks.index("F4")
+    toks[idx] = "G4"
+    cost1, cat, _ = tedn_lib.TEDn_lmx_xml(" ".join(toks), xml)
+    assert not cat and 0 < cost1 <= 4
+    # dropping a whole measure costs much more
+    cut = " ".join(lmx.split()[:len(toks) // 2])
+    cost2, cat, _ = tedn_lib.TEDn_lmx_xml(cut, xml)
+    assert not cat and cost2 > cost1
+
+
+def test_tedn_catastrophic_on_garbage():
+    xml, _ = delinearize(load_sample(0))
+    cost, catastrophic, minor = tedn_lib.TEDn_lmx_xml("", xml)
+    assert catastrophic
+    assert cost == float(tedn_lib.tree_size(
+        tedn_lib._score_tree(ET.fromstring(xml))))
+
+
+def test_native_matches_python_ted(rng):
+    """C++ kernel ≡ pure-Python Zhang-Shasha on random trees."""
+    if tedn_lib._load_native() is None:
+        pytest.skip("native kernel not built")
+
+    def random_tree(rng, n_nodes):
+        root = ET.Element(f"n{rng.integers(0, 5)}")
+        nodes = [root]
+        for _ in range(n_nodes - 1):
+            parent = nodes[rng.integers(0, len(nodes))]
+            child = ET.SubElement(parent, f"n{rng.integers(0, 5)}")
+            nodes.append(child)
+        return root
+
+    for trial in range(10):
+        a = random_tree(rng, int(rng.integers(2, 30)))
+        b = random_tree(rng, int(rng.integers(2, 30)))
+        intern = {}
+        la, lla = tedn_lib.element_to_postorder(a, intern)
+        lb, llb = tedn_lib.element_to_postorder(b, intern)
+        import ctypes
+        lib = tedn_lib._load_native()
+        native = int(lib.tree_edit_distance(
+            len(la), la.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lla.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(lb), lb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            llb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))))
+        py = tedn_lib._py_ted(la, lla, lb, llb)
+        assert native == py, (trial, native, py)

@@ -1,0 +1,41 @@
+"""Flask app factory for the OMR web service.
+
+Parity with the reference serving stack (reference: acai_omr/__init__.py:21-44
+create_app; ui/routes.py): same route surface (tmpdir lifecycle, upload, bbox
+system cropping, SSE streaming inference, postprocess to MusicXML + rendered
+image + confidence, download, clear) on top of the TPU inference path. The
+InferenceEvent enum is exported to JSON for the frontend exactly like the
+reference.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+from pathlib import Path
+
+from .. import InferenceEvent
+
+
+def create_app():
+    from flask import Flask
+
+    static_dir = Path(__file__).parent / "static"
+    static_dir.mkdir(exist_ok=True)
+    (static_dir / "inference_events.json").write_text(
+        json.dumps({e.name: e.value for e in InferenceEvent}, indent=2))
+
+    logger = logging.getLogger()
+    logger.setLevel(logging.DEBUG)
+    handler = logging.StreamHandler(sys.stdout)
+    handler.setFormatter(logging.Formatter("%(module)s - %(levelname)s: %(message)s"))
+    logger.addHandler(handler)
+
+    app = Flask(__name__,
+                template_folder=str(Path(__file__).parent / "templates"),
+                static_folder=str(static_dir))
+
+    from .routes import main
+    app.register_blueprint(main)
+    return app

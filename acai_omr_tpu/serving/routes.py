@@ -1,0 +1,181 @@
+"""HTTP routes: upload -> annotate systems -> stream inference -> postprocess.
+
+Route-for-route parity with the reference UI backend (reference:
+acai_omr/ui/routes.py:46-205): per-session temp dirs, bbox-cropped system
+images with EXIF transposition, SSE token streaming, LMX concatenation +
+delinearization + optional musescore rendering, exp(avg log prob) confidence.
+
+The model loads lazily on first use (the reference loads at import,
+routes.py:27-37, which makes the module untestable without weights).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import logging
+import os
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+from .. import InferenceEvent
+
+logger = logging.getLogger(__name__)
+
+try:
+    from flask import Blueprint, Response, jsonify, render_template, request, send_file
+    main = Blueprint("main", __name__)
+    _FLASK = True
+except Exception:  # flask optional at import time
+    main = None
+    _FLASK = False
+
+MAX_INFERENCE_LEN = 1536
+FLUSH_INTERVAL = 25
+
+_MODEL = {}
+
+
+def _get_model():
+    if not _MODEL:
+        from ..inference.vitomr_inference import set_up_omr_inference
+        weights = os.environ.get("ACAI_WEIGHTS") or None
+        cfg, params, tokenizer, transform = set_up_omr_inference(weights)
+        _MODEL.update(cfg=cfg, params=params, tokenizer=tokenizer,
+                      transform=transform)
+    return _MODEL
+
+
+def _tmpdir(request) -> Path:
+    d = request.headers.get("X-Tmpdir") or request.args.get("tmpdir")
+    if not d or not Path(d).is_dir() or not d.startswith(tempfile.gettempdir()):
+        raise ValueError("invalid or missing tmpdir")
+    return Path(d)
+
+
+if _FLASK:
+
+    @main.route("/")
+    def index():
+        return render_template("index.html")
+
+    @main.route("/tmpdir/create", methods=["POST"])
+    def tmpdir_create():
+        d = tempfile.mkdtemp(prefix="acai_omr_")
+        return jsonify({"tmpdir": d})
+
+    @main.route("/upload", methods=["POST"])
+    def upload():
+        d = _tmpdir(request)
+        f = request.files["image"]
+        path = d / "upload.png"
+        from PIL import Image, ImageOps
+        img = Image.open(f.stream)
+        img = ImageOps.exif_transpose(img)  # phone photos (reference:118)
+        img.convert("L").save(path)
+        return jsonify({"ok": True, "path": str(path)})
+
+    @main.route("/inference/setup", methods=["POST"])
+    def inference_setup():
+        """Crop annotated systems: body {bboxes: [[x0,y0,x1,y1], ...]}."""
+        d = _tmpdir(request)
+        bboxes = request.get_json(force=True).get("bboxes", [])
+        from PIL import Image
+        img = Image.open(d / "upload.png").convert("L")
+        if not bboxes:
+            bboxes = [[0, 0, img.width, img.height]]
+        for i, (x0, y0, x1, y1) in enumerate(bboxes):
+            img.crop((int(x0), int(y0), int(x1), int(y1))).save(d / f"system_{i}.png")
+        return jsonify({"ok": True, "num_systems": len(bboxes)})
+
+    @main.route("/inference/stream")
+    def inference_stream():
+        d = _tmpdir(request)
+        return Response(_sse_stream(d), mimetype="text/event-stream",
+                        headers={"Cache-Control": "no-cache",
+                                 "X-Accel-Buffering": "no"})
+
+    @main.route("/inference/postprocess", methods=["POST"])
+    def inference_postprocess():
+        d = _tmpdir(request)
+        result = postprocess_systems(d)
+        return jsonify(result)
+
+    @main.route("/download")
+    def download():
+        d = _tmpdir(request)
+        return send_file(d / "result.musicxml", as_attachment=True,
+                         download_name="result.musicxml")
+
+    @main.route("/clear", methods=["POST"])
+    def clear():
+        d = _tmpdir(request)
+        for p in d.iterdir():
+            p.unlink()
+        d.rmdir()
+        return jsonify({"ok": True})
+
+
+def _system_paths(d: Path):
+    paths = sorted(d.glob("system_*.png"),
+                   key=lambda p: int(p.stem.split("_")[1]))  # numeric order
+    return paths
+
+
+def _sse_stream(d: Path):
+    """SSE generator over every annotated system (reference:66-104)."""
+    from ..inference.vitomr_inference import streamed_inference
+    from PIL import Image
+    m = _get_model()
+    tok = m["tokenizer"]
+    for sys_idx, path in enumerate(_system_paths(d)):
+        img = m["transform"](Image.open(path).convert("L"))
+        for event in streamed_inference(m["params"], m["cfg"], img,
+                                        MAX_INFERENCE_LEN, FLUSH_INTERVAL):
+            payload = event["payload"]
+            if event["type"] == InferenceEvent.STEP.value:
+                tokens = [tok.idxs_to_tokens[int(t)]
+                          for t in payload["tokens"].reshape(-1)]
+                data = {"system": sys_idx, "tokens": tokens}
+            elif event["type"] == InferenceEvent.INFERENCE_FINISH.value:
+                seq = payload["sequence"][0][payload["mask"][0]]
+                lps = payload["log_probs"][0][payload["mask"][0]]
+                lmx = tok.decode(seq)
+                avg_lp = float(lps.sum() / max(len(lps), 1))
+                (d / f"system_{sys_idx}.lmx").write_text(lmx)
+                (d / f"system_{sys_idx}.meta.json").write_text(
+                    json.dumps({"avg_log_prob": avg_lp}))
+                data = {"system": sys_idx, "lmx": lmx, "avg_log_prob": avg_lp}
+            else:
+                data = {"system": sys_idx}
+            yield f"event: {event['type']}\ndata: {json.dumps(data)}\n\n"
+    yield (f"event: {InferenceEvent.ALL_INFERENCE_FINISH.value}\n"
+           f"data: {json.dumps({})}\n\n")
+
+
+def postprocess_systems(d: Path) -> dict:
+    """Join per-system LMX -> delinearize -> optional render -> confidence
+    (reference:172-192)."""
+    from ..inference.vitomr_inference import convert_back_to_img, delinearize
+    lmx_parts = []
+    for p in sorted(d.glob("system_*.lmx"),
+                    key=lambda p: int(p.stem.split("_")[1])):
+        lmx_parts.append(p.read_text())
+    full_lmx = " ".join(lmx_parts)
+    resp = delinearize(full_lmx, str(d / "result.lmx"), str(d / "result.musicxml"))
+    if not resp["ok"]:
+        return {"ok": False, "error": resp.get("error", "delinearization failed")}
+    imgs_b64 = []
+    rendered = convert_back_to_img(str(d / "result.musicxml"), str(d / "render.png"))
+    if rendered:
+        imgs_b64.append(base64.b64encode(Path(rendered).read_bytes()).decode())
+    # confidence = exp(mean of per-system avg log probs) (reference:190)
+    avg_lps = []
+    for p in d.glob("system_*.meta.json"):
+        avg_lps.append(json.loads(p.read_text())["avg_log_prob"])
+    confidence = float(np.exp(np.mean(avg_lps))) if avg_lps else None
+    return {"ok": True, "musicxml": (d / "result.musicxml").read_text(),
+            "rendered_images": imgs_b64, "confidence": confidence,
+            "delinearize_problems": resp.get("delinearize_problems", [])}

@@ -1,0 +1,375 @@
+"""GRPO RL fine-tuning (stage 3 of 3).
+
+Capability parity with the reference GRPO trainer (reference:
+acai_omr/train/omr_grpo_train.py:1-630): group-relative policy optimization
+over KV-cached sampled rollouts with the composite LMX reward, PPO-style
+clipped objective + entropy bonus + teacher-forced CE anchor, curriculum
+schedule over rollout/loss hyperparameters, frozen encoder + transition head.
+
+TPU-first differences:
+* "old policy" is simply the parameter snapshot used for the rollout — no
+  module deep-copies (reference:571-576, 425-426);
+* rollouts run in the compiled decode while-loop; rewards run on the host C++
+  TEDn kernel thread pool **concurrently with nothing blocking the device**;
+* the inner update is one jitted step with per-layer remat (the reference's
+  checkpoint_sequential, models.py:470-478).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.tokenizer import LmxTokenizer
+from ..models import decode as decode_lib
+from ..models import omr_decoder, vitomr as vitomr_lib
+from ..models.vitomr import ViTOMRConfig
+from ..parallel import trainer
+from ..utils import checkpoint as ckpt_lib
+from ..utils.metrics import MetricsWriter
+from .grpo_rewards import (GRPOConfig, LossConfig, RewardConfig,
+                           RewardComponents, RolloutConfig, UpdateConfig,
+                           group_advantages, reward_rollouts)
+
+MODEL_DIR_PATH = Path("grpo_omr_train")
+
+# reference hyperparameters (omr_grpo_train.py:21-83)
+TRAIN_BATCH_SIZE = 16
+LR = 1e-6
+ADAMW_BETAS = (0.9, 0.95)
+ADAMW_WEIGHT_DECAY = 0.0
+EPOCHS = 1
+LR_END_FACTOR = 0.1
+EXPLORATION_STEPS = 30
+MAX_MAX_ACTIONS = 1536
+MIN_TOP_K = 10
+MIN_TEMPERATURE = 0.6
+MIN_ENTROPY_BETA = 0.0
+MIN_LAMBDA_CE = 0.01
+
+INITIAL_ROLLOUT_CONFIG = RolloutConfig(group_size=8, max_actions=768,
+                                       top_k=50, temperature=1.1)
+INITIAL_REWARD_CONFIG = RewardConfig(
+    lambda_tedn=7, lambda_well_formed=1.5, lambda_f1=2.5, lambda_repeat=2,
+    lambda_len=2, alpha_tedn=0.01, alpha_well_formed=0.25, gamma=3, delta=5,
+    tau=50)
+INITIAL_LOSS_CONFIG = LossConfig(entropy_beta=0.05, lambda_ce=0.1)
+INITIAL_UPDATE_CONFIG = UpdateConfig(epsilon=0.2, update_epochs=2,
+                                     max_grad_norm=1.0)
+
+
+class CurriculumScheduler:
+    """Anneals rollout length up and top-k/temperature/entropy/CE down after an
+    exploration phase (reference: omr_grpo_train.py:85-118)."""
+
+    def __init__(self, grpo_config: GRPOConfig, exploration_steps: int,
+                 total_steps: int, max_max_actions=MAX_MAX_ACTIONS,
+                 min_top_k=MIN_TOP_K, min_temperature=MIN_TEMPERATURE,
+                 min_beta=MIN_ENTROPY_BETA, min_lambda_ce=MIN_LAMBDA_CE):
+        self.cfg = grpo_config
+        self.step_count = 0
+        self.exploration_steps = exploration_steps
+        self.anneal_steps = max(total_steps - exploration_steps, 1)
+        rc, lc = grpo_config.rollout_config, grpo_config.loss_config
+        self.init = (rc.max_actions, rc.top_k, rc.temperature,
+                     lc.entropy_beta, lc.lambda_ce)
+        self.bounds = (max_max_actions, min_top_k, min_temperature, min_beta,
+                       min_lambda_ce)
+
+    def step(self):
+        if self.step_count < self.exploration_steps:
+            self.step_count += 1
+            return
+        p = (self.step_count - self.exploration_steps) / self.anneal_steps
+        i, b = self.init, self.bounds
+        rc, lc = self.cfg.rollout_config, self.cfg.loss_config
+        rc.max_actions = int(i[0] + p * (b[0] - i[0]))
+        rc.top_k = int(i[1] - p * (i[1] - b[1]))
+        rc.temperature = i[2] - p * (i[2] - b[2])
+        lc.entropy_beta = i[3] - p * (i[3] - b[3])
+        lc.lambda_ce = i[4] - p * (i[4] - b[4])
+        self.step_count += 1
+
+
+def expand_target_lmx_seqs(target_lmx_seqs, group_size, pad_idx):
+    """Ragged target id seqs -> (R, T) padded array broadcast across groups
+    (reference: omr_grpo_train.py:121-129)."""
+    tmax = max(len(s) for s in target_lmx_seqs)
+    b = len(target_lmx_seqs)
+    out = np.full((b, tmax), pad_idx, dtype=np.int32)
+    for i, s in enumerate(target_lmx_seqs):
+        out[i, :len(s)] = s
+    return np.repeat(out, group_size, axis=0)
+
+
+def prepare_rollouts_for_policy_theta(rollouts: np.ndarray,
+                                      rollout_mask: np.ndarray, pad_idx: int):
+    """Right-shift rollouts + validity mask for the teacher-forced pass
+    (reference: models.py:941-949). Returns (inputs, input_valid)."""
+    rollout_lens = rollout_mask.sum(-1, keepdims=True)
+    shifted_lens = rollout_lens - 1
+    cols = np.arange(rollouts.shape[1] - 1)[None, :]
+    input_valid = cols < shifted_lens
+    inputs = rollouts[:, :-1].copy()
+    inputs[~input_valid] = pad_idx
+    return inputs, input_valid
+
+
+# ---------------------------------------------------------------------------
+# objective (jitted update step)
+# ---------------------------------------------------------------------------
+
+def calc_grpo_objective(theta_logits, rollouts, input_valid, old_log_probs,
+                        advantages, epsilon, num_groups):
+    """Clipped PPO-style objective over ragged rollouts (reference:
+    omr_grpo_train.py:240-262). input_valid is True at positions where a
+    prediction is made (complement of the reference's attention mask)."""
+    theta_lp = jax.nn.log_softmax(theta_logits.astype(jnp.float32), axis=-1)
+    left_shifted = rollouts[:, 1:]
+    theta_lp = jnp.take_along_axis(theta_lp, left_shifted[..., None], axis=-1)[..., 0]
+    old_lp = old_log_probs[:, 1:]
+    ratios = jnp.exp(theta_lp - old_lp)
+    unclipped = ratios * advantages[:, None]
+    clipped = jnp.clip(ratios, 1 - epsilon, 1 + epsilon) * advantages[:, None]
+    obj = jnp.minimum(unclipped, clipped)
+    obj = jnp.where(input_valid, obj, 0.0)
+    lens = jnp.maximum(input_valid.sum(-1), 1)
+    per_rollout = obj.sum(-1) / lens
+    return per_rollout.sum() / num_groups
+
+
+def calc_entropy_bonus(theta_logits, input_valid, vocab_size):
+    """Average policy entropy normalized to [0,1] (reference: :265-282)."""
+    logits = theta_logits.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    ent = -(probs * lp).sum(-1)
+    ent = jnp.where(input_valid, ent, 0.0)
+    lens = jnp.maximum(input_valid.sum(-1), 1)
+    per_rollout = ent.sum(-1) / lens
+    return per_rollout.mean() / jnp.log(vocab_size)
+
+
+def make_grpo_update_step(cfg: ViTOMRConfig, tx, num_groups: int,
+                          epsilon: float, compute_dtype=jnp.bfloat16):
+    """One jitted GRPO inner update: teacher-forced pass over rollouts (with
+    remat), objective + entropy + CE anchor, clip, optimizer step."""
+    vocab_size = cfg.decoder.vocab_size
+
+    def loss_fn(params, batch, rng):
+        theta_logits = omr_decoder.forward(
+            params["decoder"], cfg.decoder, batch["rollout_inputs"],
+            batch["img_latent"], batch["rollout_input_valid"],
+            batch["latent_valid"], compute_dtype=compute_dtype, rng=rng,
+            deterministic=True, remat=True)
+        obj = calc_grpo_objective(
+            theta_logits, batch["rollouts"], batch["rollout_input_valid"],
+            batch["old_log_probs"], batch["advantages"], epsilon, num_groups)
+        ent = calc_entropy_bonus(theta_logits, batch["rollout_input_valid"],
+                                 vocab_size)
+
+        ce = jnp.float32(0.0)
+        if "gold_inputs" in batch:
+            gold_logits = omr_decoder.forward(
+                params["decoder"], cfg.decoder, batch["gold_inputs"],
+                batch["unexpanded_img_latent"], batch["gold_input_valid"],
+                batch["unexpanded_latent_valid"], compute_dtype=compute_dtype,
+                deterministic=True, remat=True)
+            ce = vitomr_lib.omr_ce_loss(gold_logits, batch["gold_targets"],
+                                        cfg.decoder.pad_idx)
+
+        shaped = (obj + batch["entropy_beta"] * ent - batch["lambda_ce"] * ce)
+        loss = -shaped
+        return loss, {"grpo_objective": obj, "entropy_bonus": ent, "ce_loss": ce}
+
+    return trainer.make_train_step(loss_fn, tx, donate=False)
+
+
+# ---------------------------------------------------------------------------
+# outer update per minibatch
+# ---------------------------------------------------------------------------
+
+def grpo_update(old_params, state, update_step, cfg: ViTOMRConfig,
+                grpo_config: GRPOConfig, batch_examples, tokenizer,
+                rng, writer: MetricsWriter | None = None, step_idx: int = 0,
+                compute_dtype=jnp.bfloat16, reward_workers: int = 16):
+    """One outer GRPO step on a minibatch of (img, lmx_ids, musicxml) examples
+    (reference: grpo_update, omr_grpo_train.py:308-376). Returns (state,
+    metrics dict)."""
+    from ..models import vit_encoder
+
+    rc, rwc, lc, uc = grpo_config.get_configs()
+    pad_idx = cfg.decoder.pad_idx
+    imgs = [ex[0] for ex in batch_examples]
+    target_seqs = [np.asarray(ex[1], np.int32) for ex in batch_examples]
+    target_xml = [ex[2] for ex in batch_examples]
+    num_groups = len(batch_examples)
+    g = rc.group_size
+
+    # --- rollout with the old-policy snapshot (no grad) -------------------
+    pb = vit_encoder.batchify(imgs, cfg.encoder)
+    unexp_latent, unexp_valid = vitomr_lib.encode_image(
+        old_params, cfg, jnp.asarray(pb.patches), jnp.asarray(pb.pe_idx),
+        jnp.asarray(pb.pe_w), jnp.asarray(pb.valid), compute_dtype=compute_dtype)
+    latent, latent_valid = vitomr_lib.expand_img_latent_for_rollout(
+        unexp_latent, unexp_valid, g)
+    rng, roll_rng = jax.random.split(rng)
+    rollouts, old_lp, rollout_mask = vitomr_lib.forward_rollout_policy(
+        old_params, cfg, latent, latent_valid, roll_rng,
+        max_actions=rc.max_actions, top_k=rc.top_k, temperature=rc.temperature,
+        compute_dtype=compute_dtype)
+    rollouts = np.asarray(rollouts)
+    old_lp = np.asarray(old_lp)
+    rollout_mask = np.asarray(rollout_mask)
+
+    # --- rewards (host, native TEDn) --------------------------------------
+    target_lmx = expand_target_lmx_seqs(target_seqs, g, pad_idx)
+    raw_rewards, components = reward_rollouts(
+        rwc, rollouts, rollout_mask, target_lmx, target_xml, num_groups, g,
+        tokenizer.idxs_to_tokens, pad_idx, reward_workers)
+    advantages = group_advantages(raw_rewards)
+
+    rollout_inputs, input_valid = prepare_rollouts_for_policy_theta(
+        rollouts, rollout_mask, pad_idx)
+
+    batch = {
+        "rollouts": jnp.asarray(rollouts),
+        "rollout_inputs": jnp.asarray(rollout_inputs),
+        "rollout_input_valid": jnp.asarray(input_valid),
+        "old_log_probs": jnp.asarray(old_lp),
+        "advantages": jnp.asarray(advantages, dtype=jnp.float32),
+        "img_latent": latent,
+        "latent_valid": latent_valid,
+        "entropy_beta": jnp.float32(lc.entropy_beta),
+        "lambda_ce": jnp.float32(lc.lambda_ce),
+    }
+    if lc.lambda_ce:
+        gold_inputs, gold_targets, gold_valid = \
+            omr_decoder.batchify_and_split_lmx_seqs(
+                target_seqs, pad_idx, max_len=cfg.decoder.max_lmx_seq_len)
+        batch.update(
+            gold_inputs=jnp.asarray(gold_inputs),
+            gold_targets=jnp.asarray(gold_targets),
+            gold_input_valid=jnp.asarray(gold_valid),
+            unexpanded_img_latent=unexp_latent,
+            unexpanded_latent_valid=unexp_valid)
+
+    # --- inner updates -----------------------------------------------------
+    total_loss, total_ce = 0.0, 0.0
+    for _ in range(uc.update_epochs):
+        rng, step_rng = jax.random.split(rng)
+        state, metrics = update_step(state, batch, step_rng)
+        total_loss += float(metrics["loss"])
+        total_ce += float(metrics["ce_loss"])
+
+    avg_reward = float(raw_rewards.mean())
+    out = {
+        "loss": total_loss / uc.update_epochs,
+        "ce_loss": total_ce / uc.update_epochs,
+        "reward": avg_reward,
+        "reward_components": components.avg_over_rollouts(),
+    }
+    if writer is not None:
+        writer.scalar("train/loss", out["loss"], step_idx)
+        writer.scalar("train/reward", avg_reward, step_idx)
+        writer.scalars("train/reward/components",
+                       out["reward_components"].to_dict(), step_idx)
+    return state, out
+
+
+def set_up_grpo(cfg_tf: ViTOMRConfig, tf_params) -> tuple[ViTOMRConfig, dict]:
+    """Stage-2 -> stage-3 handoff: same params, encoder fine-tune split
+    dissolved (full encoder frozen at update time) and dropout zeroed
+    (reference: GRPOViTOMR.__init__, models.py:843-859). Pure config surgery —
+    the stacked layout needs no state-dict renumbering."""
+    import dataclasses
+    enc = dataclasses.replace(cfg_tf.encoder, dropout=0.0, fine_tune_depth=0)
+    dec = dataclasses.replace(cfg_tf.decoder, dropout=0.0)
+    cfg = ViTOMRConfig(encoder=enc, decoder=dec,
+                       transition_head_dim=cfg_tf.transition_head_dim,
+                       transition_head_dropout=0.0)
+    return cfg, tf_params
+
+
+def grpo_frozen_scales(params) -> dict:
+    """Freeze encoder + transition head; train the decoder only
+    (reference: models.py:850-853)."""
+    def names(kp):
+        return tuple(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, _: 1.0 if names(kp)[0] == "decoder" else 0.0, params)
+
+
+def grpo_train(cfg: ViTOMRConfig, params, dataset, tokenizer: LmxTokenizer, *,
+               grpo_config: GRPOConfig | None = None, epochs: int = EPOCHS,
+               batch_size: int = TRAIN_BATCH_SIZE, lr: float = LR,
+               model_dir: Path = MODEL_DIR_PATH, seed: int = 0,
+               compute_dtype=jnp.bfloat16, reward_workers: int = 16,
+               exploration_steps: int = EXPLORATION_STEPS):
+    """Outer GRPO loop: per batch, refresh the old-policy snapshot and run
+    ``grpo_update`` (reference: epoch_train_loop, omr_grpo_train.py:404-453).
+
+    dataset items: (img (C,H,W) float array, lmx token ids, musicxml str).
+    """
+    model_dir = Path(model_dir)
+    model_dir.mkdir(parents=True, exist_ok=False)
+    (model_dir / "checkpoints").mkdir()
+
+    if grpo_config is None:
+        import copy
+        grpo_config = GRPOConfig(
+            rollout_config=copy.deepcopy(INITIAL_ROLLOUT_CONFIG),
+            reward_config=copy.deepcopy(INITIAL_REWARD_CONFIG),
+            loss_config=copy.deepcopy(INITIAL_LOSS_CONFIG),
+            update_config=copy.deepcopy(INITIAL_UPDATE_CONFIG),
+            mini_validation_freq=100, checkpoint_freq=100)
+
+    n = len(dataset)
+    steps_per_epoch = max(n // batch_size, 1)
+    total_steps = epochs * steps_per_epoch
+    schedule = optax.linear_schedule(lr, lr * LR_END_FACTOR,
+                                     total_steps * grpo_config.update_config.update_epochs)
+    tx = trainer.adamw(schedule, betas=ADAMW_BETAS,
+                       weight_decay=ADAMW_WEIGHT_DECAY,
+                       max_grad_norm=grpo_config.update_config.max_grad_norm,
+                       scale_tree_fn=grpo_frozen_scales)
+    params = jax.tree.map(jnp.array, params)
+    state = trainer.create_train_state(params, tx)
+    update_step = make_grpo_update_step(
+        cfg, tx, batch_size, grpo_config.update_config.epsilon, compute_dtype)
+
+    curriculum = CurriculumScheduler(grpo_config, exploration_steps, total_steps)
+    writer = MetricsWriter(str(model_dir / "tb"), str(model_dir / "stats.csv"))
+    rng = jax.random.PRNGKey(seed)
+    np_rng = np.random.default_rng(seed)
+
+    step_idx = 0
+    stats = []
+    for epoch in range(epochs):
+        order = np_rng.permutation(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            batch_examples = [dataset[int(j)] for j in order[i:i + batch_size]]
+            old_params = state.params  # snapshot = old policy (refreshed per batch)
+            rng, step_rng = jax.random.split(rng)
+            t0 = time.perf_counter()
+            state, metrics = grpo_update(
+                old_params, state, update_step, cfg, grpo_config,
+                batch_examples, tokenizer, step_rng, writer, step_idx,
+                compute_dtype, reward_workers)
+            metrics["seconds"] = time.perf_counter() - t0
+            stats.append(metrics)
+            curriculum.step()
+            step_idx += 1
+            if step_idx % grpo_config.checkpoint_freq == 0:
+                ckpt_lib.save_train_state(
+                    model_dir / "checkpoints" / f"step_{step_idx}", state)
+        writer.flush()
+
+    ckpt_lib.save_pytree(model_dir / "grpo_vitomr", state.params)
+    return state.params, stats

@@ -162,6 +162,9 @@ def omr_teacher_force_train(cfg: ViTOMRConfig, params, train_dataset,
         schedule, betas=ADAMW_BETAS, weight_decay=ADAMW_WEIGHT_DECAY,
         scale_tree_fn=lambda p: trainer.encoder_llrd_scales(
             p, cfg, fine_tune_base_lr / base_lr, fine_tune_decay))
+    # own the buffers: the jitted step donates train state, which must not
+    # invalidate the caller's params
+    params = jax.tree.map(jnp.array, params)
     state = trainer.create_train_state(params, tx)
 
     tf_schedule = TFSchedule(INITIAL_TEACHER_FORCING_PROB,

@@ -130,6 +130,8 @@ def pre_train(mae_cfg: MaeConfig, train_dataset, validation_dataset, *,
         base_lr, warmup_epochs, epochs, min_lr)(step // steps_per_epoch)
     tx = trainer.adamw(schedule, betas=ADAMW_BETAS,
                        weight_decay=ADAMW_WEIGHT_DECAY)
+    # own the buffers (the jitted step donates the train state)
+    params = jax.tree.map(jnp.array, params)
     state = trainer.create_train_state(params, tx)
     step_fn = trainer.make_train_step(make_loss_fn(mae_cfg, compute_dtype), tx)
     eval_fn = make_eval_fn(mae_cfg, compute_dtype)

@@ -1,0 +1,192 @@
+"""GRPO reward math (hand-computed expectations), objective, curriculum, and a
+tiny end-to-end grpo_update smoke test (reference patterns:
+tests/test_omr_grpo_train.py parametrized reward tests)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acai_omr_tpu.train import grpo_rewards as R
+from acai_omr_tpu.train import omr_grpo_train as G
+
+PAD = 1
+
+
+def test_token_f1_hand_computed():
+    rollouts = np.array([[0, 5, 6, 7, 2, PAD],
+                         [0, 5, 9, 2, PAD, PAD]])
+    targets = np.array([[0, 5, 6, 7, 2, PAD],
+                        [0, 5, 6, 7, 2, PAD]])
+    f1 = R.calc_token_f1(rollouts, targets, PAD)
+    np.testing.assert_allclose(f1[0], 1.0, atol=1e-6)
+    # row 1: preds 4 non-pad, targets 5 non-pad, position-matches: 0,5,eos@3? t[3]=7 vs r[3]=2 no
+    # matches at positions 0 (0==0), 1 (5==5) -> tp=2
+    p, r = 2 / 4, 2 / 5
+    np.testing.assert_allclose(f1[1], 2 * p * r / (p + r + 1e-8), atol=1e-5)
+
+
+def test_repeat_penalty_non_overlapping():
+    # perfect 2-gram loop: [5,6,5,6,5,6] -> 2 adjacent equal 2-grams of 2 opportunities
+    rollouts = np.array([[5, 6, 5, 6, 5, 6]])
+    pen2 = R._n_gram_penalty(rollouts, 2, PAD)
+    np.testing.assert_allclose(pen2, [1.0], atol=1e-6)
+    # pad-containing windows are excluded from numerator AND denominator
+    # (reference formula: opportunities = non-pad adjacent windows)
+    rollouts = np.array([[5, 6, 5, 6, PAD, PAD]])
+    pen2 = R._n_gram_penalty(rollouts, 2, PAD)
+    np.testing.assert_allclose(pen2, [1.0], atol=1e-6)  # 1 repeat / 1 opportunity
+    # 1-gram repeats
+    rollouts = np.array([[5, 5, 5, 2, PAD, PAD]])
+    pen1 = R._n_gram_penalty(rollouts, 1, PAD)
+    np.testing.assert_allclose(pen1, [2 / 3], atol=1e-5)
+
+
+def test_len_penalty_threshold_and_clip():
+    mask = np.ones((3, 100), dtype=bool)
+    mask[0, 50:] = False   # len 50
+    mask[1, 56:] = False   # len 56
+    mask[2, :] = True      # len 100
+    targets = np.full((3, 52), 5)
+    # delta=10: |50-52|=2 < 10 -> 0; |56-52|=4 -> 0; |100-52|=48 -> exp(ln2/50*48)-1
+    pen = R.calc_len_penalty(mask, targets, PAD, delta=10, tau=50)
+    np.testing.assert_allclose(pen[0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(pen[1], 0.0, atol=1e-6)
+    np.testing.assert_allclose(pen[2], np.exp(np.log(2) / 50 * 48) - 1, rtol=1e-5)
+    # clipped at 1.0
+    mask2 = np.ones((1, 300), dtype=bool)
+    pen = R.calc_len_penalty(mask2, np.full((1, 10), 5), PAD, delta=5, tau=50)
+    np.testing.assert_allclose(pen, [1.0])
+
+
+def test_wellformedness():
+    cat = np.array([False, False, True])
+    minor = np.array([0.0, 4.0, 0.0])
+    w = R.calc_wellformedness(cat, minor, gamma=3.0, alpha_w=0.25)
+    np.testing.assert_allclose(w, [1.0, np.exp(-1.0), -3.0], rtol=1e-6)
+
+
+def test_group_advantages_normalization():
+    rewards = np.array([[1.0, 2.0, 3.0, 4.0]])
+    adv = R.group_advantages(rewards)
+    assert adv.shape == (4,)
+    np.testing.assert_allclose(adv.mean(), 0.0, atol=1e-6)
+    # Bessel-corrected std (torch .std default)
+    np.testing.assert_allclose(adv, (rewards[0] - 2.5) / (rewards.std(ddof=1) + 1e-8))
+
+
+def test_grpo_objective_hand_computed():
+    """Exact expected ratios with ragged rollouts (reference test pattern:
+    test_omr_grpo_train.py:154-187)."""
+    V = 5
+    rollouts = jnp.asarray([[0, 3, 2, PAD], [0, 4, 3, 2]])
+    # rollout lens 3, 4 -> input lens 2, 3
+    input_valid = jnp.asarray([[True, True, False], [True, True, True]])
+    # theta logits deterministic: uniform -> log prob = -log(V)
+    theta_logits = jnp.zeros((2, 3, V))
+    old_lp = jnp.full((2, 4), -np.log(V))
+    adv = jnp.asarray([1.0, -1.0])
+    obj = G.calc_grpo_objective(theta_logits, rollouts, input_valid, old_lp,
+                                adv, epsilon=0.2, num_groups=2)
+    # ratios all exactly 1 -> unclipped = clipped = adv; per-rollout mean = adv
+    # mean over groups = (1 + -1)/2 = 0
+    np.testing.assert_allclose(float(obj), 0.0, atol=1e-6)
+
+    # advantage positive, theta more confident than old -> ratio clipped at 1.2
+    logits2 = jnp.full((1, 1, V), 0.0).at[0, 0, 3].set(10.0)
+    roll2 = jnp.asarray([[0, 3]])
+    valid2 = jnp.asarray([[True]])
+    old2 = jnp.full((1, 2), -np.log(V))
+    obj2 = G.calc_grpo_objective(logits2, roll2, valid2, old2,
+                                 jnp.asarray([1.0]), 0.2, 1)
+    np.testing.assert_allclose(float(obj2), 1.2, rtol=1e-4)
+
+
+def test_entropy_bonus_uniform_is_one():
+    logits = jnp.zeros((2, 3, 7))
+    valid = jnp.ones((2, 3), dtype=bool)
+    bonus = G.calc_entropy_bonus(logits, valid, 7)
+    np.testing.assert_allclose(float(bonus), 1.0, rtol=1e-5)
+
+
+def test_curriculum_scheduler():
+    import copy
+    cfg = R.GRPOConfig(copy.deepcopy(G.INITIAL_ROLLOUT_CONFIG),
+                       copy.deepcopy(G.INITIAL_REWARD_CONFIG),
+                       copy.deepcopy(G.INITIAL_LOSS_CONFIG),
+                       copy.deepcopy(G.INITIAL_UPDATE_CONFIG), 100, 100)
+    sched = G.CurriculumScheduler(cfg, exploration_steps=2, total_steps=12)
+    for _ in range(2):
+        sched.step()
+    assert cfg.rollout_config.max_actions == 768  # unchanged in exploration
+    for _ in range(11):  # progress hits 1.0 at step_count == total_steps
+        sched.step()
+    assert cfg.rollout_config.max_actions == G.MAX_MAX_ACTIONS
+    assert cfg.rollout_config.top_k == G.MIN_TOP_K
+    np.testing.assert_allclose(cfg.rollout_config.temperature, G.MIN_TEMPERATURE)
+    np.testing.assert_allclose(cfg.loss_config.lambda_ce, G.MIN_LAMBDA_CE)
+
+
+def test_prepare_rollouts_right_shift():
+    rollouts = np.array([[0, 5, 2, PAD, PAD], [0, 5, 6, 7, 2]])
+    mask = np.array([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], dtype=bool)
+    inputs, valid = G.prepare_rollouts_for_policy_theta(rollouts, mask, PAD)
+    np.testing.assert_array_equal(inputs, [[0, 5, PAD, PAD], [0, 5, 6, 7]])
+    np.testing.assert_array_equal(valid, [[1, 1, 0, 0], [1, 1, 1, 1]])
+
+
+def test_grpo_update_smoke(rng):
+    """End-to-end outer step on a tiny model with real TEDn rewards."""
+    import copy
+    from acai_omr_tpu.data.tokenizer import LmxTokenizer
+    from acai_omr_tpu.lmx.delinearizer import delinearize
+    from acai_omr_tpu.models import vitomr as vitomr_lib
+    from acai_omr_tpu.models.omr_decoder import DecoderConfig
+    from acai_omr_tpu.models.vit_encoder import EncoderConfig
+    from acai_omr_tpu.models.vitomr import ViTOMRConfig
+    from acai_omr_tpu.parallel import trainer
+
+    tok = LmxTokenizer()
+    cfg = ViTOMRConfig(
+        encoder=EncoderConfig(patch_size=16, pe_max_height=6, pe_max_width=8,
+                              num_layers=2, hidden_dim=16, num_heads=2,
+                              mlp_dim=24, dropout=0.0),
+        decoder=DecoderConfig.from_tokenizer(tok, max_lmx_seq_len=64,
+                                             num_layers=2, hidden_dim=16,
+                                             num_heads=2, mlp_dim=24,
+                                             dropout=0.0),
+        transition_head_dim=24, transition_head_dropout=0.0)
+    params = vitomr_lib.init_vitomr_params(jax.random.PRNGKey(0), cfg)
+
+    lmx = "measure time beats:4 beat-type:4 clef:G2 C4 voice:1 quarter rest quarter"
+    xml, _ = delinearize(lmx)
+    img = rng.random((1, 48, 64), dtype=np.float32)
+    examples = [(img, tok.encode(lmx), xml)] * 2
+
+    grpo_config = R.GRPOConfig(
+        rollout_config=R.RolloutConfig(group_size=2, max_actions=16, top_k=5,
+                                       temperature=1.1),
+        reward_config=copy.deepcopy(G.INITIAL_REWARD_CONFIG),
+        loss_config=copy.deepcopy(G.INITIAL_LOSS_CONFIG),
+        update_config=R.UpdateConfig(epsilon=0.2, update_epochs=2,
+                                     max_grad_norm=1.0),
+        mini_validation_freq=10, checkpoint_freq=10)
+
+    tx = trainer.adamw(1e-4, weight_decay=0.0, max_grad_norm=1.0,
+                       scale_tree_fn=G.grpo_frozen_scales)
+    state = trainer.create_train_state(params, tx)
+    update_step = G.make_grpo_update_step(cfg, tx, 2, 0.2, jnp.float32)
+
+    new_state, metrics = G.grpo_update(
+        state.params, state, update_step, cfg, grpo_config, examples, tok,
+        jax.random.PRNGKey(1), compute_dtype=jnp.float32, reward_workers=2)
+    assert np.isfinite(metrics["loss"])
+    assert np.isfinite(metrics["reward"])
+    # encoder frozen: unchanged
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["encoder"]["projection"]["kernel"]),
+        np.asarray(params["encoder"]["projection"]["kernel"]))
+    # decoder moved
+    assert np.abs(np.asarray(new_state.params["decoder"]["unembed"]["kernel"]) -
+                  np.asarray(params["decoder"]["unembed"]["kernel"])).max() > 0

@@ -77,7 +77,7 @@ def forward(params: Params, cfg: MaeConfig, rng, patches, pe_idx, pe_w, valid,
     """
     enc_cfg = cfg.encoder
     l = patches.shape[1]
-    kb = keep_bucket_len(l, cfg.mask_ratio)
+    kb = min(l, keep_bucket_len(l, cfg.mask_ratio))
 
     # --- mask + encode visible patches ------------------------------------
     mask = vit_encoder.mae_mask(rng, valid, lengths, cfg.mask_ratio, kb)

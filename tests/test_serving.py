@@ -1,0 +1,137 @@
+"""Serving-layer smoke test driving the dependency-free WSGI app directly."""
+
+import io
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from acai_omr_tpu.serving import routes
+    from acai_omr_tpu.data.tokenizer import LmxTokenizer
+    from acai_omr_tpu.data import transforms as tf_lib
+    from acai_omr_tpu.models import vitomr as vitomr_lib
+    from acai_omr_tpu.models.omr_decoder import DecoderConfig
+    from acai_omr_tpu.models.vit_encoder import EncoderConfig
+    from acai_omr_tpu.models.vitomr import ViTOMRConfig
+
+    tok = LmxTokenizer()
+    cfg = ViTOMRConfig(
+        encoder=EncoderConfig(patch_size=16, pe_max_height=6, pe_max_width=8,
+                              num_layers=2, hidden_dim=16, num_heads=2,
+                              mlp_dim=24, dropout=0.0),
+        decoder=DecoderConfig.from_tokenizer(tok, max_lmx_seq_len=32,
+                                             num_layers=2, hidden_dim=16,
+                                             num_heads=2, mlp_dim=24,
+                                             dropout=0.0),
+        transition_head_dim=24, transition_head_dropout=0.0)
+    params = vitomr_lib.init_vitomr_params(jax.random.PRNGKey(0), cfg)
+    transform = tf_lib.Compose([
+        tf_lib.to_float_chw,
+        tf_lib.DynamicResize(16, 48, 6, 8, crop_imgs=True)])
+    routes._MODEL.clear()
+    routes._MODEL.update(cfg=cfg, params=params, tokenizer=tok,
+                         transform=transform)
+    routes.MAX_INFERENCE_LEN = 16
+    return routes
+
+
+class WsgiClient:
+    def __init__(self):
+        from acai_omr_tpu.serving.wsgi_app import application
+        self.app = application
+
+    def request(self, method, path, body=b"", headers=None, ctype=None):
+        headers = headers or {}
+        q = ""
+        if "?" in path:
+            path, q = path.split("?", 1)
+        environ = {
+            "REQUEST_METHOD": method,
+            "PATH_INFO": path,
+            "QUERY_STRING": q,
+            "CONTENT_LENGTH": str(len(body)),
+            "wsgi.input": io.BytesIO(body),
+        }
+        if ctype:
+            environ["CONTENT_TYPE"] = ctype
+        for k, v in headers.items():
+            environ["HTTP_" + k.upper().replace("-", "_")] = v
+        captured = {}
+
+        def start_response(status, resp_headers):
+            captured["status"] = status
+            captured["headers"] = dict(resp_headers)
+
+        chunks = b"".join(self.app(environ, start_response))
+        return captured["status"], captured["headers"], chunks
+
+    def get_json(self, *a, **kw):
+        status, _, body = self.request(*a, **kw)
+        return status, json.loads(body)
+
+
+def _png_bytes(rng):
+    from PIL import Image
+    arr = (rng.random((64, 96)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr, mode="L").save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _multipart(file_bytes, name="image", filename="t.png"):
+    boundary = "testboundary42"
+    body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+            f'name="{name}"; filename="{filename}"\r\n'
+            f"Content-Type: image/png\r\n\r\n").encode()
+    body += file_bytes + f"\r\n--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+def test_full_serving_flow(tiny_model, rng):
+    c = WsgiClient()
+
+    status, _, body = c.request("GET", "/")
+    assert status == "200 OK" and b"Acai OMR" in body
+
+    status, data = c.get_json("POST", "/tmpdir/create")
+    tmpdir = data["tmpdir"]
+    hdr = {"X-Tmpdir": tmpdir}
+
+    mp_body, mp_ctype = _multipart(_png_bytes(rng))
+    status, data = c.get_json("POST", "/upload", body=mp_body, headers=hdr,
+                              ctype=mp_ctype)
+    assert status == "200 OK" and data["ok"]
+
+    status, data = c.get_json("POST", "/inference/setup",
+                              body=json.dumps({"bboxes": []}).encode(),
+                              headers=hdr, ctype="application/json")
+    assert data["num_systems"] == 1
+
+    status, headers, body = c.request("GET", f"/inference/stream?tmpdir={tmpdir}")
+    assert headers["Content-Type"] == "text/event-stream"
+    text = body.decode()
+    assert "event: encoding_start" in text
+    assert "event: inference_finish" in text
+    assert "event: all_inference_finish" in text
+
+    status, data = c.get_json("POST", "/inference/postprocess", headers=hdr)
+    assert "ok" in data
+    if data["ok"]:
+        assert "musicxml" in data and data["confidence"] is not None
+
+    status, data = c.get_json("POST", "/clear", headers=hdr)
+    assert data["ok"]
+
+
+def test_tmpdir_validation(tiny_model):
+    c = WsgiClient()
+    status, data = c.get_json("POST", "/upload", headers={"X-Tmpdir": "/etc"})
+    assert status.startswith("400") and not data["ok"]
+    status, _, _ = c.request("GET", "/nonexistent")
+    assert status.startswith("404")

@@ -47,10 +47,14 @@ Params = dict
 
 
 class MemoryKV(NamedTuple):
-    """Per-layer cross-attention keys/values: (L, B, H, M, Dh)."""
+    """Per-layer cross-attention keys/values, transposed so the sequence axis
+    sits on TPU lanes: (L, B, H, Dh, M). ``k_scale``/``v_scale`` are
+    (L, B, H, M) dequantization factors when K/V are int8, else None."""
     k: jnp.ndarray
     v: jnp.ndarray
-    bias: jnp.ndarray | None  # (B, 1, 1, M) additive padding bias
+    bias: jnp.ndarray | None  # (B, M) additive padding bias
+    k_scale: jnp.ndarray | None = None
+    v_scale: jnp.ndarray | None = None
 
 
 class DecodeState(NamedTuple):
@@ -58,9 +62,24 @@ class DecodeState(NamedTuple):
     log_probs: jnp.ndarray   # (B, max_len) float32
     finished: jnp.ndarray    # (B,) bool
     t: jnp.ndarray           # () int32 — next position to fill
-    k_cache: jnp.ndarray     # (L, B, H, T_cache, Dh)
-    v_cache: jnp.ndarray     # (L, B, H, T_cache, Dh)
+    k_cache: jnp.ndarray     # (L, B, H, Dh, T_cache) — T on lanes
+    v_cache: jnp.ndarray     # (L, B, H, Dh, T_cache)
     rng: jnp.ndarray         # PRNG key (unused for greedy)
+    # int8 cache mode: per-written-position dequant scales (L, B, H, T_cache)
+    k_scale: jnp.ndarray | None = None
+    v_scale: jnp.ndarray | None = None
+
+
+INT8_QMAX = 127.0
+
+
+def _quantize_rows(x: jnp.ndarray):
+    """(..., Dh) bf16/f32 -> (int8 values, (...,) f32 scale) with max-abs rows."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / INT8_QMAX
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
+                 -INT8_QMAX, INT8_QMAX).astype(jnp.int8)
+    return q, scale
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,7 +92,8 @@ class SamplingConfig:
 def precompute_memory_kv(params: Params, cfg: DecoderConfig,
                          img_latent: jnp.ndarray,
                          latent_valid: jnp.ndarray | None,
-                         compute_dtype=jnp.bfloat16) -> MemoryKV:
+                         compute_dtype=jnp.bfloat16,
+                         cache_dtype=jnp.bfloat16) -> MemoryKV:
     """Project encoder memory into per-layer cross K/V once per batch."""
     e = cfg.hidden_dim
     in_kernel = params["blocks"]["cross_attn"]["in_kernel"]  # (L, E, 3E)
@@ -87,10 +107,19 @@ def precompute_memory_kv(params: Params, cfg: DecoderConfig,
     def heads(x):
         l, b, m, _ = x.shape
         x = x.reshape(l, b, m, cfg.num_heads, cfg.head_dim)
-        return jnp.transpose(x, (0, 1, 3, 2, 4))             # (L, B, H, M, Dh)
+        return jnp.transpose(x, (0, 1, 3, 4, 2))             # (L, B, H, Dh, M)
 
-    bias = nn.valid_to_bias(latent_valid) if latent_valid is not None else None
-    return MemoryKV(heads(k), heads(v), bias)
+    bias = None
+    if latent_valid is not None:
+        bias = jnp.where(latent_valid, 0.0, nn.NEG_INF).astype(jnp.float32)
+    kh, vh = heads(k), heads(v)
+    if cache_dtype == jnp.int8:
+        # quantize over Dh (axis -2): scales (L, B, H, M)
+        kq, ks = _quantize_rows(jnp.swapaxes(kh, -1, -2))
+        vq, vs = _quantize_rows(jnp.swapaxes(vh, -1, -2))
+        return MemoryKV(jnp.swapaxes(kq, -1, -2), jnp.swapaxes(vq, -1, -2),
+                        bias, ks, vs)
+    return MemoryKV(kh.astype(cache_dtype), vh.astype(cache_dtype), bias)
 
 
 def init_decode_state(cfg: DecoderConfig, batch_size: int, max_len: int,
@@ -101,86 +130,144 @@ def init_decode_state(cfg: DecoderConfig, batch_size: int, max_len: int,
     seqs = seqs.at[:, 0].set(cfg.bos_idx)
     log_probs = jnp.zeros((batch_size, max_len), dtype=jnp.float32)
     finished = jnp.zeros((batch_size,), dtype=bool)
-    shape = (cfg.num_layers, batch_size, cfg.num_heads, cache_len, cfg.head_dim)
+    shape = (cfg.num_layers, batch_size, cfg.num_heads, cfg.head_dim, cache_len)
     k_cache = jnp.zeros(shape, dtype=cache_dtype)
     v_cache = jnp.zeros(shape, dtype=cache_dtype)
+    k_scale = v_scale = None
+    if cache_dtype == jnp.int8:
+        k_scale = jnp.ones(shape[:3] + (cache_len,), dtype=jnp.float32)
+        v_scale = jnp.ones(shape[:3] + (cache_len,), dtype=jnp.float32)
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    return DecodeState(seqs, log_probs, finished, jnp.int32(1), k_cache, v_cache, rng)
+    return DecodeState(seqs, log_probs, finished, jnp.int32(1), k_cache,
+                       v_cache, rng, k_scale, v_scale)
 
 
 def grow_cache(state: DecodeState, new_cache_len: int) -> DecodeState:
     """Pad the KV caches to a longer segment (host-triggered, rare)."""
-    cur = state.k_cache.shape[3]
+    cur = state.k_cache.shape[-1]
     if new_cache_len <= cur:
         return state
-    pad = [(0, 0), (0, 0), (0, 0), (0, new_cache_len - cur), (0, 0)]
-    return state._replace(k_cache=jnp.pad(state.k_cache, pad),
-                          v_cache=jnp.pad(state.v_cache, pad))
+    pad = [(0, 0)] * 4 + [(0, new_cache_len - cur)]
+    spad = [(0, 0)] * 3 + [(0, new_cache_len - cur)]
+    return state._replace(
+        k_cache=jnp.pad(state.k_cache, pad),
+        v_cache=jnp.pad(state.v_cache, pad),
+        k_scale=None if state.k_scale is None else jnp.pad(state.k_scale, spad, constant_values=1.0),
+        v_scale=None if state.v_scale is None else jnp.pad(state.v_scale, spad, constant_values=1.0))
 
 
 # ---------------------------------------------------------------------------
 # one decode step
 # ---------------------------------------------------------------------------
 
+def decode_attention(q: jnp.ndarray, kT: jnp.ndarray, vT: jnp.ndarray,
+                     bias: jnp.ndarray | None,
+                     compute_dtype=jnp.bfloat16,
+                     k_scale: jnp.ndarray | None = None,
+                     v_scale: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Single-token attention against a transposed cache.
+
+    q: (B, H, Dh); kT/vT: (B, H, Dh, T) with the sequence axis on lanes;
+    bias: (B, T) additive (0 / NEG_INF) or None. With int8 caches,
+    k_scale/v_scale (B, H, T) dequantize after the dots (the int8 -> compute
+    cast fuses into the matmul read, so HBM traffic stays int8).
+    Returns (B, H, Dh); fp32 softmax. The Pallas fused kernel
+    (ops.pallas_decode) plugs in here on TPU for the bf16 path.
+    """
+    from ..ops import pallas_decode
+    if k_scale is None and pallas_decode.use_pallas(q, kT):
+        return pallas_decode.decode_attention(q, kT, vT, bias, compute_dtype)
+
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhd,bhdt->bht", q.astype(compute_dtype),
+                        kT.astype(compute_dtype),
+                        preferred_element_type=jnp.float32) * scale
+    if k_scale is not None:
+        logits = logits * k_scale
+    if bias is not None:
+        logits = logits + bias[:, None, :]
+    w = jax.nn.softmax(logits, axis=-1)
+    if v_scale is not None:
+        w = w * v_scale
+    out = jnp.einsum("bht,bhdt->bhd", w.astype(compute_dtype),
+                     vT.astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    return out.astype(compute_dtype)
+
+
 def _decode_step_logits(params: Params, cfg: DecoderConfig, x: jnp.ndarray,
-                        t: jnp.ndarray, k_cache: jnp.ndarray,
-                        v_cache: jnp.ndarray, mem: MemoryKV,
+                        t: jnp.ndarray, caches: dict, mem: MemoryKV,
                         compute_dtype=jnp.bfloat16):
     """Advance one token: x (B, E) = embedded token at position t-1.
 
-    Returns (logits (B, V) fp32, new k_cache, new v_cache). The 12-layer loop
-    is unrolled in Python so the cache writes stay simple indexed updates on
-    the loop carry (in-place under XLA).
+    ``caches``: {"k", "v"[, "ks", "vs"]} pytree of cache arrays (int8 mode
+    carries the scale planes). Returns (logits (B, V) fp32, new caches). The
+    12-layer loop is unrolled in Python so the cache writes stay simple
+    indexed updates on the loop carry (in-place under XLA).
     """
     e = cfg.hidden_dim
     h, dh = cfg.num_heads, cfg.head_dim
     b = x.shape[0]
-    cache_len = k_cache.shape[3]
+    cache_len = caches["k"].shape[-1]
     pos = t - 1  # cache slot for this token's k/v
+    quantized = "ks" in caches
 
     # positions 0..pos are attendable
     pos_idx = jnp.arange(cache_len)
     self_bias = jnp.where(pos_idx[None, :] <= pos, 0.0, nn.NEG_INF)  # (1, T)
-    self_bias = self_bias[None, None, :, :].astype(jnp.float32)      # (1,1,1,T)
+    self_bias = jnp.broadcast_to(self_bias, (b, cache_len)).astype(jnp.float32)
 
     blocks = params["blocks"]
 
-    def layer(i, x, k_cache, v_cache):
+    def layer(i, x, caches):
         lp = jax.tree.map(lambda a: a[i], blocks)
         sa = lp["self_attn"]
         qkv = jnp.dot(x, sa["in_kernel"].astype(compute_dtype)) + sa["in_bias"].astype(compute_dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, h, 1, dh)
-        k = k.reshape(b, h, dh).astype(k_cache.dtype)
-        v = v.reshape(b, h, dh).astype(v_cache.dtype)
-        k_cache = jax.lax.dynamic_update_slice(
-            k_cache, k[None, :, :, None, :], (i, 0, 0, pos, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            v_cache, v[None, :, :, None, :], (i, 0, 0, pos, 0))
-        attn = nn.attention(q, k_cache[i].astype(compute_dtype),
-                            v_cache[i].astype(compute_dtype), self_bias)
+        q = q.reshape(b, h, dh)
+        k = k.reshape(b, h, dh)
+        v = v.reshape(b, h, dh)
+        if quantized:
+            k, ks = _quantize_rows(k)
+            v, vs = _quantize_rows(v)
+            caches["ks"] = jax.lax.dynamic_update_slice(
+                caches["ks"], ks[None, :, :, None], (i, 0, 0, pos))
+            caches["vs"] = jax.lax.dynamic_update_slice(
+                caches["vs"], vs[None, :, :, None], (i, 0, 0, pos))
+        caches["k"] = jax.lax.dynamic_update_slice(
+            caches["k"], k.astype(caches["k"].dtype)[None, :, :, :, None],
+            (i, 0, 0, 0, pos))
+        caches["v"] = jax.lax.dynamic_update_slice(
+            caches["v"], v.astype(caches["v"].dtype)[None, :, :, :, None],
+            (i, 0, 0, 0, pos))
+        attn = decode_attention(
+            q, caches["k"][i], caches["v"][i], self_bias, compute_dtype,
+            k_scale=caches["ks"][i] if quantized else None,
+            v_scale=caches["vs"][i] if quantized else None)
         attn = nn.dense(sa["out"], attn.reshape(b, e))
         x = nn.layernorm(lp["norm1"], x + attn, eps=1e-5)
 
         ca = lp["cross_attn"]
         qc = jnp.dot(x, ca["in_kernel"][:, :e].astype(compute_dtype)) + ca["in_bias"][:e].astype(compute_dtype)
-        qc = qc.reshape(b, h, 1, dh)
-        cattn = nn.attention(qc, mem.k[i].astype(compute_dtype),
-                             mem.v[i].astype(compute_dtype), mem.bias)
+        qc = qc.reshape(b, h, dh)
+        cattn = decode_attention(
+            qc, mem.k[i], mem.v[i], mem.bias, compute_dtype,
+            k_scale=mem.k_scale[i] if mem.k_scale is not None else None,
+            v_scale=mem.v_scale[i] if mem.v_scale is not None else None)
         cattn = nn.dense(ca["out"], cattn.reshape(b, e))
         x = nn.layernorm(lp["norm2"], x + cattn, eps=1e-5)
 
         ff = nn.dense(lp["linear2"], nn.gelu(nn.dense(lp["linear1"], x)))
         x = nn.layernorm(lp["norm3"], x + ff, eps=1e-5)
-        return x, k_cache, v_cache
+        return x, caches
 
     for i in range(cfg.num_layers):
-        x, k_cache, v_cache = layer(i, x, k_cache, v_cache)
+        x, caches = layer(i, x, caches)
 
     x = nn.layernorm(params["final_norm"], x, eps=1e-6)
     logits = nn.dense(params["unembed"], x).astype(jnp.float32)
-    return logits, k_cache, v_cache
+    return logits, caches
 
 
 def _embed_token(params: Params, tok: jnp.ndarray, pos: jnp.ndarray,
@@ -208,7 +295,7 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
     else top-k/temperature sampling with per-step PRNG splitting.
     """
     max_len = state.seqs.shape[1]
-    cache_len = state.k_cache.shape[3]
+    cache_len = state.k_cache.shape[-1]
     stop_t = jnp.minimum(state.t + num_steps, min(max_len, cache_len + 1))
 
     def cond(s: DecodeState):
@@ -217,8 +304,12 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
     def body(s: DecodeState):
         prev_tok = jnp.take_along_axis(s.seqs, (s.t - 1)[None, None], axis=1)[:, 0]
         x = _embed_token(params, prev_tok, s.t - 1, compute_dtype)
-        logits, k_cache, v_cache = _decode_step_logits(
-            params, cfg, x, s.t, s.k_cache, s.v_cache, mem, compute_dtype)
+        caches = {"k": s.k_cache, "v": s.v_cache}
+        if s.k_scale is not None:
+            caches["ks"] = s.k_scale
+            caches["vs"] = s.v_scale
+        logits, caches = _decode_step_logits(
+            params, cfg, x, s.t, caches, mem, compute_dtype)
 
         rng = s.rng
         if sampling is None:
@@ -240,7 +331,8 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
         log_probs = jax.lax.dynamic_update_slice(
             s.log_probs, chosen_lp[:, None].astype(jnp.float32), (0, s.t))
         finished = s.finished | (next_tok == cfg.eos_idx)
-        return DecodeState(seqs, log_probs, finished, s.t + 1, k_cache, v_cache, rng)
+        return DecodeState(seqs, log_probs, finished, s.t + 1, caches["k"],
+                           caches["v"], rng, caches.get("ks"), caches.get("vs"))
 
     return jax.lax.while_loop(cond, body, state)
 
@@ -282,7 +374,8 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
     (seqs, log_probs, seq_mask) trimmed to the longest live sequence.
     """
     b = img_latent.shape[0]
-    mem = precompute_memory_kv(params, cfg, img_latent, latent_valid, compute_dtype)
+    mem = precompute_memory_kv(params, cfg, img_latent, latent_valid,
+                               compute_dtype, cache_dtype)
     cache_len = min(initial_segment, max_len)
     state = init_decode_state(cfg, b, max_len, cache_len, rng, cache_dtype)
 
@@ -294,8 +387,8 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
         t = int(state.t)
         if t >= max_len or bool(jnp.all(state.finished)):
             break
-        if t > int(state.k_cache.shape[3]):
-            state = grow_cache(state, _next_segment(int(state.k_cache.shape[3]), max_len))
+        if t > int(state.k_cache.shape[-1]):
+            state = grow_cache(state, _next_segment(int(state.k_cache.shape[-1]), max_len))
 
     return mask_and_clip_seqs(state.seqs, state.log_probs, cfg.eos_idx, cfg.pad_idx)
 
@@ -320,8 +413,8 @@ def streamed_generate(params: Params, cfg: DecoderConfig, img_latent,
         start_t = int(state.t)
         if start_t >= max_len or bool(jnp.all(state.finished)):
             break
-        if start_t + flush_interval - 1 > int(state.k_cache.shape[3]):
-            state = grow_cache(state, _next_segment(int(state.k_cache.shape[3]), max_len))
+        if start_t + flush_interval - 1 > int(state.k_cache.shape[-1]):
+            state = grow_cache(state, _next_segment(int(state.k_cache.shape[-1]), max_len))
         state = decode_segment(params, cfg, state, mem, flush_interval,
                                None, compute_dtype)
         t = int(state.t)

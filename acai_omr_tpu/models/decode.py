@@ -176,8 +176,9 @@ def decode_attention(q: jnp.ndarray, kT: jnp.ndarray, vT: jnp.ndarray,
     (ops.pallas_decode) plugs in here on TPU for the bf16 path.
     """
     from ..ops import pallas_decode
-    if k_scale is None and pallas_decode.use_pallas(q, kT):
-        return pallas_decode.decode_attention(q, kT, vT, bias, compute_dtype)
+    if pallas_decode.use_pallas(q, kT):
+        return pallas_decode.decode_attention(q, kT, vT, bias, compute_dtype,
+                                              k_scale, v_scale)
 
     scale = 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum("bhd,bhdt->bht", q.astype(compute_dtype),

@@ -306,6 +306,91 @@ def grpo_frozen_scales(params) -> dict:
         lambda kp, _: 1.0 if names(kp)[0] == "decoder" else 0.0, params)
 
 
+def mini_validate(params, state_params, cfg: ViTOMRConfig,
+                  grpo_config: GRPOConfig, dataset, tokenizer, rng,
+                  batch_size: int = 32, max_examples: int = 128,
+                  compute_dtype=jnp.bfloat16, reward_workers: int = 16):
+    """Reward + teacher-forced CE over a validation subset (reference:
+    validation loops, omr_grpo_train.py:455-501): one rollout per example
+    (group_size=1), mean raw reward and CE loss."""
+    from ..models import vit_encoder
+
+    rc, rwc, _, _ = grpo_config.get_configs()
+    pad_idx = cfg.decoder.pad_idx
+    total_reward, total_ce, n = 0.0, 0.0, 0
+    comp_sum = None
+    for i in range(0, min(len(dataset), max_examples), batch_size):
+        batch = [dataset[j] for j in range(i, min(i + batch_size, len(dataset),
+                                                  max_examples))]
+        imgs = [ex[0] for ex in batch]
+        seqs = [np.asarray(ex[1], np.int32) for ex in batch]
+        xmls = [ex[2] for ex in batch]
+        pb = vit_encoder.batchify(imgs, cfg.encoder)
+        latent, valid = vitomr_lib.encode_image(
+            state_params, cfg, jnp.asarray(pb.patches), jnp.asarray(pb.pe_idx),
+            jnp.asarray(pb.pe_w), jnp.asarray(pb.valid),
+            compute_dtype=compute_dtype)
+        rng, r = jax.random.split(rng)
+        rollouts, _, mask = vitomr_lib.forward_rollout_policy(
+            state_params, cfg, latent, valid, r, max_actions=rc.max_actions,
+            top_k=rc.top_k, temperature=rc.temperature,
+            compute_dtype=compute_dtype)
+        rollouts, mask = np.asarray(rollouts), np.asarray(mask)
+        targets = expand_target_lmx_seqs(seqs, 1, pad_idx)
+        rewards, comps = reward_rollouts(
+            rwc, rollouts, mask, targets, xmls, len(batch), 1,
+            tokenizer.idxs_to_tokens, pad_idx, reward_workers)
+        gold_inputs, gold_targets, gold_valid = \
+            omr_decoder.batchify_and_split_lmx_seqs(
+                seqs, pad_idx, max_len=cfg.decoder.max_lmx_seq_len)
+        logits = omr_decoder.forward(
+            state_params["decoder"], cfg.decoder, jnp.asarray(gold_inputs),
+            latent, jnp.asarray(gold_valid), valid,
+            compute_dtype=compute_dtype, deterministic=True)
+        ce = float(vitomr_lib.omr_ce_loss(logits, jnp.asarray(gold_targets),
+                                          pad_idx))
+        total_reward += float(rewards.mean()) * len(batch)
+        total_ce += ce * len(batch)
+        n += len(batch)
+        avg = comps.avg_over_rollouts()
+        comp_sum = avg if comp_sum is None else comp_sum + avg
+    comps = comp_sum / max(n // batch_size + (n % batch_size > 0), 1) \
+        if comp_sum is not None else None
+    return {"reward": total_reward / max(n, 1), "ce_loss": total_ce / max(n, 1),
+            "components": comps}
+
+
+def build_datasets():
+    """Stage-3 dataset mix with musicxml targets for TEDn (reference:
+    omr_grpo_train.py __main__)."""
+    from ..config import (GRAND_STAFF_ROOT_DIR, OLIMPIC_SYNTHETIC_ROOT_DIR,
+                          OMR_MAX_IMG_SEQ_LEN, PATCH_SIZE, PE_MAX_HEIGHT,
+                          PE_MAX_WIDTH)
+    from ..data import datasets as ds_lib
+    from ..data import transforms as tf_lib
+
+    tokenizer = LmxTokenizer()
+    base = tf_lib.Compose([
+        tf_lib.to_float_chw,
+        tf_lib.DynamicResize(PATCH_SIZE, OMR_MAX_IMG_SEQ_LEN, PE_MAX_HEIGHT,
+                             PE_MAX_WIDTH, crop_imgs=False)])
+    lmx_tf = tokenizer.encode
+    grand_staff = ds_lib.GrandStaffLMXDataset(
+        GRAND_STAFF_ROOT_DIR, "samples.train.txt", img_transform=base,
+        lmx_transform=lmx_tf, include_musicxml=True)
+    train = ds_lib.ConcatDataset([
+        ds_lib.GrandStaffOMRTrainWrapper(grand_staff, 0.3,
+                                         transform=tf_lib.default_camera_augment(1.0)),
+        ds_lib.OlimpicDataset(OLIMPIC_SYNTHETIC_ROOT_DIR, "samples.train.txt",
+                              img_transform=base, lmx_transform=lmx_tf,
+                              include_musicxml=True),
+    ])
+    val = ds_lib.OlimpicDataset(OLIMPIC_SYNTHETIC_ROOT_DIR, "samples.dev.txt",
+                                img_transform=base, lmx_transform=lmx_tf,
+                                include_musicxml=True)
+    return tokenizer, train, val
+
+
 def grpo_train(cfg: ViTOMRConfig, params, dataset, tokenizer: LmxTokenizer, *,
                grpo_config: GRPOConfig | None = None, epochs: int = EPOCHS,
                batch_size: int = TRAIN_BATCH_SIZE, lr: float = LR,
@@ -373,3 +458,14 @@ def grpo_train(cfg: ViTOMRConfig, params, dataset, tokenizer: LmxTokenizer, *,
 
     ckpt_lib.save_pytree(model_dir / "grpo_vitomr", state.params)
     return state.params, stats
+
+
+if __name__ == "__main__":
+    from ..utils import checkpoint as ckpt_lib2
+    from .omr_teacher_force_train import set_up_vitomr
+
+    tokenizer, train_ds, val_ds = build_datasets()
+    cfg_tf = set_up_vitomr(tokenizer)
+    tf_params = ckpt_lib2.load_params("tf_omr_train/vitomr")
+    cfg, params = set_up_grpo(cfg_tf, tf_params)
+    grpo_train(cfg, params, train_ds, tokenizer)

@@ -132,3 +132,18 @@ def test_sampling_determinism(setup):
                                 compute_dtype=jnp.float32,
                                 cache_dtype=jnp.float32)[0] for _ in range(2)]
     np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(outs[1]))
+
+
+def test_int8_cache_decode_matches_fp32(setup):
+    """Opt-in int8 KV-cache quantization: same greedy tokens as fp32 caches
+    on the test model (per-row max-abs scales keep argmax stable)."""
+    params, mem, mem_valid = setup
+    ref, _, ref_mask = decode_lib.generate(
+        params, CFG, mem, mem_valid, max_len=24,
+        compute_dtype=jnp.float32, cache_dtype=jnp.float32, initial_segment=8)
+    q, _, q_mask = decode_lib.generate(
+        params, CFG, mem, mem_valid, max_len=24,
+        compute_dtype=jnp.float32, cache_dtype=jnp.int8, initial_segment=8)
+    n = min(ref.shape[1], q.shape[1])
+    agree = (np.asarray(ref)[:, :n] == np.asarray(q)[:, :n]).mean()
+    assert agree > 0.9, agree

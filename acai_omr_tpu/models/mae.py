@@ -65,7 +65,7 @@ def keep_bucket_len(seq_bucket: int, mask_ratio: float, multiple: int = 128) -> 
 
 def forward(params: Params, cfg: MaeConfig, rng, patches, pe_idx, pe_w, valid,
             lengths, target_patches, *, compute_dtype=jnp.float32,
-            deterministic: bool = True, dropout_rng=None):
+            deterministic: bool = True, dropout_rng=None, remat: bool = False):
     """Full MAE forward on a packed batch.
 
     patches/pe_idx/pe_w/valid/lengths come from ``vit_encoder.batchify``;
@@ -87,7 +87,7 @@ def forward(params: Params, cfg: MaeConfig, rng, patches, pe_idx, pe_w, valid,
     bias = nn.valid_to_bias(mask.kept_valid)
     latent = transformer.encoder_stack(
         params["encoder"]["blocks"], x_kept, bias, enc_cfg.num_heads,
-        enc_cfg.dropout, dropout_rng, deterministic)
+        enc_cfg.dropout, dropout_rng, deterministic, remat=remat)
     latent = nn.layernorm(params["encoder"]["final_norm"], latent, eps=1e-6)
 
     # --- project to decoder space, unshuffle with mask tokens -------------
@@ -114,7 +114,7 @@ def forward(params: Params, cfg: MaeConfig, rng, patches, pe_idx, pe_w, valid,
     dec_bias = nn.valid_to_bias(valid)
     hidden = transformer.encoder_stack(
         params["decoder_blocks"], x_full, dec_bias, cfg.decoder_num_heads,
-        0.0, None, True)
+        0.0, None, True, remat=remat)
     hidden = nn.layernorm(params["decoder_norm"], hidden, eps=1e-6)
     pred = nn.dense(params["decoder_unembed"], hidden)              # (B, L, P*P)
 

@@ -78,7 +78,8 @@ def transition_head(params: Params, x: jnp.ndarray, dropout_rate: float = 0.0,
 
 def encode_image(params: Params, cfg: ViTOMRConfig, patches, pe_idx, pe_w,
                  valid, *, compute_dtype=jnp.float32, rng=None,
-                 deterministic: bool = True, frozen_stop_gradient: bool = False):
+                 deterministic: bool = True, frozen_stop_gradient: bool = False,
+                 remat: bool = False):
     """Encoder + transition head -> (img_latent (B, L, E_dec), latent_valid)."""
     enc_rng = head_rng = None
     if rng is not None:
@@ -86,7 +87,7 @@ def encode_image(params: Params, cfg: ViTOMRConfig, patches, pe_idx, pe_w,
     latent, latent_valid = vit_encoder.encode(
         params["encoder"], cfg.encoder, patches, pe_idx, pe_w, valid,
         compute_dtype=compute_dtype, rng=enc_rng, deterministic=deterministic,
-        frozen_stop_gradient=frozen_stop_gradient)
+        frozen_stop_gradient=frozen_stop_gradient, remat=remat)
     latent = transition_head(params["transition_head"], latent,
                              cfg.transition_head_dropout, head_rng, deterministic)
     return latent, latent_valid
@@ -106,7 +107,7 @@ def forward_teacher_forced(params: Params, cfg: ViTOMRConfig, patches, pe_idx,
     img_latent, latent_valid = encode_image(
         params, cfg, patches, pe_idx, pe_w, valid, compute_dtype=compute_dtype,
         rng=enc_rng, deterministic=deterministic,
-        frozen_stop_gradient=frozen_stop_gradient)
+        frozen_stop_gradient=frozen_stop_gradient, remat=remat)
     return omr_decoder.forward(
         params["decoder"], cfg.decoder, input_seqs, img_latent, lmx_valid,
         latent_valid, compute_dtype=compute_dtype, rng=dec_rng,
@@ -166,7 +167,7 @@ def forward_scheduled_sampling(params: Params, cfg: ViTOMRConfig, patches,
     img_latent, latent_valid = encode_image(
         params, cfg, patches, pe_idx, pe_w, valid, compute_dtype=compute_dtype,
         rng=enc_rng, deterministic=deterministic,
-        frozen_stop_gradient=frozen_stop_gradient)
+        frozen_stop_gradient=frozen_stop_gradient, remat=remat)
     tf_logits = omr_decoder.forward(
         params["decoder"], cfg.decoder, input_seqs, img_latent, lmx_valid,
         latent_valid, compute_dtype=compute_dtype, rng=dec1_rng,
@@ -196,6 +197,21 @@ def omr_ce_loss(logits: jnp.ndarray, target_seqs: jnp.ndarray, pad_idx: int,
 # ---------------------------------------------------------------------------
 # generation entry points
 # ---------------------------------------------------------------------------
+
+def generate_next_token_distr(params: Params, cfg: ViTOMRConfig,
+                              img_latent: jnp.ndarray, seqs: jnp.ndarray,
+                              compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Beam-search-ready next-token distribution (reference:
+    TeacherForcedViTOMR.generate, models.py:749-757): expand a single image
+    latent across ``seqs.shape[0]`` candidate sequences and return log probs
+    of the next token for each."""
+    num_seqs = seqs.shape[0]
+    latent = jnp.broadcast_to(img_latent,
+                              (num_seqs,) + img_latent.shape[1:])
+    logits = omr_decoder.forward(params["decoder"], cfg.decoder, seqs, latent,
+                                 None, None, compute_dtype=compute_dtype)
+    return jax.nn.log_softmax(logits[:, -1, :], axis=-1)
+
 
 def cached_greedy_generate(params: Params, cfg: ViTOMRConfig, img_latent,
                            latent_valid=None, max_len: int = 1536, **kwargs):

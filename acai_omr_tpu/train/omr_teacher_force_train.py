@@ -94,7 +94,7 @@ def make_loss_fn(cfg: ViTOMRConfig, tf_state: dict,
             teacher_forcing_prob=batch["tf_prob"], sample_tau=batch["tau"],
             use_hard_sampling=tf_state["use_hard_sampling"], rng=rng,
             compute_dtype=compute_dtype, deterministic=False,
-            frozen_stop_gradient=True)
+            frozen_stop_gradient=True, remat=True)
         loss = vitomr_lib.omr_ce_loss(logits, batch["targets"],
                                       cfg.decoder.pad_idx, label_smoothing)
         return loss, {}

@@ -60,10 +60,13 @@ def set_up_mae() -> MaeConfig:
 
 def make_loss_fn(cfg: MaeConfig, compute_dtype=jnp.bfloat16):
     def loss_fn(params, batch, rng):
+        # remat: recompute per-layer activations in backward — without it the
+        # layer scan keeps every layer's (B, H, T, T) attention residuals and
+        # the full-size step overflows HBM
         pred, loss_mask, target = mae_lib.forward(
             params, cfg, rng, batch["patches"], batch["pe_idx"], batch["pe_w"],
             batch["valid"], batch["lengths"], batch["target_patches"],
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, remat=True)
         loss = mae_lib.mae_loss(pred, loss_mask, target)
         return loss, {}
     return loss_fn

@@ -53,3 +53,26 @@ def load_params(path):
     if isinstance(tree, dict) and "params" in tree:
         return tree["params"]
     return tree
+
+
+def load_train_state(path, like_state):
+    """Restore a full TrainState for resume (capability the reference lacks —
+    SURVEY.md §5 notes no resume path exists there).
+
+    ``like_state`` provides the pytree structure (opt_state trees are
+    optimizer-specific); restored leaves are converted to jax arrays.
+    """
+    import jax.numpy as jnp
+    tree = load_pytree(path)
+    restored = {"step": tree["step"], "params": tree["params"],
+                "opt_state": tree["opt_state"]}
+    # rebuild the TrainState namedtuple with the original opt_state structure
+    flat_saved, _ = jax.tree_util.tree_flatten(restored["opt_state"])
+    flat_like, treedef = jax.tree_util.tree_flatten(like_state.opt_state)
+    if len(flat_saved) != len(flat_like):
+        raise ValueError("checkpoint optimizer state does not match optimizer")
+    opt_state = jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(x) for x in flat_saved])
+    return like_state._replace(step=jnp.asarray(restored["step"]),
+                               params=jax.tree.map(jnp.asarray, restored["params"]),
+                               opt_state=opt_state)

@@ -135,3 +135,22 @@ def test_tmpdir_validation(tiny_model):
     assert status.startswith("400") and not data["ok"]
     status, _, _ = c.request("GET", "/nonexistent")
     assert status.startswith("404")
+
+
+def test_batch_inference_ragged(tiny_model, rng):
+    """Ragged multi-resolution batched inference returns per-image LMX in
+    input order across mixed shape buckets."""
+    import jax.numpy as jnp
+    from acai_omr_tpu.inference.batch_inference import batch_inference
+    from acai_omr_tpu.serving import routes
+
+    m = routes._MODEL
+    imgs = [rng.random((1, 32, 48), dtype=np.float32),
+            rng.random((1, 64, 96), dtype=np.float32),
+            rng.random((1, 32, 48), dtype=np.float32)]
+    res = batch_inference(m["params"], m["cfg"], imgs, m["tokenizer"],
+                          max_inference_len=12, decode_batch=2,
+                          bucket_multiple=8, compute_dtype=jnp.float32)
+    assert len(res.lmx) == 3
+    assert all(isinstance(s, str) for s in res.lmx)
+    assert all(lp <= 0.0 for lp in res.avg_log_probs)

@@ -84,7 +84,7 @@ def forward(params: Params, cfg: MaeConfig, rng, patches, pe_idx, pe_w, valid,
     x = vit_encoder.embed_patches(params["encoder"], patches, pe_idx, pe_w,
                                   valid, compute_dtype)
     x_kept = vit_encoder.gather_kept(x, mask)                       # (B, K, E)
-    bias = nn.valid_to_bias(mask.kept_valid)
+    bias = nn.MaskSpec(key_valid=mask.kept_valid)
     latent = transformer.encoder_stack(
         params["encoder"]["blocks"], x_kept, bias, enc_cfg.num_heads,
         enc_cfg.dropout, dropout_rng, deterministic, remat=remat)
@@ -111,7 +111,7 @@ def forward(params: Params, cfg: MaeConfig, rng, patches, pe_idx, pe_w, valid,
     x_full = x_full + dpe
 
     # --- decode over the full (unshuffled) sequence -----------------------
-    dec_bias = nn.valid_to_bias(valid)
+    dec_bias = nn.MaskSpec(key_valid=valid)
     hidden = transformer.encoder_stack(
         params["decoder_blocks"], x_full, dec_bias, cfg.decoder_num_heads,
         0.0, None, True, remat=remat)

@@ -91,10 +91,9 @@ def forward(params: Params, cfg: DecoderConfig, input_seqs: jnp.ndarray,
         x = input_seqs.astype(compute_dtype) + params["pos_embedding"][:t].astype(compute_dtype)[None]
 
     t = x.shape[1]
-    self_bias = nn.causal_bias(t)
-    if lmx_valid is not None:
-        self_bias = nn.combine_bias(self_bias, nn.valid_to_bias(lmx_valid))
-    cross_bias = nn.valid_to_bias(latent_valid) if latent_valid is not None else None
+    self_bias = nn.MaskSpec(key_valid=lmx_valid, causal=True)
+    cross_bias = (nn.MaskSpec(key_valid=latent_valid)
+                  if latent_valid is not None else None)
 
     mem = img_latent.astype(compute_dtype)
     x = transformer.decoder_stack(params["blocks"], x, mem, self_bias, cross_bias,

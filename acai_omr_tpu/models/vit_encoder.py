@@ -157,7 +157,7 @@ def encode(params: Params, cfg: EncoderConfig, patches, pe_idx, pe_w, valid,
     frozen_blocks (models.py:362-367) without duplicating parameters.
     """
     x = embed_patches(params, patches, pe_idx, pe_w, valid, compute_dtype)
-    bias = nn.valid_to_bias(valid)
+    bias = nn.MaskSpec(key_valid=valid)
     blocks = params["blocks"]
     n_frozen = cfg.num_layers - cfg.fine_tune_depth if cfg.fine_tune_depth else 0
     if 0 < n_frozen < cfg.num_layers:

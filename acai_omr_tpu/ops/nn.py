@@ -161,8 +161,72 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.astype(q.dtype)
 
 
+from typing import NamedTuple
+
+
+class MaskSpec(NamedTuple):
+    """Structured attention mask: key validity + causal flag.
+
+    Carrying the structure (instead of a materialized additive bias) lets the
+    flash-attention path express masking as segment ids, never building the
+    (B, H, Tq, Tk) bias tensor.
+    """
+    key_valid: jnp.ndarray | None = None  # (B, Tk) True = attendable
+    causal: bool = False
+
+    def to_bias(self, tq: int) -> jnp.ndarray | None:
+        parts = []
+        if self.causal:
+            parts.append(causal_bias(tq))
+        if self.key_valid is not None:
+            parts.append(valid_to_bias(self.key_valid))
+        return combine_bias(*parts)
+
+
+def _flash_ok(q: jnp.ndarray, k: jnp.ndarray) -> bool:
+    import os
+    if os.environ.get("ACAI_FLASH_ATTENTION", "1") != "1":
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    b, h, tq, dh = q.shape
+    tk = k.shape[2]
+    return tq % 128 == 0 and tk % 128 == 0 and dh >= 32 and dh % 8 == 0
+
+
+def _flash_attention(q, k, v, mask: MaskSpec) -> jnp.ndarray:
+    """Pallas TPU flash attention with segment-id padding masks — O(T) memory,
+    no (B, H, T, T) materialization in either pass."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    b, h, tq, dh = q.shape
+    tk = k.shape[2]
+    seg = None
+    if mask.key_valid is not None:
+        # padding keys live in segment 1, everything else in 0: valid queries
+        # never attend to padding, identical outputs at valid positions
+        kv_seg = (~mask.key_valid).astype(jnp.int32)
+        q_seg = jnp.zeros((b, tq), dtype=jnp.int32)
+        if tq == tk:
+            q_seg = kv_seg  # self-attention: padded queries mask symmetrically
+        seg = fa.SegmentIds(q=q_seg, kv=kv_seg)
+
+    bq = min(512, tq)
+    bk = min(512, tk)
+    block_sizes = fa.BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq)
+    return fa.flash_attention(q, k, v, segment_ids=seg, causal=mask.causal,
+                              sm_scale=1.0 / math.sqrt(dh),
+                              block_sizes=block_sizes)
+
+
 def mha(params: Params, x_q: jnp.ndarray, x_kv: jnp.ndarray, num_heads: int,
-        bias: jnp.ndarray | None = None) -> jnp.ndarray:
+        bias=None) -> jnp.ndarray:
     """Full multi-head attention block (projections + SDPA + out proj).
 
     Mirrors torch nn.MultiheadAttention with a fused in_proj: when
@@ -170,6 +234,10 @@ def mha(params: Params, x_q: jnp.ndarray, x_kv: jnp.ndarray, num_heads: int,
     kernel is sliced into its q and kv column blocks (reference slices the
     same fused weight for cached cross-attention,
     acai_omr/models/kv_caching.py:212-216, 241-244).
+
+    ``bias`` may be an additive array (legacy) or a :class:`MaskSpec`; with a
+    MaskSpec on TPU the Pallas flash-attention kernel runs (segment-id
+    masking), falling back to the fused-bias XLA path elsewhere.
     """
     e = x_q.shape[-1]
     in_kernel = params["in_kernel"].astype(x_q.dtype)
@@ -182,7 +250,14 @@ def mha(params: Params, x_q: jnp.ndarray, x_kv: jnp.ndarray, num_heads: int,
         kv = jnp.dot(x_kv, in_kernel[:, e:]) + in_bias[e:]
         k, v = jnp.split(kv, 2, axis=-1)
     q, k, v = (split_heads(t, num_heads) for t in (q, k, v))
-    out = merge_heads(attention(q, k, v, bias))
+    if isinstance(bias, MaskSpec):
+        if _flash_ok(q, k):
+            out = _flash_attention(q, k, v, bias)
+        else:
+            out = attention(q, k, v, bias.to_bias(q.shape[2]))
+    else:
+        out = attention(q, k, v, bias)
+    out = merge_heads(out)
     return dense(params["out"], out)
 
 

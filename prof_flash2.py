@@ -3,7 +3,6 @@ from acai_omr_tpu.train import omr_teacher_force_train as tf_train
 from acai_omr_tpu.parallel import trainer
 from acai_omr_tpu.data.tokenizer import LmxTokenizer
 from acai_omr_tpu.models import vitomr as vitomr_lib
-
 tok = LmxTokenizer()
 vcfg = tf_train.set_up_vitomr(tok)
 vparams = vitomr_lib.init_vitomr_params(jax.random.PRNGKey(0), vcfg)
@@ -24,12 +23,13 @@ for B in (8, 32):
       "tf_prob": jnp.float32(0.5), "tau": jnp.float32(2.0),
     }
     vstate = trainer.create_train_state(vparams, vtx)
+    t0=time.perf_counter()
     vstate, m = vstep(vstate, vb, jax.random.PRNGKey(1)); jax.block_until_ready(m["loss"])
+    print(f"B={B} compile+first: {time.perf_counter()-t0:.1f}s", flush=True)
     ts=[]
     for i in range(3):
         t0=time.perf_counter()
         vstate, m = vstep(vstate, vb, jax.random.PRNGKey(i))
         _ = float(m["loss"])
         ts.append(time.perf_counter()-t0)
-    el=min(ts)
-    print(f"scheduled-sampling step (synced): batch {B}, img {LI}, lmx {LT}: {el*1000:.1f} ms = {B/el:.1f} img/s (ref CUDA ~34 img/s)", flush=True)
+    print(f"flash SS step B={B}: {min(ts)*1000:.1f} ms = {B/min(ts):.1f} img/s", flush=True)

@@ -184,27 +184,39 @@ def omr_teacher_force_train(cfg: ViTOMRConfig, params, train_dataset,
     stats = {"train_losses": [], "val_losses": []}
     opt_step = 0
 
+    def emergency_checkpoint():
+        # crash-resilient save (capability the reference lacks)
+        try:
+            ckpt_lib.save_train_state(model_dir / "checkpoints" / "emergency", state)
+            print(f"Saved emergency checkpoint to {model_dir}/checkpoints/emergency")
+        except Exception:
+            pass
+
     for epoch in range(epochs):
         t0 = time.perf_counter()
         epoch_loss, n_micro = 0.0, 0
-        for batch in train_loader:
-            tf_prob, tau, use_hard = tf_schedule.at(opt_step)
-            rng, step_rng = jax.random.split(rng)
-            db = _device_batch(batch, {"tf_prob": jnp.float32(tf_prob),
-                                       "tau": jnp.float32(tau)})
-            state, metrics = step_fns[use_hard](state, db, step_rng)
-            loss = float(metrics["loss"])
-            epoch_loss += loss
-            n_micro += 1
-            # NOTE: the reference reaches effective batch 64 via 8x grad
-            # accumulation on one GPU (omr_teacher_force_train.py:40). Here the
-            # same effective batch comes from the data-parallel mesh (or
-            # trainer.make_accum_train_step when running single-chip with
-            # uniform bucket shapes); one optimizer step per packed batch.
-            writer.scalar("train/loss", loss, opt_step)
-            writer.scalar("train/hyperparams/tf_prob", tf_prob, opt_step)
-            writer.scalar("train/hyperparams/tau", tau, opt_step)
-            opt_step += 1
+        try:
+            for batch in train_loader:
+                tf_prob, tau, use_hard = tf_schedule.at(opt_step)
+                rng, step_rng = jax.random.split(rng)
+                db = _device_batch(batch, {"tf_prob": jnp.float32(tf_prob),
+                                           "tau": jnp.float32(tau)})
+                state, metrics = step_fns[use_hard](state, db, step_rng)
+                loss = float(metrics["loss"])
+                epoch_loss += loss
+                n_micro += 1
+                # NOTE: the reference reaches effective batch 64 via 8x grad
+                # accumulation on one GPU (omr_teacher_force_train.py:40).
+                # Here the same effective batch comes from the data-parallel
+                # mesh (or trainer.make_accum_train_step single-chip with
+                # uniform bucket shapes); one optimizer step per packed batch.
+                writer.scalar("train/loss", loss, opt_step)
+                writer.scalar("train/hyperparams/tf_prob", tf_prob, opt_step)
+                writer.scalar("train/hyperparams/tau", tau, opt_step)
+                opt_step += 1
+        except (KeyboardInterrupt, Exception):
+            emergency_checkpoint()
+            raise
 
         train_loss = epoch_loss / max(n_micro, 1)
         val_loss, n_val = 0.0, 0

@@ -143,14 +143,27 @@ def pre_train(mae_cfg: MaeConfig, train_dataset, validation_dataset, *,
     rng = jax.random.PRNGKey(seed + 1)
     train_losses, val_losses = [], []
 
+    def emergency_checkpoint():
+        # crash-resilient save (capability the reference lacks): any uncaught
+        # error or interrupt leaves a resumable train state behind
+        try:
+            ckpt_lib.save_train_state(model_dir / "checkpoints" / "emergency", state)
+            print(f"Saved emergency checkpoint to {model_dir}/checkpoints/emergency")
+        except Exception:
+            pass
+
     for epoch in range(epochs):
         t0 = time.perf_counter()
         epoch_loss, n_batches = 0.0, 0
-        for batch in train_loader:
-            rng, step_rng = jax.random.split(rng)
-            state, metrics = step_fn(state, _device_batch(batch, data_sh), step_rng)
-            epoch_loss += float(metrics["loss"])
-            n_batches += 1
+        try:
+            for batch in train_loader:
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = step_fn(state, _device_batch(batch, data_sh), step_rng)
+                epoch_loss += float(metrics["loss"])
+                n_batches += 1
+        except (KeyboardInterrupt, Exception):
+            emergency_checkpoint()
+            raise
         train_loss = epoch_loss / max(n_batches, 1)
 
         val_loss, n_val = 0.0, 0

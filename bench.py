@@ -54,6 +54,26 @@ def run_decode(cfg, params, mem, mem_valid):
     return seqs
 
 
+def measure_p50_latency(cfg, params, mem, mem_valid, tokens: int = 256,
+                        reps: int = 5) -> float:
+    """Single-system decode latency for a typical-length (~256 token) sequence."""
+    from acai_omr_tpu.models import decode as decode_lib
+
+    def run_one():
+        s = decode_lib.generate(params, cfg, mem[:1], mem_valid[:1],
+                                max_len=tokens, compute_dtype=jnp.bfloat16,
+                                cache_dtype=jnp.bfloat16)
+        jax.block_until_ready(s[0])
+
+    run_one()  # warm-up
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_one()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
 def main():
     cfg, params, mem, mem_valid = build()
     run_decode(cfg, params, mem, mem_valid)  # warm-up / compile
@@ -67,6 +87,7 @@ def main():
 
     systems_per_sec = BATCH / elapsed
     tokens_per_sec = BATCH * (DECODE_LEN - 1) / elapsed
+    p50_latency = measure_p50_latency(cfg, params, mem, mem_valid)
 
     vs_baseline = None
     if BASELINE_PATH.exists():
@@ -81,6 +102,7 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
         "tokens_per_sec": round(tokens_per_sec, 1),
         "decode_wall_s": round(elapsed, 3),
+        "p50_single_system_latency_s": round(p50_latency, 3),
         "device": str(jax.devices()[0]),
     }))
 

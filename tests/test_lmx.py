@@ -201,3 +201,92 @@ def test_native_matches_python_ted(rng):
             llb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))))
         py = tedn_lib._py_ted(la, lla, lb, llb)
         assert native == py, (trial, native, py)
+
+
+def test_grace_notes_and_ornaments():
+    # canonical notation-token order: fermata/arpeggiate, articulations,
+    # ornaments (delinearizer accepts any order; linearizer emits this one)
+    lmx = ("measure time beats:4 beat-type:4 clef:G2 "
+           "grace C5 voice:1 eighth stem:up D5 quarter fermata trill-mark "
+           "grace:slash E5 16th F5 quarter arpeggiate staccato accent "
+           "G5 quarter tremolo:start tremolo:3 A5 quarter tremolo:stop")
+    root, errors = delinearize_to_element(lmx)
+    assert errors == []
+    notes = root.findall("part/measure/note")
+    # grace note: <grace/>, no duration
+    assert notes[0].find("grace") is not None
+    assert notes[0].find("duration") is None
+    assert notes[1].find("notations/ornaments/trill-mark") is not None
+    assert notes[1].find("notations/fermata") is not None
+    assert notes[2].find("grace").get("slash") == "yes"
+    art = notes[3].find("notations/articulations")
+    assert art.find("staccato") is not None and art.find("accent") is not None
+    assert notes[3].find("notations/arpeggiate") is not None
+    trem = notes[4].find("notations/ornaments/tremolo")
+    assert trem.get("type") == "start"
+    # round-trip all of it
+    back = linearize(ET.tostring(root, encoding="unicode"))
+    assert back.split() == lmx.split()
+
+
+def test_forward_element_and_mid_measure_attributes():
+    lmx = ("measure time beats:4 beat-type:4 clef:G2 C4 voice:1 quarter "
+           "forward quarter D4 quarter "
+           "measure key:fifths:2 time beats:3 beat-type:8 E4 voice:1 eighth")
+    root, errors = delinearize_to_element(lmx)
+    assert errors == []
+    m1, m2 = root.findall("part/measure")
+    fwd = m1.find("forward")
+    div = int(m1.find("attributes/divisions").text)
+    assert int(fwd.find("duration").text) == div
+    # measure 2 carries a new key + time
+    assert m2.find("attributes/key/fifths").text == "2"
+    assert m2.find("attributes/time/beat-type").text == "8"
+    # rest:measure after a time change follows the new signature
+    lmx3 = lmx + " measure rest:measure"
+    root3, _ = delinearize_to_element(lmx3)
+    m3 = root3.findall("part/measure")[2]
+    div3 = int(root3.find("part/measure/attributes/divisions").text)
+    # 3/8 = 1.5 quarters
+    assert int(m3.find("note/duration").text) == int(1.5 * div3)
+
+
+def test_linearizer_drops_out_of_vocab_gracefully():
+    """Continue beams and unpitched elements have no LMX tokens; the
+    linearizer must skip them without corrupting the stream."""
+    xml = """<score-partwise><part-list><score-part id="P1"/></part-list>
+    <part id="P1"><measure number="1">
+      <attributes><divisions>2</divisions>
+        <time><beats>4</beats><beat-type>4</beat-type></time>
+        <clef><sign>G</sign><line>2</line></clef></attributes>
+      <note><pitch><step>C</step><octave>4</octave></pitch><duration>1</duration>
+        <voice>1</voice><type>eighth</type><beam number="1">begin</beam></note>
+      <note><pitch><step>D</step><octave>4</octave></pitch><duration>1</duration>
+        <voice>1</voice><type>eighth</type><beam number="1">continue</beam></note>
+      <note><pitch><step>E</step><octave>4</octave></pitch><duration>1</duration>
+        <voice>1</voice><type>eighth</type><beam number="1">end</beam></note>
+    </measure></part></score-partwise>"""
+    out = linearize(xml)
+    toks = out.split()
+    assert toks.count("beam:begin") == 1
+    assert toks.count("beam:end") == 1
+    assert "continue" not in out
+    # stream still delinearizes cleanly
+    root, errors = delinearize_to_element(out)
+    assert errors == []
+    assert len(root.findall("part/measure/note")) == 3
+
+
+def test_tedn_native_speed_sane():
+    """The C++ kernel scores a realistic pair quickly (sanity perf check)."""
+    import time
+    if tedn_lib._load_native() is None:
+        pytest.skip("native kernel not built")
+    lmx = load_sample(0)
+    xml, _ = delinearize(lmx)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        cost, cat, _ = tedn_lib.TEDn_lmx_xml(lmx, xml)
+    dt = (time.perf_counter() - t0) / 5
+    assert cost == 0.0
+    assert dt < 1.0, f"TEDn too slow: {dt:.2f}s per call"

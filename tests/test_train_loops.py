@@ -73,3 +73,18 @@ def test_teacher_force_loop_runs(tmp_path):
     new_blk = np.asarray(new_params["encoder"]["blocks"]["self_attn"]["in_kernel"])
     np.testing.assert_array_equal(new_blk[0], old_blk[0])
     assert np.abs(new_blk[1] - old_blk[1]).max() > 0
+
+
+def test_pre_train_data_parallel_8dev(tmp_path):
+    """batch_size divisible by the 8 virtual devices -> the DP path engages
+    (replicated params, batch-sharded packed batches incl. padded remainders)."""
+    cfg = MaeConfig(encoder=TINY_ENC, mask_ratio=0.75, decoder_num_layers=2,
+                    decoder_hidden_dim=8, decoder_num_heads=2,
+                    decoder_mlp_dim=16)
+    train_ds = DebugDataset(n=11, sizes=((64, 96),), kind="mae")  # 11 -> padded last batch
+    val_ds = DebugDataset(n=3, sizes=((64, 96),), kind="mae", seed=1)
+    params, stats = pre_train.pre_train(
+        cfg, train_ds, val_ds, epochs=1, batch_size=8, warmup_epochs=1,
+        checkpoint_freq=5, model_dir=tmp_path / "mae_dp", num_workers=2,
+        bucket_boundaries=[(64, 96)], compute_dtype=jnp.float32)
+    assert np.isfinite(stats["train_losses"][0])

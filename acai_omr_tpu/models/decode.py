@@ -89,37 +89,57 @@ class SamplingConfig:
     temperature: float = 1.1
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "cache_dtype"))
+def _memory_kv_arrays(params: Params, cfg: DecoderConfig,
+                      img_latent: jnp.ndarray, compute_dtype, cache_dtype):
+    """Per-layer cross K/V via a layer scan.
+
+    Projecting all layers at once materializes an (L, B, M, 2E) intermediate
+    (7+ GB for GRPO's 128-rollout batches); scanning keeps the live
+    intermediate at one layer's (B, M, 2E).
+    """
+    e = cfg.hidden_dim
+    in_kernel = params["blocks"]["cross_attn"]["in_kernel"]  # (L, E, 3E)
+    in_bias = params["blocks"]["cross_attn"]["in_bias"]      # (L, 3E)
+    mem = img_latent.astype(compute_dtype)
+
+    def one_layer(_, wb):
+        kernel, bias_row = wb
+        kv = jnp.dot(mem, kernel[:, e:].astype(compute_dtype)) \
+            + bias_row[e:].astype(compute_dtype)              # (B, M, 2E)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def heads(x):
+            b, m, _ = x.shape
+            x = x.reshape(b, m, cfg.num_heads, cfg.head_dim)
+            return jnp.transpose(x, (0, 2, 3, 1))             # (B, H, Dh, M)
+
+        kh, vh = heads(k), heads(v)
+        if cache_dtype == jnp.int8:
+            kq, ks = _quantize_rows(jnp.swapaxes(kh, -1, -2))
+            vq, vs = _quantize_rows(jnp.swapaxes(vh, -1, -2))
+            return None, (jnp.swapaxes(kq, -1, -2), jnp.swapaxes(vq, -1, -2), ks, vs)
+        return None, (kh.astype(cache_dtype), vh.astype(cache_dtype))
+
+    _, outs = jax.lax.scan(one_layer, None, (in_kernel, in_bias))
+    return outs
+
+
 def precompute_memory_kv(params: Params, cfg: DecoderConfig,
                          img_latent: jnp.ndarray,
                          latent_valid: jnp.ndarray | None,
                          compute_dtype=jnp.bfloat16,
                          cache_dtype=jnp.bfloat16) -> MemoryKV:
     """Project encoder memory into per-layer cross K/V once per batch."""
-    e = cfg.hidden_dim
-    in_kernel = params["blocks"]["cross_attn"]["in_kernel"]  # (L, E, 3E)
-    in_bias = params["blocks"]["cross_attn"]["in_bias"]      # (L, 3E)
-    kv_kernel = in_kernel[:, :, e:].astype(compute_dtype)    # (L, E, 2E)
-    kv_bias = in_bias[:, e:].astype(compute_dtype)           # (L, 2E)
-    mem = img_latent.astype(compute_dtype)
-    kv = jnp.einsum("bme,lef->lbmf", mem, kv_kernel) + kv_bias[:, None, None, :]
-    k, v = jnp.split(kv, 2, axis=-1)                         # (L, B, M, E)
-
-    def heads(x):
-        l, b, m, _ = x.shape
-        x = x.reshape(l, b, m, cfg.num_heads, cfg.head_dim)
-        return jnp.transpose(x, (0, 1, 3, 4, 2))             # (L, B, H, Dh, M)
-
     bias = None
     if latent_valid is not None:
         bias = jnp.where(latent_valid, 0.0, nn.NEG_INF).astype(jnp.float32)
-    kh, vh = heads(k), heads(v)
+    outs = _memory_kv_arrays(params, cfg, img_latent, compute_dtype, cache_dtype)
     if cache_dtype == jnp.int8:
-        # quantize over Dh (axis -2): scales (L, B, H, M)
-        kq, ks = _quantize_rows(jnp.swapaxes(kh, -1, -2))
-        vq, vs = _quantize_rows(jnp.swapaxes(vh, -1, -2))
-        return MemoryKV(jnp.swapaxes(kq, -1, -2), jnp.swapaxes(vq, -1, -2),
-                        bias, ks, vs)
-    return MemoryKV(kh.astype(cache_dtype), vh.astype(cache_dtype), bias)
+        k, v, ks, vs = outs
+        return MemoryKV(k, v, bias, ks, vs)
+    k, v = outs
+    return MemoryKV(k, v, bias)
 
 
 def init_decode_state(cfg: DecoderConfig, batch_size: int, max_len: int,

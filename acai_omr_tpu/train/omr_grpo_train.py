@@ -156,39 +156,108 @@ def calc_entropy_bonus(theta_logits, input_valid, vocab_size):
     return per_rollout.mean() / jnp.log(vocab_size)
 
 
+def calc_grpo_objective_sum(theta_logits, rollouts, input_valid, old_log_probs,
+                            advantages, epsilon):
+    """Sum over rollouts of the per-rollout clipped objective mean (the
+    /num_groups normalization is applied by the caller) — the decomposable
+    form used for rollout microbatching."""
+    theta_lp = jax.nn.log_softmax(theta_logits.astype(jnp.float32), axis=-1)
+    left_shifted = rollouts[:, 1:]
+    theta_lp = jnp.take_along_axis(theta_lp, left_shifted[..., None], axis=-1)[..., 0]
+    old_lp = old_log_probs[:, 1:]
+    ratios = jnp.exp(theta_lp - old_lp)
+    unclipped = ratios * advantages[:, None]
+    clipped = jnp.clip(ratios, 1 - epsilon, 1 + epsilon) * advantages[:, None]
+    obj = jnp.where(input_valid, jnp.minimum(unclipped, clipped), 0.0)
+    lens = jnp.maximum(input_valid.sum(-1), 1)
+    return (obj.sum(-1) / lens).sum()
+
+
+def calc_entropy_sum(theta_logits, input_valid):
+    """Sum over rollouts of per-rollout mean entropy (unnormalized)."""
+    logits = theta_logits.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    ent = jnp.where(input_valid, -(probs * lp).sum(-1), 0.0)
+    lens = jnp.maximum(input_valid.sum(-1), 1)
+    return (ent.sum(-1) / lens).sum()
+
+
 def make_grpo_update_step(cfg: ViTOMRConfig, tx, num_groups: int,
-                          epsilon: float, compute_dtype=jnp.bfloat16):
-    """One jitted GRPO inner update: teacher-forced pass over rollouts (with
-    remat), objective + entropy + CE anchor, clip, optimizer step."""
+                          epsilon: float, compute_dtype=jnp.bfloat16,
+                          rollout_microbatches: int = 4):
+    """One jitted GRPO inner update.
+
+    The teacher-forced pass over all B*G rollouts with long cross-attention
+    memories doesn't fit HBM in one backward at reference scale (128 rollouts,
+    ~1k-patch latents); the objective is sum-decomposable over rollouts, so
+    gradients are accumulated over ``rollout_microbatches`` chunks via
+    lax.scan (each chunk remat'd per layer), then the CE-anchor gradient is
+    added and one optimizer step applied. Exactly the reference objective
+    (omr_grpo_train.py:345-370), restructured for memory.
+    """
     vocab_size = cfg.decoder.vocab_size
 
-    def loss_fn(params, batch, rng):
+    def rollout_loss(params, mb, total_rollouts, entropy_beta, rng):
         theta_logits = omr_decoder.forward(
-            params["decoder"], cfg.decoder, batch["rollout_inputs"],
-            batch["img_latent"], batch["rollout_input_valid"],
-            batch["latent_valid"], compute_dtype=compute_dtype, rng=rng,
+            params["decoder"], cfg.decoder, mb["rollout_inputs"],
+            mb["img_latent"], mb["rollout_input_valid"], mb["latent_valid"],
+            compute_dtype=compute_dtype, rng=rng, deterministic=True,
+            remat=True)
+        obj_sum = calc_grpo_objective_sum(
+            theta_logits, mb["rollouts"], mb["rollout_input_valid"],
+            mb["old_log_probs"], mb["advantages"], epsilon)
+        ent_sum = calc_entropy_sum(theta_logits, mb["rollout_input_valid"])
+        obj = obj_sum / num_groups
+        ent_bonus = ent_sum / total_rollouts / jnp.log(vocab_size)
+        return -(obj + entropy_beta * ent_bonus), (obj, ent_bonus)
+
+    def ce_loss(params, batch):
+        gold_logits = omr_decoder.forward(
+            params["decoder"], cfg.decoder, batch["gold_inputs"],
+            batch["unexpanded_img_latent"], batch["gold_input_valid"],
+            batch["unexpanded_latent_valid"], compute_dtype=compute_dtype,
             deterministic=True, remat=True)
-        obj = calc_grpo_objective(
-            theta_logits, batch["rollouts"], batch["rollout_input_valid"],
-            batch["old_log_probs"], batch["advantages"], epsilon, num_groups)
-        ent = calc_entropy_bonus(theta_logits, batch["rollout_input_valid"],
-                                 vocab_size)
+        return vitomr_lib.omr_ce_loss(gold_logits, batch["gold_targets"],
+                                      cfg.decoder.pad_idx)
+
+    rollout_keys = ("rollouts", "rollout_inputs", "rollout_input_valid",
+                    "old_log_probs", "advantages", "img_latent", "latent_valid")
+
+    def step(state, batch, rng):
+        r_total = batch["rollouts"].shape[0]
+        m = rollout_microbatches if r_total % rollout_microbatches == 0 else 1
+        micro = {k: batch[k].reshape((m, r_total // m) + batch[k].shape[1:])
+                 for k in rollout_keys}
+        rngs = jax.random.split(rng, m)
+
+        def body(carry, xs):
+            grads_acc, obj_acc, ent_acc = carry
+            mb, r = xs
+            (loss_m, (obj, ent)), g = jax.value_and_grad(
+                rollout_loss, has_aux=True)(state.params, mb,
+                                            jnp.float32(r_total),
+                                            batch["entropy_beta"], r)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, g)
+            return (grads_acc, obj_acc + obj, ent_acc + ent), None
+
+        zero = jax.tree.map(jnp.zeros_like, state.params)
+        (grads, obj, ent), _ = jax.lax.scan(body, (zero, 0.0, 0.0), (micro, rngs))
 
         ce = jnp.float32(0.0)
         if "gold_inputs" in batch:
-            gold_logits = omr_decoder.forward(
-                params["decoder"], cfg.decoder, batch["gold_inputs"],
-                batch["unexpanded_img_latent"], batch["gold_input_valid"],
-                batch["unexpanded_latent_valid"], compute_dtype=compute_dtype,
-                deterministic=True, remat=True)
-            ce = vitomr_lib.omr_ce_loss(gold_logits, batch["gold_targets"],
-                                        cfg.decoder.pad_idx)
+            ce, ce_grads = jax.value_and_grad(ce_loss)(state.params, batch)
+            grads = jax.tree.map(
+                lambda g, cg: g + batch["lambda_ce"] * cg, grads, ce_grads)
 
-        shaped = (obj + batch["entropy_beta"] * ent - batch["lambda_ce"] * ce)
-        loss = -shaped
-        return loss, {"grpo_objective": obj, "entropy_bonus": ent, "ce_loss": ce}
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        loss = -(obj + batch["entropy_beta"] * ent - batch["lambda_ce"] * ce)
+        metrics = {"loss": loss, "grpo_objective": obj, "entropy_bonus": ent,
+                   "ce_loss": ce, "grad_norm": optax.global_norm(grads)}
+        return trainer.TrainState(state.step + 1, params, opt_state), metrics
 
-    return trainer.make_train_step(loss_fn, tx, donate=False)
+    return jax.jit(step)
 
 
 # ---------------------------------------------------------------------------

@@ -89,6 +89,22 @@ def main():
     tokens_per_sec = BATCH * (DECODE_LEN - 1) / elapsed
     p50_latency = measure_p50_latency(cfg, params, mem, mem_valid)
 
+    # typical workload: real LMX systems run ~230 tokens (tests/data samples),
+    # staying on the short cache segment — decode 256 tokens/system
+    typ_cfg = DecoderConfig(max_lmx_seq_len=256, eos_idx=-1)
+    from acai_omr_tpu.models import decode as decode_lib
+
+    def run_typical():
+        s = decode_lib.generate(params, typ_cfg, mem, mem_valid, max_len=256,
+                                compute_dtype=jnp.bfloat16,
+                                cache_dtype=jnp.bfloat16)
+        jax.block_until_ready(s[0])
+
+    run_typical()
+    t0 = time.perf_counter()
+    run_typical()
+    typical_systems_per_sec = BATCH / (time.perf_counter() - t0)
+
     vs_baseline = None
     if BASELINE_PATH.exists():
         base = json.loads(BASELINE_PATH.read_text())
@@ -103,6 +119,7 @@ def main():
         "tokens_per_sec": round(tokens_per_sec, 1),
         "decode_wall_s": round(elapsed, 3),
         "p50_single_system_latency_s": round(p50_latency, 3),
+        "typical_systems_per_sec_256tok": round(typical_systems_per_sec, 2),
         "device": str(jax.devices()[0]),
     }))
 

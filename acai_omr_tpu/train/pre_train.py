@@ -96,12 +96,14 @@ def pre_train(mae_cfg: MaeConfig, train_dataset, validation_dataset, *,
               min_lr: float = MIN_LR, checkpoint_freq: int = CHECKPOINT_FREQ,
               model_dir: Path = MODEL_DIR_PATH, num_workers: int = NUM_WORKERS,
               bucket_boundaries=None, seed: int = 0,
-              compute_dtype=jnp.bfloat16):
+              compute_dtype=jnp.bfloat16, resume_from: str | None = None):
     """Full pretraining loop; returns (params, stats). Testable with tiny
-    datasets/configs (reference test pattern: full-loop smoke test)."""
+    datasets/configs (reference test pattern: full-loop smoke test).
+    ``resume_from``: a train-state checkpoint to continue from (a capability
+    the reference lacks, SURVEY.md §5)."""
     model_dir = Path(model_dir)
-    model_dir.mkdir(parents=True, exist_ok=False)  # refuse to overwrite a run
-    (model_dir / "checkpoints").mkdir()
+    model_dir.mkdir(parents=True, exist_ok=resume_from is not None)
+    (model_dir / "checkpoints").mkdir(exist_ok=resume_from is not None)
 
     if params is None:
         params = mae_lib.init_mae_params(jax.random.PRNGKey(seed), mae_cfg)
@@ -136,6 +138,12 @@ def pre_train(mae_cfg: MaeConfig, train_dataset, validation_dataset, *,
     # own the buffers (the jitted step donates the train state)
     params = jax.tree.map(jnp.array, params)
     state = trainer.create_train_state(params, tx)
+    start_epoch = 0
+    if resume_from:
+        state = ckpt_lib.load_train_state(resume_from, state)
+        start_epoch = int(state.step) // max(steps_per_epoch, 1)
+        print(f"Resumed from {resume_from} at step {int(state.step)} "
+              f"(epoch {start_epoch})")
     step_fn = trainer.make_train_step(make_loss_fn(mae_cfg, compute_dtype), tx)
     eval_fn = make_eval_fn(mae_cfg, compute_dtype)
 
@@ -152,7 +160,7 @@ def pre_train(mae_cfg: MaeConfig, train_dataset, validation_dataset, *,
         except Exception:
             pass
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
         epoch_loss, n_batches = 0.0, 0
         try:

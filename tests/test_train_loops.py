@@ -88,3 +88,24 @@ def test_pre_train_data_parallel_8dev(tmp_path):
         checkpoint_freq=5, model_dir=tmp_path / "mae_dp", num_workers=2,
         bucket_boundaries=[(64, 96)], compute_dtype=jnp.float32)
     assert np.isfinite(stats["train_losses"][0])
+
+
+def test_pre_train_resume(tmp_path):
+    """Crash/interrupt resume: continue from a train-state checkpoint
+    (capability absent upstream)."""
+    cfg = MaeConfig(encoder=TINY_ENC, mask_ratio=0.75, decoder_num_layers=2,
+                    decoder_hidden_dim=8, decoder_num_heads=2,
+                    decoder_mlp_dim=16)
+    train_ds = DebugDataset(n=4, sizes=((64, 96),), kind="mae")
+    val_ds = DebugDataset(n=2, sizes=((64, 96),), kind="mae", seed=1)
+    kwargs = dict(batch_size=2, warmup_epochs=1, checkpoint_freq=1,
+                  model_dir=tmp_path / "mae", num_workers=2,
+                  bucket_boundaries=[(64, 96)], compute_dtype=jnp.float32)
+    p1, _ = pre_train.pre_train(cfg, train_ds, val_ds, epochs=1, **kwargs)
+    p2, stats = pre_train.pre_train(
+        cfg, train_ds, val_ds, epochs=2,
+        resume_from=tmp_path / "mae" / "checkpoints" / "epoch_1", **kwargs)
+    # resumed run trains only the remaining epoch
+    assert len(stats["train_losses"]) == 1
+    # and starts from the checkpointed params (so p2 != fresh init progression)
+    assert np.isfinite(stats["train_losses"][0])

@@ -41,6 +41,7 @@ MODEL_DIR_PATH = Path("grpo_omr_train")
 
 # reference hyperparameters (omr_grpo_train.py:21-83)
 TRAIN_BATCH_SIZE = 16
+MINI_VALIDATION_SIZE = 1000
 LR = 1e-6
 ADAMW_BETAS = (0.9, 0.95)
 ADAMW_WEIGHT_DECAY = 0.0
@@ -375,7 +376,7 @@ def grpo_frozen_scales(params) -> dict:
         lambda kp, _: 1.0 if names(kp)[0] == "decoder" else 0.0, params)
 
 
-def mini_validate(params, state_params, cfg: ViTOMRConfig,
+def mini_validate(state_params, cfg: ViTOMRConfig,
                   grpo_config: GRPOConfig, dataset, tokenizer, rng,
                   batch_size: int = 32, max_examples: int = 128,
                   compute_dtype=jnp.bfloat16, reward_workers: int = 16):
@@ -465,7 +466,8 @@ def grpo_train(cfg: ViTOMRConfig, params, dataset, tokenizer: LmxTokenizer, *,
                batch_size: int = TRAIN_BATCH_SIZE, lr: float = LR,
                model_dir: Path = MODEL_DIR_PATH, seed: int = 0,
                compute_dtype=jnp.bfloat16, reward_workers: int = 16,
-               exploration_steps: int = EXPLORATION_STEPS):
+               exploration_steps: int = EXPLORATION_STEPS,
+               val_dataset=None, mini_validation_size: int = MINI_VALIDATION_SIZE):
     """Outer GRPO loop: per batch, refresh the old-policy snapshot and run
     ``grpo_update`` (reference: epoch_train_loop, omr_grpo_train.py:404-453).
 
@@ -523,6 +525,19 @@ def grpo_train(cfg: ViTOMRConfig, params, dataset, tokenizer: LmxTokenizer, *,
             if step_idx % grpo_config.checkpoint_freq == 0:
                 ckpt_lib.save_train_state(
                     model_dir / "checkpoints" / f"step_{step_idx}", state)
+            if (val_dataset is not None
+                    and step_idx % grpo_config.mini_validation_freq == 0):
+                rng, val_rng = jax.random.split(rng)
+                val = mini_validate(state.params, cfg, grpo_config,
+                                    val_dataset, tokenizer, val_rng,
+                                    max_examples=mini_validation_size,
+                                    compute_dtype=compute_dtype,
+                                    reward_workers=reward_workers)
+                writer.scalar("mini_val/reward", val["reward"], step_idx)
+                writer.scalar("mini_val/ce_loss", val["ce_loss"], step_idx)
+                if val["components"] is not None:
+                    writer.scalars("mini_val/reward/components",
+                                   val["components"].to_dict(), step_idx)
         writer.flush()
 
     ckpt_lib.save_pytree(model_dir / "grpo_vitomr", state.params)
@@ -537,4 +552,4 @@ if __name__ == "__main__":
     cfg_tf = set_up_vitomr(tokenizer)
     tf_params = ckpt_lib2.load_params("tf_omr_train/vitomr")
     cfg, params = set_up_grpo(cfg_tf, tf_params)
-    grpo_train(cfg, params, train_ds, tokenizer)
+    grpo_train(cfg, params, train_ds, tokenizer, val_dataset=val_ds)

@@ -190,3 +190,42 @@ def test_grpo_update_smoke(rng):
     # decoder moved
     assert np.abs(np.asarray(new_state.params["decoder"]["unembed"]["kernel"]) -
                   np.asarray(params["decoder"]["unembed"]["kernel"])).max() > 0
+
+
+def test_mini_validate_smoke(rng):
+    import copy
+    from acai_omr_tpu.data.tokenizer import LmxTokenizer
+    from acai_omr_tpu.lmx.delinearizer import delinearize
+    from acai_omr_tpu.models import vitomr as vitomr_lib
+    from acai_omr_tpu.models.omr_decoder import DecoderConfig
+    from acai_omr_tpu.models.vit_encoder import EncoderConfig
+    from acai_omr_tpu.models.vitomr import ViTOMRConfig
+
+    tok = LmxTokenizer()
+    cfg = ViTOMRConfig(
+        encoder=EncoderConfig(patch_size=16, pe_max_height=6, pe_max_width=8,
+                              num_layers=2, hidden_dim=16, num_heads=2,
+                              mlp_dim=24, dropout=0.0),
+        decoder=DecoderConfig.from_tokenizer(tok, max_lmx_seq_len=64,
+                                             num_layers=2, hidden_dim=16,
+                                             num_heads=2, mlp_dim=24,
+                                             dropout=0.0),
+        transition_head_dim=24, transition_head_dropout=0.0)
+    params = vitomr_lib.init_vitomr_params(jax.random.PRNGKey(0), cfg)
+
+    lmx = "measure time beats:4 beat-type:4 clef:G2 C4 voice:1 quarter rest quarter"
+    xml, _ = delinearize(lmx)
+    dataset = [(rng.random((1, 48, 64), dtype=np.float32), tok.encode(lmx), xml)
+               for _ in range(3)]
+    grpo_config = R.GRPOConfig(
+        rollout_config=R.RolloutConfig(group_size=1, max_actions=12, top_k=5,
+                                       temperature=1.0),
+        reward_config=G.INITIAL_REWARD_CONFIG,
+        loss_config=G.INITIAL_LOSS_CONFIG,
+        update_config=G.INITIAL_UPDATE_CONFIG,
+        mini_validation_freq=1, checkpoint_freq=10)
+    out = G.mini_validate(params, cfg, grpo_config, dataset, tok,
+                          jax.random.PRNGKey(0), batch_size=2, max_examples=3,
+                          compute_dtype=jnp.float32, reward_workers=2)
+    assert np.isfinite(out["reward"]) and np.isfinite(out["ce_loss"])
+    assert out["components"] is not None

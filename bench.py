@@ -91,8 +91,9 @@ def main():
 
     # typical workload: real LMX systems run ~230 tokens (tests/data samples),
     # staying on the short cache segment — decode 256 tokens/system
-    typ_cfg = DecoderConfig(max_lmx_seq_len=256, eos_idx=-1)
     from acai_omr_tpu.models import decode as decode_lib
+    from acai_omr_tpu.models.omr_decoder import DecoderConfig
+    typ_cfg = DecoderConfig(max_lmx_seq_len=256, eos_idx=-1)
 
     def run_typical():
         s = decode_lib.generate(params, typ_cfg, mem, mem_valid, max_len=256,

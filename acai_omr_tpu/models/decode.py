@@ -386,7 +386,8 @@ def mask_and_clip_seqs(seqs, log_probs, eos_idx: int, pad_idx: int):
 def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
              *, max_len: int = 1536, sampling: SamplingConfig | None = None,
              rng=None, initial_segment: int = 256, segment_steps: int | None = None,
-             compute_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16):
+             compute_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16,
+             compact: bool = True):
     """Batched KV-cached generation (greedy or sampled).
 
     Equivalent of ``ViTOMR.cached_greedy_generate`` /
@@ -394,11 +395,24 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
     Decodes in geometrically growing cache segments; returns
     (seqs, log_probs, seq_mask) trimmed to the longest live sequence.
     """
+    import numpy as np
+
     b = img_latent.shape[0]
     mem = precompute_memory_kv(params, cfg, img_latent, latent_valid,
                                compute_dtype, cache_dtype)
     cache_len = min(initial_segment, max_len)
     state = init_decode_state(cfg, b, max_len, cache_len, rng, cache_dtype)
+
+    # master per-original-row results; active rows map into it via row_map
+    master_seqs = state.seqs
+    master_lps = state.log_probs
+    row_map = np.arange(b)
+
+    def write_back(ms, ml, st, rows):
+        rows_j = jnp.asarray(rows)
+        ms = ms.at[rows_j].set(st.seqs[: len(rows)])
+        ml = ml.at[rows_j].set(st.log_probs[: len(rows)])
+        return ms, ml
 
     # num_steps is an upper bound (stop_t also respects cache_len/max_len);
     # keeping it a constant avoids recompiling per segment position.
@@ -406,12 +420,39 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
     while True:
         state = decode_segment(params, cfg, state, mem, steps, sampling, compute_dtype)
         t = int(state.t)
+        master_seqs, master_lps = write_back(master_seqs, master_lps, state, row_map)
         if t >= max_len or bool(jnp.all(state.finished)):
             break
         if t > int(state.k_cache.shape[-1]):
+            # segment boundary: before growing the cache, drop finished rows
+            # (batch compaction — finished rows otherwise keep paying full
+            # cache bandwidth until everyone is done; real batches complete
+            # raggedly, so this is a large win on mixed-length workloads)
+            if compact:
+                finished = np.asarray(state.finished[: len(row_map)])
+                unfinished = np.flatnonzero(~finished)
+                target_b = max(1, 1 << (len(unfinished) - 1).bit_length()) \
+                    if len(unfinished) else 1
+                if len(unfinished) and target_b <= len(row_map) // 2:
+                    pad_rows = np.full(target_b - len(unfinished), unfinished[0])
+                    sel = jnp.asarray(np.concatenate([unfinished, pad_rows]))
+                    # duplicate pad rows are marked finished so they can't
+                    # block the all-finished early exit
+                    fin = jnp.zeros((target_b,), bool).at[len(unfinished):].set(True)
+                    state = DecodeState(
+                        state.seqs[sel], state.log_probs[sel], fin, state.t,
+                        state.k_cache[:, sel], state.v_cache[:, sel], state.rng,
+                        None if state.k_scale is None else state.k_scale[:, sel],
+                        None if state.v_scale is None else state.v_scale[:, sel])
+                    mem = MemoryKV(
+                        mem.k[:, sel], mem.v[:, sel],
+                        None if mem.bias is None else mem.bias[sel],
+                        None if mem.k_scale is None else mem.k_scale[:, sel],
+                        None if mem.v_scale is None else mem.v_scale[:, sel])
+                    row_map = row_map[unfinished]
             state = grow_cache(state, _next_segment(int(state.k_cache.shape[-1]), max_len))
 
-    return mask_and_clip_seqs(state.seqs, state.log_probs, cfg.eos_idx, cfg.pad_idx)
+    return mask_and_clip_seqs(master_seqs, master_lps, cfg.eos_idx, cfg.pad_idx)
 
 
 def streamed_generate(params: Params, cfg: DecoderConfig, img_latent,

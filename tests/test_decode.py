@@ -147,3 +147,23 @@ def test_int8_cache_decode_matches_fp32(setup):
     n = min(ref.shape[1], q.shape[1])
     agree = (np.asarray(ref)[:, :n] == np.asarray(q)[:, :n]).mean()
     assert agree > 0.9, agree
+
+
+def test_batch_compaction_matches_uncompacted(setup):
+    """Finished-row compaction at segment boundaries must not change any
+    row's output (greedy)."""
+    params, mem, mem_valid = setup
+    # larger batch with varied finish times; tiny segments force several
+    # compaction opportunities
+    big_mem = jnp.concatenate([mem, mem * 0.5, mem * -0.3, mem * 1.7], axis=0)
+    big_valid = jnp.concatenate([mem_valid] * 4, axis=0)
+    ref = decode_lib.generate(params, CFG, big_mem, big_valid, max_len=40,
+                              compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+                              initial_segment=8, compact=False)
+    out = decode_lib.generate(params, CFG, big_mem, big_valid, max_len=40,
+                              compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+                              initial_segment=8, compact=True)
+    n = min(ref[0].shape[1], out[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(out[0])[:, :n], np.asarray(ref[0])[:, :n])
+    np.testing.assert_allclose(np.asarray(out[1])[:, :n], np.asarray(ref[1])[:, :n],
+                               atol=1e-5)

@@ -74,6 +74,42 @@ def measure_p50_latency(cfg, params, mem, mem_valid, tokens: int = 256,
     return float(np.median(times))
 
 
+def measure_dp_throughput(cfg, params):
+    """Multi-chip: batch-sharded decode over all devices (systems/sec total).
+
+    No cross-chip traffic in the decode loop — scaling is linear; reported
+    only when more than one device is attached (e.g. a v5e-8 slice).
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from acai_omr_tpu.models import decode as decode_lib
+    from acai_omr_tpu.parallel import mesh as mesh_lib
+
+    n_dev = len(jax.devices())
+    mesh = mesh_lib.make_mesh(n_dev, 1)
+    b = BATCH * n_dev
+    rng = np.random.default_rng(1)
+    mem = jax.device_put(
+        jnp.asarray(rng.standard_normal((b, MEM_LEN, cfg.hidden_dim)),
+                    dtype=jnp.bfloat16),
+        NamedSharding(mesh, P(mesh_lib.DATA_AXIS, None, None)))
+    mem_valid = jax.device_put(jnp.ones((b, MEM_LEN), dtype=bool),
+                               NamedSharding(mesh, P(mesh_lib.DATA_AXIS)))
+    params_r = jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), params)
+
+    def run():
+        s = decode_lib.generate(params_r, cfg, mem, mem_valid, max_len=DECODE_LEN,
+                                compute_dtype=jnp.bfloat16,
+                                cache_dtype=jnp.bfloat16, compact=False)
+        jax.block_until_ready(s[0])
+
+    run()
+    t0 = time.perf_counter()
+    run()
+    return b / (time.perf_counter() - t0)
+
+
 def main():
     cfg, params, mem, mem_valid = build()
     run_decode(cfg, params, mem, mem_valid)  # warm-up / compile
@@ -112,6 +148,12 @@ def main():
         if base.get("systems_per_sec"):
             vs_baseline = systems_per_sec / base["systems_per_sec"]
 
+    extras = {}
+    if len(jax.devices()) > 1:
+        extras["dp_systems_per_sec_all_chips"] = round(
+            measure_dp_throughput(cfg, params), 2)
+        extras["num_devices"] = len(jax.devices())
+
     print(json.dumps({
         "metric": "systems/sec/chip (KV-cached LMX decode, B=32, 511 tok/system, mem 512)",
         "value": round(systems_per_sec, 3),
@@ -122,6 +164,7 @@ def main():
         "p50_single_system_latency_s": round(p50_latency, 3),
         "typical_systems_per_sec_256tok": round(typical_systems_per_sec, 2),
         "device": str(jax.devices()[0]),
+        **extras,
     }))
 
 

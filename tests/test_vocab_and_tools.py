@@ -84,3 +84,26 @@ def test_native_resize_patchify_consistency(rng):
     resized = np.clip(native_imgproc.resize_bicubic(img, th, tw), 0, 1)
     ref = patch_ops.patchify(resized[None], p)
     np.testing.assert_allclose(fused, ref, atol=1e-6)
+
+
+def test_camera_augmentations_shapes_and_ranges(rng):
+    """Each augmentation preserves shape and [0,1] range; RandomApply with
+    p=0 is identity (reference stack: pre_train.py:178-190)."""
+    from acai_omr_tpu.data import transforms as tf
+    g = np.random.default_rng(0)
+    img = rng.random((1, 48, 64), dtype=np.float32)
+    for aug in [tf.GaussianBlur(15, (0.2, 0.7), g), tf.GaussianNoise(0.03, g),
+                tf.RandomRotation((-2, 2), g), tf.RandomPerspective(0.2, 1.0, g),
+                tf.ColorJitter(0.15, 0.2, 0.2, 0, g)]:
+        out = aug(img.copy())
+        assert out.shape == img.shape, type(aug).__name__
+        assert np.isfinite(out).all()
+        assert out.min() >= -0.25 and out.max() <= 1.25, type(aug).__name__
+
+    ident = tf.RandomApply([tf.GaussianNoise(0.5, g)], p=0.0, rng=g)
+    np.testing.assert_array_equal(ident(img.copy()), img)
+
+    full = tf.default_camera_augment(1.0, np.random.default_rng(1))
+    out = full(img.copy())
+    assert out.shape == img.shape
+    assert out.min() >= 0.0 and out.max() <= 1.0

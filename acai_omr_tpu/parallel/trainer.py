@@ -151,6 +151,46 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_grad_fn(loss_fn: Callable):
+    """Jitted (loss, grads) evaluator — the building block for host-driven
+    gradient accumulation across *differently-shaped* bucketed batches (a
+    lax.scan can't span shape buckets; summing grads on device can)."""
+
+    @jax.jit
+    def grad_fn(params, batch, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng)
+        return loss, grads
+
+    return grad_fn
+
+
+def make_apply_fn(tx: optax.GradientTransformation):
+    """Jitted optimizer application for accumulated gradients.
+
+    ``scale`` rescales the summed window gradients before the update; the
+    reference steps on the raw SUM of per-batch mean gradients
+    (loss.backward() x8 then step, omr_teacher_force_train.py:118-127), so
+    its parity value is 1.0.
+    """
+
+    @jax.jit
+    def apply_fn(state: TrainState, grads, scale):
+        grads = jax.tree.map(lambda g: g * scale, grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(state.step + 1, params, opt_state)
+
+    return apply_fn
+
+
+def accumulate_grads(acc, grads):
+    """Device-side pytree add (None acc starts the window)."""
+    if acc is None:
+        return grads
+    return jax.tree.map(jnp.add, acc, grads)
+
+
 def make_accum_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
                           num_microbatches: int, donate: bool = True):
     """Gradient-accumulation variant: ``batch`` leaves carry a leading

@@ -152,9 +152,8 @@ def omr_teacher_force_train(cfg: ViTOMRConfig, params, train_dataset,
     train_loader = PrefetchLoader(train_dataset, sampler, pack, num_workers)
     val_loader = PrefetchLoader(validation_dataset, val_sampler, pack, num_workers)
 
-    # one optimizer step per packed batch (see NOTE in the train loop); the
-    # reference's accumulated-step count (:209-210) maps onto plain batches
-    opt_steps_per_epoch = max(len(sampler), 1)
+    # optimizer steps per epoch after accumulation (reference: :209-210)
+    opt_steps_per_epoch = max(-(len(sampler) // -max(grad_accumulation_steps, 1)), 1)
     schedule = cosine_anneal_with_warmup(
         base_lr, warmup_epochs * opt_steps_per_epoch,
         epochs * opt_steps_per_epoch, min_lr)
@@ -171,12 +170,16 @@ def omr_teacher_force_train(cfg: ViTOMRConfig, params, train_dataset,
                              MIN_TEACHER_FORCING_PROB, INITIAL_TAU, MIN_TAU,
                              soft_steps=soft_epochs * opt_steps_per_epoch,
                              anneal_steps=tf_anneal_epochs * opt_steps_per_epoch)
-    # two jitted variants (soft/hard sampling); selected per step
-    step_fns = {
-        hard: trainer.make_train_step(
-            make_loss_fn(cfg, {"use_hard_sampling": hard}, compute_dtype), tx)
+    # host-driven gradient accumulation (reference: 8x, effective batch 64,
+    # omr_teacher_force_train.py:40,126): per-microbatch jitted grad evals
+    # (bucket shapes may differ within a window) summed on device, one
+    # optimizer application per window
+    grad_fns = {
+        hard: trainer.make_grad_fn(
+            make_loss_fn(cfg, {"use_hard_sampling": hard}, compute_dtype))
         for hard in (False, True)
     }
+    apply_fn = trainer.make_apply_fn(tx)
     eval_fn = make_eval_fn(cfg, compute_dtype)
 
     writer = MetricsWriter(str(model_dir / "tb"), str(model_dir / "stats.csv"))
@@ -192,27 +195,36 @@ def omr_teacher_force_train(cfg: ViTOMRConfig, params, train_dataset,
         except Exception:
             pass
 
+    accum = max(grad_accumulation_steps, 1)
     for epoch in range(epochs):
         t0 = time.perf_counter()
         epoch_loss, n_micro = 0.0, 0
+        grads_acc, window_losses = None, []
         try:
             for batch in train_loader:
                 tf_prob, tau, use_hard = tf_schedule.at(opt_step)
                 rng, step_rng = jax.random.split(rng)
                 db = _device_batch(batch, {"tf_prob": jnp.float32(tf_prob),
                                            "tau": jnp.float32(tau)})
-                state, metrics = step_fns[use_hard](state, db, step_rng)
-                loss = float(metrics["loss"])
+                loss_dev, grads = grad_fns[use_hard](state.params, db, step_rng)
+                grads_acc = trainer.accumulate_grads(grads_acc, grads)
+                loss = float(loss_dev)
+                window_losses.append(loss)
                 epoch_loss += loss
                 n_micro += 1
-                # NOTE: the reference reaches effective batch 64 via 8x grad
-                # accumulation on one GPU (omr_teacher_force_train.py:40).
-                # Here the same effective batch comes from the data-parallel
-                # mesh (or trainer.make_accum_train_step single-chip with
-                # uniform bucket shapes); one optimizer step per packed batch.
-                writer.scalar("train/loss", loss, opt_step)
-                writer.scalar("train/hyperparams/tf_prob", tf_prob, opt_step)
-                writer.scalar("train/hyperparams/tau", tau, opt_step)
+                if len(window_losses) >= accum:
+                    # reference parity: step on the SUM of window gradients
+                    # (no 1/accum rescale; omr_teacher_force_train.py:118-127)
+                    state = apply_fn(state, grads_acc, jnp.float32(1.0))
+                    writer.scalar("train/loss",
+                                  sum(window_losses) / len(window_losses), opt_step)
+                    writer.scalar("train/hyperparams/tf_prob", tf_prob, opt_step)
+                    writer.scalar("train/hyperparams/tau", tau, opt_step)
+                    grads_acc, window_losses = None, []
+                    opt_step += 1
+            if window_losses:  # epoch-final partial window (reference: :126)
+                state = apply_fn(state, grads_acc, jnp.float32(1.0))
+                grads_acc, window_losses = None, []
                 opt_step += 1
         except (KeyboardInterrupt, Exception):
             emergency_checkpoint()

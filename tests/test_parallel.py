@@ -100,3 +100,37 @@ def test_accum_step_matches_single_large_batch():
 
     np.testing.assert_allclose(np.asarray(s1.params["w"]),
                                np.asarray(s2.params["w"]), atol=1e-6)
+
+
+def test_host_grad_accumulation_matches_fused():
+    """Host-driven accumulation (sum of window grads, reference semantics)
+    across differently-shaped microbatches equals summing grads directly."""
+    params = {"w": jnp.ones((4,))}
+    tx = trainer.adamw(1e-1, weight_decay=0.0)
+
+    def loss_fn(p, batch, rng):
+        return jnp.mean(jnp.sum(p["w"] * batch["x"], axis=-1)), {}
+
+    key = jax.random.PRNGKey(0)
+    # two microbatches with DIFFERENT batch sizes (bucket shapes differ)
+    mb1 = {"x": jax.random.normal(key, (2, 4))}
+    mb2 = {"x": jax.random.normal(jax.random.PRNGKey(1), (5, 4))}
+
+    grad_fn = trainer.make_grad_fn(loss_fn)
+    apply_fn = trainer.make_apply_fn(tx)
+    state = trainer.create_train_state(params, tx)
+    acc = None
+    for mb in (mb1, mb2):
+        _, g = grad_fn(state.params, mb, key)
+        acc = trainer.accumulate_grads(acc, g)
+    state = apply_fn(state, acc, jnp.float32(1.0))
+
+    # oracle: grads of the sum of per-microbatch mean losses
+    def total_loss(p):
+        return (jnp.mean(jnp.sum(p["w"] * mb1["x"], -1))
+                + jnp.mean(jnp.sum(p["w"] * mb2["x"], -1)))
+    og = jax.grad(total_loss)(params)
+    s2 = trainer.create_train_state(params, tx)
+    s2 = apply_fn(s2, og, jnp.float32(1.0))
+    np.testing.assert_allclose(np.asarray(state.params["w"]),
+                               np.asarray(s2.params["w"]), atol=1e-6)

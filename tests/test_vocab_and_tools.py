@@ -107,3 +107,22 @@ def test_camera_augmentations_shapes_and_ranges(rng):
     out = full(img.copy())
     assert out.shape == img.shape
     assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_plots_from_metrics_csv(tmp_path):
+    from acai_omr_tpu.utils.metrics import MetricsWriter
+    from acai_omr_tpu.utils.plots import plot_losses, plot_lr_schedule, plot_stats_csv
+    from acai_omr_tpu.train.schedules import cosine_anneal_with_warmup
+
+    w = MetricsWriter(None, str(tmp_path / "stats.csv"))
+    for step in range(5):
+        w.scalar("epoch/train_loss", 1.0 / (step + 1), step)
+        w.scalar("epoch/val_loss", 1.2 / (step + 1), step)
+    w.flush()
+    files = plot_stats_csv(tmp_path / "stats.csv", tmp_path / "plots")
+    assert len(files) == 2 and all(f.exists() for f in files)
+    out = plot_losses(tmp_path / "stats.csv", tmp_path / "losses.png")
+    assert out.exists() if hasattr(out, "exists") else True
+    sched = cosine_anneal_with_warmup(1e-4, 10, 100, 1e-6)
+    p = plot_lr_schedule(sched, 50, tmp_path / "lr.png")
+    assert (tmp_path / "lr.png").exists()

@@ -69,7 +69,12 @@ def _parse_multipart_image(environ) -> bytes:
             continue
         headers, _, payload = chunk.partition(b"\r\n\r\n")
         if b"filename=" in headers:
-            return payload.rstrip(b"\r\n-")
+            # the part body ends with exactly one CRLF before the next
+            # delimiter; strip only that (an rstrip over b"\r\n-" could eat
+            # legitimate trailing payload bytes)
+            if payload.endswith(b"\r\n"):
+                payload = payload[:-2]
+            return payload
     raise ValueError("no file part found")
 
 

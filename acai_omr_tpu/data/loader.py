@@ -109,24 +109,40 @@ class PrefetchLoader:
     def __iter__(self):
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that notices consumer abandonment (avoids leaking a
+            # blocked producer thread in long-lived processes)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
                     for idxs in self.sampler:
                         examples = list(pool.map(self.dataset.__getitem__, idxs))
-                        q.put(self.pack_fn(examples))
+                        if not put(self.pack_fn(examples)):
+                            return
             except BaseException as e:  # surface worker errors to consumer
-                q.put(e)
+                put(e)
                 return
-            q.put(sentinel)
+            put(sentinel)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

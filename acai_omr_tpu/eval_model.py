@@ -62,8 +62,7 @@ def build_vitomr_test_sets(tokenizer):
 
 
 def eval_mae(weights: str, batch_size: int = 64, num_workers: int = 16):
-    from .models import mae as mae_lib
-    from .train.pre_train import make_eval_fn, set_up_mae, _device_batch
+    from .train.pre_train import _device_batch, make_eval_fn, set_up_mae
 
     cfg = set_up_mae()
     params = jax.tree.map(jnp.asarray, ckpt_lib.load_params(weights))

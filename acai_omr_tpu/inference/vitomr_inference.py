@@ -28,8 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from .. import InferenceEvent
-from ..config import (LMX_VOCAB_PATH, MAX_LMX_SEQ_LEN, OMR_MAX_IMG_SEQ_LEN,
-                      PATCH_SIZE, PE_MAX_HEIGHT, PE_MAX_WIDTH)
+from ..config import (LMX_VOCAB_PATH, OMR_MAX_IMG_SEQ_LEN, PATCH_SIZE,
+                      PE_MAX_HEIGHT, PE_MAX_WIDTH)
 from ..data import transforms as tf_lib
 from ..data.tokenizer import LmxTokenizer
 from ..lmx import delinearizer as delin_lib

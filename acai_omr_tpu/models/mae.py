@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..ops import nn, transformer
 from ..ops import pe as pe_ops
 from . import vit_encoder
-from .vit_encoder import EncoderConfig, MaeMask
+from .vit_encoder import EncoderConfig
 
 Params = dict
 

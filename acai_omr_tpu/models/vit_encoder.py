@@ -22,7 +22,6 @@ acai_omr/models/models.py:14-180, 290-376), redesigned for XLA:
 from __future__ import annotations
 
 import dataclasses
-import math
 
 import jax
 import jax.numpy as jnp

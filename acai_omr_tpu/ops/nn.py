@@ -21,8 +21,6 @@ meaningful:
 from __future__ import annotations
 
 import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

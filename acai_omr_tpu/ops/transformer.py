@@ -13,8 +13,6 @@ sharding a single PartitionSpec per leaf.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -20,7 +20,6 @@ jitted, mesh-sharded train steps:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, NamedTuple
 
 import jax

@@ -9,7 +9,6 @@ streaming is a plain generator response.
 
 from __future__ import annotations
 
-import base64
 import io
 import json
 import tempfile

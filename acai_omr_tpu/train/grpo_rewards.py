@@ -102,7 +102,6 @@ def calc_edit_costs(rollouts: np.ndarray, pad_idx: int, num_groups: int,
                     num_workers: int = 16):
     """TEDn per rollout via the native kernel on a thread pool
     (reference: omr_grpo_train.py:133-154)."""
-    from ..data.tokenizer import LmxTokenizer  # for decode conventions
     jobs = []
     rollout_groups = rollouts.reshape(num_groups, group_size, -1)
     for g, group in enumerate(rollout_groups):

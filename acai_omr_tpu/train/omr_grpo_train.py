@@ -27,14 +27,13 @@ import jax.numpy as jnp
 import optax
 
 from ..data.tokenizer import LmxTokenizer
-from ..models import decode as decode_lib
 from ..models import omr_decoder, vitomr as vitomr_lib
 from ..models.vitomr import ViTOMRConfig
 from ..parallel import trainer
 from ..utils import checkpoint as ckpt_lib
 from ..utils.metrics import MetricsWriter
 from .grpo_rewards import (GRPOConfig, LossConfig, RewardConfig,
-                           RewardComponents, RolloutConfig, UpdateConfig,
+                           RolloutConfig, UpdateConfig,
                            group_advantages, reward_rollouts)
 
 MODEL_DIR_PATH = Path("grpo_omr_train")

@@ -32,7 +32,6 @@ from ..models import vitomr as vitomr_lib
 from ..models.omr_decoder import DecoderConfig
 from ..models.vit_encoder import EncoderConfig
 from ..models.vitomr import ViTOMRConfig
-from ..parallel import mesh as mesh_lib
 from ..parallel import trainer
 from ..utils import checkpoint as ckpt_lib
 from ..utils.metrics import MetricsWriter

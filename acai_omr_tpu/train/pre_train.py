@@ -18,8 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import (DOREMI_PREPARED_ROOT_DIR, GRAND_STAFF_ROOT_DIR,
-                      MAE_MAX_SEQ_LEN, OLIMPIC_SCANNED_ROOT_DIR,
-                      OLIMPIC_SYNTHETIC_ROOT_DIR, PATCH_SIZE, PE_MAX_HEIGHT,
+                      MAE_MAX_SEQ_LEN, OLIMPIC_SYNTHETIC_ROOT_DIR, PATCH_SIZE, PE_MAX_HEIGHT,
                       PE_MAX_WIDTH, PRIMUS_PREPARED_ROOT_DIR)
 from ..data import datasets as ds_lib
 from ..data import transforms as tf_lib

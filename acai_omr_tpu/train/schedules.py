@@ -8,8 +8,6 @@ per-epoch (MAE) or per-optimizer-step (seq2seq). Here schedules are pure
 
 from __future__ import annotations
 
-import math
-
 
 def cosine_anneal_with_warmup(base_lr: float, warmup_steps: int,
                               total_steps: int, final_lr: float,

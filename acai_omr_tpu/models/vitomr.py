@@ -235,3 +235,18 @@ def forward_rollout_policy(params: Params, cfg: ViTOMRConfig, img_latent,
     return decode_lib.generate(params["decoder"], cfg.decoder, img_latent,
                                latent_valid, max_len=max_actions,
                                sampling=sampling, rng=rng, **kwargs)
+
+
+def batch_policy_inference(params: Params, cfg: ViTOMRConfig, imgs, rng,
+                           max_actions: int = 768, top_k: int = 50,
+                           temperature: float = 1.1,
+                           compute_dtype=jnp.bfloat16, **kwargs):
+    """Encode a ragged image list and run one sampled rollout per example
+    (reference: GRPOViTOMR.batch_policy_inference, models.py:962-965)."""
+    pb = vit_encoder.batchify(imgs, cfg.encoder)
+    latent, latent_valid = encode_image(
+        params, cfg, jnp.asarray(pb.patches), jnp.asarray(pb.pe_idx),
+        jnp.asarray(pb.pe_w), jnp.asarray(pb.valid), compute_dtype=compute_dtype)
+    return forward_rollout_policy(params, cfg, latent, latent_valid, rng,
+                                  max_actions, top_k, temperature,
+                                  compute_dtype=compute_dtype, **kwargs)

@@ -108,6 +108,36 @@ def eval_vitomr(weights: str, batch_size: int = 64, num_workers: int = 16):
     return loss
 
 
+def dump_samples(model: str, weights: str, out_dir: str, num: int):
+    """Qualitative sample dumps (reference: eval_model.py -d/-p flags,
+    show_{mae,vitomr}_prediction)."""
+    from pathlib import Path
+    from .utils import visualize
+
+    params = jax.tree.map(jnp.asarray, ckpt_lib.load_params(weights))
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    if model == "mae":
+        from .train.pre_train import set_up_mae
+        cfg = set_up_mae()
+        ds = build_mae_test_sets()
+        for i in range(min(num, len(ds))):
+            inp, tgt = ds[i]
+            visualize.show_mae_prediction(params, cfg, inp, tgt,
+                                          str(out / f"sample_{i}.png"))
+    else:
+        from .train.omr_teacher_force_train import set_up_vitomr
+        tokenizer = LmxTokenizer()
+        cfg = set_up_vitomr(tokenizer)
+        ds = build_vitomr_test_sets(tokenizer)
+        for i in range(min(num, len(ds))):
+            img, lmx = ds[i][0], ds[i][1]
+            ids = tokenizer.encode(lmx) if isinstance(lmx, str) else lmx
+            visualize.show_vitomr_prediction(params, cfg, tokenizer, img, ids,
+                                             str(out / f"sample_{i}"))
+    print(f"Wrote {min(num, len(ds))} sample dumps to {out}")
+
+
 def main():
     ap = argparse.ArgumentParser(description="Evaluate MAE or ViTOMR checkpoints")
     ap.add_argument("model", choices=["mae", "vitomr"])
@@ -115,11 +145,16 @@ def main():
     ap.add_argument("-c", "--from-checkpoint", action="store_true",
                     help="weights is a full train-state checkpoint")
     ap.add_argument("-b", "--batch-size", type=int, default=64)
+    ap.add_argument("-d", "--sample-dir", default=None,
+                    help="also dump sample predictions to this directory")
+    ap.add_argument("-p", "--num-samples", type=int, default=5)
     args = ap.parse_args()
     if args.model == "mae":
         eval_mae(args.weights, args.batch_size)
     else:
         eval_vitomr(args.weights, args.batch_size)
+    if args.sample_dir:
+        dump_samples(args.model, args.weights, args.sample_dir, args.num_samples)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,21 @@ _HTML_DIR = Path(__file__).parent / "templates"
 _STATIC_DIR = Path(__file__).parent / "static"
 
 
+def _export_inference_events():
+    """Write the InferenceEvent enum for the frontend (reference app-factory
+    behavior, acai_omr/__init__.py:21-23) — also needed when gunicorn imports
+    ``application`` directly without going through serve()."""
+    try:
+        _STATIC_DIR.mkdir(exist_ok=True)
+        (_STATIC_DIR / "inference_events.json").write_text(
+            json.dumps({e.name: e.value for e in InferenceEvent}, indent=2))
+    except OSError:
+        pass
+
+
+_export_inference_events()
+
+
 def _response(start, status: str, body: bytes, ctype="application/json",
               extra=()):
     headers = [("Content-Type", ctype), ("Content-Length", str(len(body)))]

@@ -49,18 +49,23 @@ class OmrModel:
             return self.transform(img)
         return self.transform(np.asarray(img))
 
-    def transcribe(self, img, max_len: int = 1536) -> Transcription:
+    def transcribe(self, img, max_len: int = 1536,
+                   beam_size: int = 1) -> Transcription:
         """One system image (path / PIL / array) -> Transcription."""
-        return self.transcribe_batch([img], max_len)[0]
+        return self.transcribe_batch([img], max_len, beam_size)[0]
 
-    def transcribe_batch(self, imgs, max_len: int = 1536) -> list:
-        """Ragged list of system images -> list of Transcription."""
+    def transcribe_batch(self, imgs, max_len: int = 1536,
+                         beam_size: int = 1) -> list:
+        """Ragged list of system images -> list of Transcription.
+
+        ``beam_size > 1`` uses beam-search decode (quality over speed).
+        """
         from .inference.batch_inference import batch_inference
         from .lmx.delinearizer import DelinearizationError, delinearize
 
         arrays = [self._load_image(i) for i in imgs]
         res = batch_inference(self.params, self.cfg, arrays, self.tokenizer,
-                              max_inference_len=max_len)
+                              max_inference_len=max_len, beam_size=beam_size)
         out = []
         for lmx, avg_lp in zip(res.lmx, res.avg_log_probs):
             try:

@@ -36,12 +36,16 @@ def _bucket_key(img, cfg, bucket_multiple):
 
 def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
                     max_inference_len: int = 1536, decode_batch: int = 32,
-                    bucket_multiple: int = 128,
+                    bucket_multiple: int = 128, beam_size: int = 1,
+                    length_penalty: float = 0.6,
                     compute_dtype=jnp.bfloat16) -> BatchResult:
     """Transcribe a list of (C, H, W) float arrays of arbitrary sizes.
 
     Groups by patch-count bucket, then runs encode+decode in ``decode_batch``
     chunks inside each group. Results are returned in input order.
+    ``beam_size > 1`` switches the decode to beam search (quality over
+    throughput; the effective decode batch is ``decode_batch * beam_size``
+    rows).
     """
     order = sorted(range(len(imgs)),
                    key=lambda i: _bucket_key(imgs[i], cfg, bucket_multiple))
@@ -66,9 +70,15 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
             params, cfg, jnp.asarray(pb.patches), jnp.asarray(pb.pe_idx),
             jnp.asarray(pb.pe_w), jnp.asarray(pb.valid),
             compute_dtype=compute_dtype)
-        seqs, lps, mask = decode_lib.generate(
-            params["decoder"], cfg.decoder, latent, latent_valid,
-            max_len=max_inference_len, compute_dtype=compute_dtype)
+        if beam_size > 1:
+            seqs, lps, mask = decode_lib.beam_generate(
+                params["decoder"], cfg.decoder, latent, latent_valid,
+                beam_size=beam_size, length_penalty=length_penalty,
+                max_len=max_inference_len, compute_dtype=compute_dtype)
+        else:
+            seqs, lps, mask = decode_lib.generate(
+                params["decoder"], cfg.decoder, latent, latent_valid,
+                max_len=max_inference_len, compute_dtype=compute_dtype)
         seqs, lps, mask = np.asarray(seqs), np.asarray(lps), np.asarray(mask)
         for row, g in enumerate(group):
             ids = seqs[row][mask[row]]

@@ -455,6 +455,160 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
     return mask_and_clip_seqs(master_seqs, master_lps, cfg.eos_idx, cfg.pad_idx)
 
 
+# ---------------------------------------------------------------------------
+# beam search
+# ---------------------------------------------------------------------------
+
+class BeamState(NamedTuple):
+    """Decode state for ``beam_size`` hypotheses per batch row.
+
+    Caches are flattened to a (B*K) batch axis so the per-step layer stack
+    (:func:`_decode_step_logits`) is shared verbatim with greedy/sampled
+    decoding; beams are reordered each step by gathering cache rows.
+    """
+    seqs: jnp.ndarray       # (B, K, max_len) int32
+    log_probs: jnp.ndarray  # (B, K, max_len) float32 per-token lp
+    scores: jnp.ndarray     # (B, K) float32 cumulative lp
+    finished: jnp.ndarray   # (B, K) bool
+    t: jnp.ndarray          # () int32
+    k_cache: jnp.ndarray    # (L, B*K, H, Dh, T_cache)
+    v_cache: jnp.ndarray
+
+
+def init_beam_state(cfg: DecoderConfig, batch_size: int, beam_size: int,
+                    max_len: int, cache_len: int,
+                    cache_dtype=jnp.bfloat16) -> BeamState:
+    b, k = batch_size, beam_size
+    seqs = jnp.full((b, k, max_len), cfg.pad_idx, dtype=jnp.int32)
+    seqs = seqs.at[:, :, 0].set(cfg.bos_idx)
+    log_probs = jnp.zeros((b, k, max_len), dtype=jnp.float32)
+    scores = jnp.zeros((b, k), dtype=jnp.float32)
+    finished = jnp.zeros((b, k), dtype=bool)
+    shape = (cfg.num_layers, b * k, cfg.num_heads, cfg.head_dim, cache_len)
+    return BeamState(seqs, log_probs, scores, finished, jnp.int32(1),
+                     jnp.zeros(shape, cache_dtype), jnp.zeros(shape, cache_dtype))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "num_steps", "compute_dtype"))
+def beam_decode_segment(params: Params, cfg: DecoderConfig, state: BeamState,
+                        mem: MemoryKV, num_steps: int,
+                        compute_dtype=jnp.bfloat16) -> BeamState:
+    """Run up to ``num_steps`` beam-search steps in one lax.while_loop.
+
+    Standard batched beam search: each step scores all (K x V) continuations
+    per batch row, keeps the top K by cumulative log-prob, and reorders the
+    KV caches by gathering parent rows. Finished beams are frozen — their only
+    continuation is <pad> at log-prob 0, so they compete with alive beams on
+    their final score. The reference decodes greedily only (models.py:600-615);
+    beam search is a capability extension, token-identical to greedy at K=1.
+    """
+    b, k, max_len = state.seqs.shape
+    v = cfg.vocab_size
+    cache_len = state.k_cache.shape[-1]
+    stop_t = jnp.minimum(state.t + num_steps, min(max_len, cache_len + 1))
+
+    def cond(s: BeamState):
+        return (s.t < stop_t) & ~jnp.all(s.finished)
+
+    def body(s: BeamState):
+        prev_tok = jax.lax.dynamic_slice_in_dim(
+            s.seqs, s.t - 1, 1, axis=2)[:, :, 0].reshape(b * k)
+        x = _embed_token(params, prev_tok, s.t - 1, compute_dtype)
+        caches = {"k": s.k_cache, "v": s.v_cache}
+        logits, caches = _decode_step_logits(
+            params, cfg, x, s.t, caches, mem, compute_dtype)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        lp = lp.reshape(b, k, v)
+
+        cand = s.scores[:, :, None] + lp                       # (B, K, V)
+        # finished beams extend only with <pad> at frozen score
+        vocab = jnp.arange(v)[None, None, :]
+        frozen = jnp.where(vocab == cfg.pad_idx, s.scores[:, :, None], nn.NEG_INF)
+        cand = jnp.where(s.finished[:, :, None], frozen, cand)
+        # first expansion: all beams are identical <bos> rows; keep beam 0 only
+        beam_idx = jnp.arange(k)[None, :, None]
+        cand = jnp.where((s.t == 1) & (beam_idx > 0), nn.NEG_INF, cand)
+
+        top_scores, top_idx = jax.lax.top_k(cand.reshape(b, k * v), k)
+        parent = top_idx // v                                  # (B, K)
+        token = (top_idx % v).astype(jnp.int32)
+
+        def gather_beams(x2):                                  # (B, K, ...) by parent
+            return jnp.take_along_axis(
+                x2, parent.reshape(parent.shape + (1,) * (x2.ndim - 2)), axis=1)
+
+        step_lp = top_scores - gather_beams(s.scores[:, :, None])[:, :, 0]
+        seqs = jax.lax.dynamic_update_slice(
+            gather_beams(s.seqs), token[:, :, None], (0, 0, s.t))
+        log_probs = jax.lax.dynamic_update_slice(
+            gather_beams(s.log_probs), step_lp[:, :, None], (0, 0, s.t))
+        finished = gather_beams(s.finished[:, :, None])[:, :, 0] \
+            | (token == cfg.eos_idx)
+
+        flat_parent = (jnp.arange(b)[:, None] * k + parent).reshape(b * k)
+        k_cache = jnp.take(caches["k"], flat_parent, axis=1)
+        v_cache = jnp.take(caches["v"], flat_parent, axis=1)
+        return BeamState(seqs, log_probs, top_scores, finished, s.t + 1,
+                         k_cache, v_cache)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def beam_generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
+                  *, beam_size: int = 4, max_len: int = 1536,
+                  length_penalty: float = 0.6, initial_segment: int = 256,
+                  segment_steps: int | None = None,
+                  compute_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16,
+                  return_all_beams: bool = False):
+    """Batched beam-search generation over the KV-cached decoder.
+
+    Hypotheses are ranked in-loop by cumulative log-prob; the returned beam
+    per row maximizes the GNMT length-normalized score
+    ``lp / ((5 + len) / 6) ** length_penalty`` (``length_penalty=0`` selects
+    by raw log-prob; ``beam_size=1`` is token-identical to greedy
+    :func:`generate`). Returns ``(seqs, log_probs, mask)`` of the best beam,
+    trimmed like :func:`generate`; with ``return_all_beams`` also returns
+    ``(all_seqs, all_scores)``.
+    """
+    b = img_latent.shape[0]
+    k = beam_size
+    # beams share the image latent: expand rows B -> B*K adjacently
+    mem_lat = jnp.repeat(img_latent, k, axis=0)
+    mem_valid = None if latent_valid is None else jnp.repeat(latent_valid, k, axis=0)
+    if cache_dtype == jnp.int8:
+        raise NotImplementedError("beam search supports bf16/f32 caches only")
+    mem = precompute_memory_kv(params, cfg, mem_lat, mem_valid, compute_dtype,
+                               cache_dtype)
+    state = init_beam_state(cfg, b, k, max_len, min(initial_segment, max_len),
+                            cache_dtype)
+
+    steps = segment_steps or max_len
+    while True:
+        state = beam_decode_segment(params, cfg, state, mem, steps, compute_dtype)
+        t = int(state.t)
+        if t >= max_len or bool(jnp.all(state.finished)):
+            break
+        if t > int(state.k_cache.shape[-1]):
+            new_len = _next_segment(int(state.k_cache.shape[-1]), max_len)
+            pad = [(0, 0)] * 4 + [(0, new_len - state.k_cache.shape[-1])]
+            state = state._replace(k_cache=jnp.pad(state.k_cache, pad),
+                                   v_cache=jnp.pad(state.v_cache, pad))
+
+    # select best beam per row by length-normalized score
+    mask = create_inference_mask(state.seqs.reshape(b * k, -1), cfg.eos_idx)
+    lengths = jnp.sum(mask.reshape(b, k, -1), axis=-1) - 1  # exclude <bos>
+    norm = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
+    final_scores = state.scores / jnp.maximum(norm, 1e-6)
+    best = jnp.argmax(final_scores, axis=-1)                 # (B,)
+    take = lambda x: jnp.take_along_axis(
+        x, best.reshape((b,) + (1,) * (x.ndim - 1)), axis=1)[:, 0]
+    out = mask_and_clip_seqs(take(state.seqs), take(state.log_probs),
+                             cfg.eos_idx, cfg.pad_idx)
+    if return_all_beams:
+        return out + (state.seqs, final_scores)
+    return out
+
+
 def streamed_generate(params: Params, cfg: DecoderConfig, img_latent,
                       latent_valid, *, max_len: int = 1536,
                       flush_interval: int = 25, compute_dtype=jnp.bfloat16):

@@ -220,6 +220,17 @@ def cached_greedy_generate(params: Params, cfg: ViTOMRConfig, img_latent,
                                latent_valid, max_len=max_len, **kwargs)
 
 
+def cached_beam_generate(params: Params, cfg: ViTOMRConfig, img_latent,
+                         latent_valid=None, beam_size: int = 4,
+                         max_len: int = 1536, **kwargs):
+    """Beam-search decode (capability extension; the reference is greedy-only
+    with a beam-ready uncached ``generate``, models.py:749-757). Returns
+    (seqs, log_probs, seq_mask) of the best length-normalized beam."""
+    return decode_lib.beam_generate(params["decoder"], cfg.decoder, img_latent,
+                                    latent_valid, beam_size=beam_size,
+                                    max_len=max_len, **kwargs)
+
+
 def expand_img_latent_for_rollout(img_latent, latent_valid, group_size: int):
     """(B, T, E) -> (B*G, T, E) rollout expansion (models.py:883-891)."""
     latent = jnp.repeat(img_latent, group_size, axis=0)

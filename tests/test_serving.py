@@ -154,3 +154,22 @@ def test_batch_inference_ragged(tiny_model, rng):
     assert len(res.lmx) == 3
     assert all(isinstance(s, str) for s in res.lmx)
     assert all(lp <= 0.0 for lp in res.avg_log_probs)
+
+
+def test_batch_inference_beam(tiny_model, rng):
+    """beam_size > 1 routes through beam-search decode and still returns
+    per-image results in input order; beam_size=1 path is unchanged."""
+    import jax.numpy as jnp
+    from acai_omr_tpu.inference.batch_inference import batch_inference
+    from acai_omr_tpu.serving import routes
+
+    m = routes._MODEL
+    imgs = [rng.random((1, 32, 48), dtype=np.float32),
+            rng.random((1, 64, 96), dtype=np.float32)]
+    res = batch_inference(m["params"], m["cfg"], imgs, m["tokenizer"],
+                          max_inference_len=12, decode_batch=2,
+                          bucket_multiple=8, beam_size=3,
+                          compute_dtype=jnp.float32)
+    assert len(res.lmx) == 2
+    assert all(isinstance(s, str) for s in res.lmx)
+    assert all(lp <= 0.0 for lp in res.avg_log_probs)

@@ -227,12 +227,20 @@ def _decode_step_logits(params: Params, cfg: DecoderConfig, x: jnp.ndarray,
     12-layer loop is unrolled in Python so the cache writes stay simple
     indexed updates on the loop carry (in-place under XLA).
     """
+    from ..ops import pallas_decode
+
     e = cfg.hidden_dim
     h, dh = cfg.num_heads, cfg.head_dim
     b = x.shape[0]
     cache_len = caches["k"].shape[-1]
     pos = t - 1  # cache slot for this token's k/v
     quantized = "ks" in caches
+    # fused int8 path: in-kernel cache append + stacked-cache attention (the
+    # XLA DUS writes and per-layer operand slices cost more than int8 saves)
+    fused_int8 = quantized and pallas_decode.use_pallas(
+        jnp.zeros((b, h, dh), compute_dtype), caches["k"][0])
+    fused_mem = (mem.k_scale is not None and pallas_decode.use_pallas(
+        jnp.zeros((b, h, dh), compute_dtype), mem.k[0]))
 
     # positions 0..pos are attendable
     pos_idx = jnp.arange(cache_len)
@@ -249,33 +257,44 @@ def _decode_step_logits(params: Params, cfg: DecoderConfig, x: jnp.ndarray,
         q = q.reshape(b, h, dh)
         k = k.reshape(b, h, dh)
         v = v.reshape(b, h, dh)
-        if quantized:
-            k, ks = _quantize_rows(k)
-            v, vs = _quantize_rows(v)
-            caches["ks"] = jax.lax.dynamic_update_slice(
-                caches["ks"], ks[None, :, :, None], (i, 0, 0, pos))
-            caches["vs"] = jax.lax.dynamic_update_slice(
-                caches["vs"], vs[None, :, :, None], (i, 0, 0, pos))
-        caches["k"] = jax.lax.dynamic_update_slice(
-            caches["k"], k.astype(caches["k"].dtype)[None, :, :, :, None],
-            (i, 0, 0, 0, pos))
-        caches["v"] = jax.lax.dynamic_update_slice(
-            caches["v"], v.astype(caches["v"].dtype)[None, :, :, :, None],
-            (i, 0, 0, 0, pos))
-        attn = decode_attention(
-            q, caches["k"][i], caches["v"][i], self_bias, compute_dtype,
-            k_scale=caches["ks"][i] if quantized else None,
-            v_scale=caches["vs"][i] if quantized else None)
+        if fused_int8:
+            attn, caches["k"], caches["v"], caches["ks"], caches["vs"] = \
+                pallas_decode.self_attention_append_int8(
+                    q, k, v, caches["k"], caches["v"], caches["ks"],
+                    caches["vs"], i, pos, compute_dtype)
+        else:
+            if quantized:
+                k, ks = _quantize_rows(k)
+                v, vs = _quantize_rows(v)
+                caches["ks"] = jax.lax.dynamic_update_slice(
+                    caches["ks"], ks[None, :, :, None], (i, 0, 0, pos))
+                caches["vs"] = jax.lax.dynamic_update_slice(
+                    caches["vs"], vs[None, :, :, None], (i, 0, 0, pos))
+            caches["k"] = jax.lax.dynamic_update_slice(
+                caches["k"], k.astype(caches["k"].dtype)[None, :, :, :, None],
+                (i, 0, 0, 0, pos))
+            caches["v"] = jax.lax.dynamic_update_slice(
+                caches["v"], v.astype(caches["v"].dtype)[None, :, :, :, None],
+                (i, 0, 0, 0, pos))
+            attn = decode_attention(
+                q, caches["k"][i], caches["v"][i], self_bias, compute_dtype,
+                k_scale=caches["ks"][i] if quantized else None,
+                v_scale=caches["vs"][i] if quantized else None)
         attn = nn.dense(sa["out"], attn.reshape(b, e))
         x = nn.layernorm(lp["norm1"], x + attn, eps=1e-5)
 
         ca = lp["cross_attn"]
         qc = jnp.dot(x, ca["in_kernel"][:, :e].astype(compute_dtype)) + ca["in_bias"][:e].astype(compute_dtype)
         qc = qc.reshape(b, h, dh)
-        cattn = decode_attention(
-            qc, mem.k[i], mem.v[i], mem.bias, compute_dtype,
-            k_scale=mem.k_scale[i] if mem.k_scale is not None else None,
-            v_scale=mem.v_scale[i] if mem.v_scale is not None else None)
+        if fused_mem:
+            cattn = pallas_decode.decode_attention_stacked(
+                qc, mem.k, mem.v, i, mem.bias, compute_dtype,
+                mem.k_scale, mem.v_scale)
+        else:
+            cattn = decode_attention(
+                qc, mem.k[i], mem.v[i], mem.bias, compute_dtype,
+                k_scale=mem.k_scale[i] if mem.k_scale is not None else None,
+                v_scale=mem.v_scale[i] if mem.v_scale is not None else None)
         cattn = nn.dense(ca["out"], cattn.reshape(b, e))
         x = nn.layernorm(lp["norm2"], x + cattn, eps=1e-5)
 

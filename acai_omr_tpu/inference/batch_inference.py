@@ -38,14 +38,17 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
                     max_inference_len: int = 1536, decode_batch: int = 32,
                     bucket_multiple: int = 128, beam_size: int = 1,
                     length_penalty: float = 0.6,
-                    compute_dtype=jnp.bfloat16) -> BatchResult:
+                    compute_dtype=jnp.bfloat16,
+                    cache_dtype=jnp.bfloat16) -> BatchResult:
     """Transcribe a list of (C, H, W) float arrays of arbitrary sizes.
 
     Groups by patch-count bucket, then runs encode+decode in ``decode_batch``
     chunks inside each group. Results are returned in input order.
     ``beam_size > 1`` switches the decode to beam search (quality over
     throughput; the effective decode batch is ``decode_batch * beam_size``
-    rows).
+    rows). ``cache_dtype=jnp.int8`` enables quantized KV caches (~1.5x decode
+    throughput on TPU via fused kernels; greedy only, near- but not
+    bit-identical tokens — see docs/PERF.md).
     """
     order = sorted(range(len(imgs)),
                    key=lambda i: _bucket_key(imgs[i], cfg, bucket_multiple))
@@ -78,7 +81,8 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
         else:
             seqs, lps, mask = decode_lib.generate(
                 params["decoder"], cfg.decoder, latent, latent_valid,
-                max_len=max_inference_len, compute_dtype=compute_dtype)
+                max_len=max_inference_len, compute_dtype=compute_dtype,
+                cache_dtype=cache_dtype)
         seqs, lps, mask = np.asarray(seqs), np.asarray(lps), np.asarray(mask)
         for row, g in enumerate(group):
             ids = seqs[row][mask[row]]

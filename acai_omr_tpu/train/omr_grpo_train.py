@@ -499,7 +499,10 @@ def grpo_train(cfg: ViTOMRConfig, params, dataset, tokenizer: LmxTokenizer, *,
     update_step = make_grpo_update_step(
         cfg, tx, batch_size, grpo_config.update_config.epsilon, compute_dtype)
 
-    curriculum = CurriculumScheduler(grpo_config, exploration_steps, total_steps)
+    curriculum = CurriculumScheduler(
+        grpo_config, exploration_steps, total_steps,
+        # never anneal rollouts past what the decoder can score
+        max_max_actions=min(MAX_MAX_ACTIONS, cfg.decoder.max_lmx_seq_len - 1))
     writer = MetricsWriter(str(model_dir / "tb"), str(model_dir / "stats.csv"))
     rng = jax.random.PRNGKey(seed)
     np_rng = np.random.default_rng(seed)

@@ -173,3 +173,18 @@ def test_batch_inference_beam(tiny_model, rng):
     assert len(res.lmx) == 2
     assert all(isinstance(s, str) for s in res.lmx)
     assert all(lp <= 0.0 for lp in res.avg_log_probs)
+
+
+def test_batch_inference_quantized_kv(tiny_model, rng):
+    """cache_dtype=int8 routes through the quantized decode and still
+    produces valid LMX per image."""
+    import jax.numpy as jnp
+    from acai_omr_tpu.inference.batch_inference import batch_inference
+    from acai_omr_tpu.serving import routes
+
+    m = routes._MODEL
+    imgs = [rng.random((1, 32, 48), dtype=np.float32)]
+    res = batch_inference(m["params"], m["cfg"], imgs, m["tokenizer"],
+                          max_inference_len=12, bucket_multiple=8,
+                          compute_dtype=jnp.float32, cache_dtype=jnp.int8)
+    assert len(res.lmx) == 1 and isinstance(res.lmx[0], str)

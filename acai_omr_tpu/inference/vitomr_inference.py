@@ -76,17 +76,27 @@ def encode_images(params, cfg: ViTOMRConfig, imgs, compute_dtype=jnp.bfloat16):
 
 
 def inference(params, cfg: ViTOMRConfig, img, max_inference_len: int = 1536,
-              compute_dtype=jnp.bfloat16):
-    """Batched greedy decode (reference: vitomr_inference.py:73-86).
+              compute_dtype=jnp.bfloat16, beam_size: int = 1,
+              cache_dtype=jnp.bfloat16):
+    """Batched decode (reference: vitomr_inference.py:73-86) — greedy by
+    default; ``beam_size > 1`` runs beam search, ``cache_dtype=jnp.int8``
+    quantized KV caches (greedy only).
 
     ``img``: one (C, H, W) array or a list of them (ragged sizes fine).
     Returns (seqs, log_probs, seq_mask) as numpy arrays.
     """
     imgs = img if isinstance(img, (list, tuple)) else [img]
     latent, latent_valid = encode_images(params, cfg, imgs, compute_dtype)
-    seqs, lps, mask = decode_lib.generate(
-        params["decoder"], cfg.decoder, latent, latent_valid,
-        max_len=max_inference_len, compute_dtype=compute_dtype)
+    if beam_size > 1:
+        seqs, lps, mask = decode_lib.beam_generate(
+            params["decoder"], cfg.decoder, latent, latent_valid,
+            beam_size=beam_size, max_len=max_inference_len,
+            compute_dtype=compute_dtype)
+    else:
+        seqs, lps, mask = decode_lib.generate(
+            params["decoder"], cfg.decoder, latent, latent_valid,
+            max_len=max_inference_len, compute_dtype=compute_dtype,
+            cache_dtype=cache_dtype)
     return np.asarray(seqs), np.asarray(lps), np.asarray(mask)
 
 
@@ -152,12 +162,18 @@ def main():
     ap.add_argument("image", help="path to a system image")
     ap.add_argument("-w", "--weights", default=None)
     ap.add_argument("-o", "--out-prefix", default="inference_result")
+    ap.add_argument("-b", "--beam-size", type=int, default=1,
+                    help="beam-search width (1 = greedy)")
+    ap.add_argument("--int8-kv", action="store_true",
+                    help="quantized int8 KV caches (faster decode, greedy only)")
     args = ap.parse_args()
 
     from PIL import Image
     cfg, params, tokenizer, transform = set_up_omr_inference(args.weights)
     img = transform(Image.open(args.image).convert("L"))
-    seqs, log_probs, mask = inference(params, cfg, img)
+    seqs, log_probs, mask = inference(
+        params, cfg, img, beam_size=args.beam_size,
+        cache_dtype=jnp.int8 if args.int8_kv else jnp.bfloat16)
     for i in range(seqs.shape[0]):
         ids = seqs[i][mask[i]]
         lmx = tokenizer.decode(ids)

@@ -71,7 +71,7 @@ def forward(params: Params, cfg: DecoderConfig, input_seqs: jnp.ndarray,
             img_latent: jnp.ndarray, lmx_valid: jnp.ndarray | None,
             latent_valid: jnp.ndarray | None, *, token_idxs_input: bool = True,
             compute_dtype=jnp.float32, rng=None, deterministic: bool = True,
-            remat: bool = False) -> jnp.ndarray:
+            remat=False) -> jnp.ndarray:
     """Teacher-forced forward -> (B, T, V) logits.
 
     input_seqs: (B, T) int32 right-shifted token ids, or (B, T, E) mixed

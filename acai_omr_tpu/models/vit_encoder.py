@@ -147,7 +147,7 @@ def embed_patches(params: Params, patches: jnp.ndarray, pe_idx: jnp.ndarray,
 
 def encode(params: Params, cfg: EncoderConfig, patches, pe_idx, pe_w, valid,
            compute_dtype=jnp.float32, rng=None, deterministic: bool = True,
-           remat: bool = False, frozen_stop_gradient: bool = False):
+           remat=False, frozen_stop_gradient: bool = False):
     """Full encoder forward on a packed batch.
 
     Returns (latent (B, L, E), valid (B, L)). When

@@ -79,7 +79,7 @@ def transition_head(params: Params, x: jnp.ndarray, dropout_rate: float = 0.0,
 def encode_image(params: Params, cfg: ViTOMRConfig, patches, pe_idx, pe_w,
                  valid, *, compute_dtype=jnp.float32, rng=None,
                  deterministic: bool = True, frozen_stop_gradient: bool = False,
-                 remat: bool = False):
+                 remat=False):
     """Encoder + transition head -> (img_latent (B, L, E_dec), latent_valid)."""
     enc_rng = head_rng = None
     if rng is not None:
@@ -98,7 +98,7 @@ def forward_teacher_forced(params: Params, cfg: ViTOMRConfig, patches, pe_idx,
                            compute_dtype=jnp.float32, rng=None,
                            deterministic: bool = True,
                            frozen_stop_gradient: bool = False,
-                           remat: bool = False) -> jnp.ndarray:
+                           remat=False) -> jnp.ndarray:
     """Image batch + right-shifted LMX -> (B, T, V) logits
     (reference: TeacherForcedViTOMR.forward, models.py:722-736)."""
     enc_rng = dec_rng = None
@@ -160,7 +160,7 @@ def forward_scheduled_sampling(params: Params, cfg: ViTOMRConfig, patches,
                                compute_dtype=jnp.float32,
                                deterministic: bool = False,
                                frozen_stop_gradient: bool = True,
-                               remat: bool = False) -> jnp.ndarray:
+                               remat=False) -> jnp.ndarray:
     """Two-pass scheduled-sampling forward (models.py:819-834):
     teacher-forced logits -> gumbel-mixed embeddings -> second decoder pass."""
     enc_rng, dec1_rng, mix_rng, dec2_rng = jax.random.split(rng, 4)

@@ -547,6 +547,8 @@ def grpo_train(cfg: ViTOMRConfig, params, dataset, tokenizer: LmxTokenizer, *,
 
 
 if __name__ == "__main__":
+    from ..utils import fast_prng
+    fast_prng.enable()
     from ..utils import checkpoint as ckpt_lib2
     from .omr_teacher_force_train import set_up_vitomr
 

@@ -93,7 +93,7 @@ def make_loss_fn(cfg: ViTOMRConfig, tf_state: dict,
             teacher_forcing_prob=batch["tf_prob"], sample_tau=batch["tau"],
             use_hard_sampling=tf_state["use_hard_sampling"], rng=rng,
             compute_dtype=compute_dtype, deterministic=False,
-            frozen_stop_gradient=True, remat=True)
+            frozen_stop_gradient=True, remat="dots")
         loss = vitomr_lib.omr_ce_loss(logits, batch["targets"],
                                       cfg.decoder.pad_idx, label_smoothing)
         return loss, {}
@@ -298,6 +298,8 @@ def build_datasets(base_img_transform):
 
 
 if __name__ == "__main__":
+    from ..utils import fast_prng
+    fast_prng.enable()  # hardware PRNG: ~28% faster steps (utils/fast_prng.py)
     cfg, params, tokenizer, base_img_transform = set_up_omr_teacher_force_train()
     train_ds, val_ds = build_datasets(base_img_transform)
     omr_teacher_force_train(cfg, params, train_ds, val_ds, tokenizer)

@@ -238,6 +238,8 @@ def build_datasets():
 
 
 if __name__ == "__main__":
+    from ..utils import fast_prng
+    fast_prng.enable()  # hardware PRNG: dropout/mask draws off the hot path
     cfg = set_up_mae()
     train_ds, val_ds = build_datasets()
     pre_train(cfg, train_ds, val_ds)

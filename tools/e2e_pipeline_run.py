@@ -134,6 +134,8 @@ def main():
     ap.add_argument("--workdir", default=None)
     args = ap.parse_args()
 
+    from acai_omr_tpu.utils import fast_prng
+    fast_prng.enable()
     workdir = Path(args.workdir or tempfile.mkdtemp(prefix="acai_e2e_"))
     print(f"workdir: {workdir}  device: {jax.devices()[0]}", flush=True)
     t_start = time.perf_counter()

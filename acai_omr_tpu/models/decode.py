@@ -89,14 +89,17 @@ class SamplingConfig:
     temperature: float = 1.1
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "cache_dtype"))
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype", "cache_dtype", "layout"))
 def _memory_kv_arrays(params: Params, cfg: DecoderConfig,
-                      img_latent: jnp.ndarray, compute_dtype, cache_dtype):
+                      img_latent: jnp.ndarray, compute_dtype, cache_dtype,
+                      layout: str = "hd"):
     """Per-layer cross K/V via a layer scan.
 
     Projecting all layers at once materializes an (L, B, M, 2E) intermediate
     (7+ GB for GRPO's 128-rollout batches); scanning keeps the live
-    intermediate at one layer's (B, M, 2E).
+    intermediate at one layer's (B, M, 2E). ``layout="hd"`` produces
+    head-split lane-major (L, B, H, Dh, M) arrays; ``"te"`` keeps the natural
+    time-major (L, B, M, E) shape the monolithic decode kernel consumes.
     """
     e = cfg.hidden_dim
     in_kernel = params["blocks"]["cross_attn"]["in_kernel"]  # (L, E, 3E)
@@ -108,6 +111,8 @@ def _memory_kv_arrays(params: Params, cfg: DecoderConfig,
         kv = jnp.dot(mem, kernel[:, e:].astype(compute_dtype)) \
             + bias_row[e:].astype(compute_dtype)              # (B, M, 2E)
         k, v = jnp.split(kv, 2, axis=-1)
+        if layout == "te":
+            return None, (k.astype(cache_dtype), v.astype(cache_dtype))
 
         def heads(x):
             b, m, _ = x.shape
@@ -129,12 +134,14 @@ def precompute_memory_kv(params: Params, cfg: DecoderConfig,
                          img_latent: jnp.ndarray,
                          latent_valid: jnp.ndarray | None,
                          compute_dtype=jnp.bfloat16,
-                         cache_dtype=jnp.bfloat16) -> MemoryKV:
+                         cache_dtype=jnp.bfloat16,
+                         layout: str = "hd") -> MemoryKV:
     """Project encoder memory into per-layer cross K/V once per batch."""
     bias = None
     if latent_valid is not None:
         bias = jnp.where(latent_valid, 0.0, nn.NEG_INF).astype(jnp.float32)
-    outs = _memory_kv_arrays(params, cfg, img_latent, compute_dtype, cache_dtype)
+    outs = _memory_kv_arrays(params, cfg, img_latent, compute_dtype,
+                             cache_dtype, layout)
     if cache_dtype == jnp.int8:
         k, v, ks, vs = outs
         return MemoryKV(k, v, bias, ks, vs)
@@ -144,13 +151,24 @@ def precompute_memory_kv(params: Params, cfg: DecoderConfig,
 
 def init_decode_state(cfg: DecoderConfig, batch_size: int, max_len: int,
                       cache_len: int, rng=None,
-                      cache_dtype=jnp.bfloat16) -> DecodeState:
-    """Fresh decode state with <bos>-seeded sequences (models.py:562-573)."""
+                      cache_dtype=jnp.bfloat16,
+                      monolith: bool = False) -> DecodeState:
+    """Fresh decode state with <bos>-seeded sequences (models.py:562-573).
+
+    ``monolith=True`` allocates time-major (L, B, T, E) caches for the
+    monolithic Pallas decode kernel (ops.pallas_monolith); the default is the
+    lane-major (L, B, H, Dh, T) layout of the per-op path. The two are
+    distinguished downstream by ndim.
+    """
     seqs = jnp.full((batch_size, max_len), cfg.pad_idx, dtype=jnp.int32)
     seqs = seqs.at[:, 0].set(cfg.bos_idx)
     log_probs = jnp.zeros((batch_size, max_len), dtype=jnp.float32)
     finished = jnp.zeros((batch_size,), dtype=bool)
-    shape = (cfg.num_layers, batch_size, cfg.num_heads, cfg.head_dim, cache_len)
+    if monolith:
+        shape = (cfg.num_layers, batch_size, cache_len, cfg.hidden_dim)
+    else:
+        shape = (cfg.num_layers, batch_size, cfg.num_heads, cfg.head_dim,
+                 cache_len)
     k_cache = jnp.zeros(shape, dtype=cache_dtype)
     v_cache = jnp.zeros(shape, dtype=cache_dtype)
     k_scale = v_scale = None
@@ -163,12 +181,20 @@ def init_decode_state(cfg: DecoderConfig, batch_size: int, max_len: int,
                        v_cache, rng, k_scale, v_scale)
 
 
+def cache_len_of(k_cache: jnp.ndarray) -> int:
+    """Sequence capacity of a cache array in either layout."""
+    return k_cache.shape[2] if k_cache.ndim == 4 else k_cache.shape[-1]
+
+
 def grow_cache(state: DecodeState, new_cache_len: int) -> DecodeState:
     """Pad the KV caches to a longer segment (host-triggered, rare)."""
-    cur = state.k_cache.shape[-1]
+    cur = cache_len_of(state.k_cache)
     if new_cache_len <= cur:
         return state
-    pad = [(0, 0)] * 4 + [(0, new_cache_len - cur)]
+    if state.k_cache.ndim == 4:  # time-major monolith layout
+        pad = [(0, 0), (0, 0), (0, new_cache_len - cur), (0, 0)]
+    else:
+        pad = [(0, 0)] * 4 + [(0, new_cache_len - cur)]
     spad = [(0, 0)] * 3 + [(0, new_cache_len - cur)]
     return state._replace(
         k_cache=jnp.pad(state.k_cache, pad),
@@ -332,11 +358,22 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
 
     Stops early when all sequences are finished or the segment budget, the
     cache length, or max_len is exhausted. Greedy when ``sampling`` is None,
-    else top-k/temperature sampling with per-step PRNG splitting.
+    else top-k/temperature sampling with per-step PRNG splitting. Time-major
+    (4-D) cache states run the monolithic Pallas layer-stack kernel; the
+    5-D layout runs the per-op XLA path.
     """
     max_len = state.seqs.shape[1]
-    cache_len = state.k_cache.shape[-1]
+    cache_len = cache_len_of(state.k_cache)
     stop_t = jnp.minimum(state.t + num_steps, min(max_len, cache_len + 1))
+    monolith = state.k_cache.ndim == 4
+    if monolith:
+        from ..ops import pallas_monolith
+        mono = pallas_monolith.prepack(params, cfg, compute_dtype)
+        b, m_len = mem.k.shape[1], mem.k.shape[2]
+        if mem.bias is None:
+            bias_col = jnp.zeros((b, m_len, 1), jnp.float32)
+        else:
+            bias_col = mem.bias.reshape(b, m_len, 1).astype(jnp.float32)
 
     def cond(s: DecodeState):
         return (s.t < stop_t) & ~jnp.all(s.finished)
@@ -348,8 +385,15 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
         if s.k_scale is not None:
             caches["ks"] = s.k_scale
             caches["vs"] = s.v_scale
-        logits, caches = _decode_step_logits(
-            params, cfg, x, s.t, caches, mem, compute_dtype)
+        if monolith:
+            x_out, caches["k"], caches["v"] = pallas_monolith.decode_layers(
+                mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
+                bias_col, num_heads=cfg.num_heads)
+            x_out = nn.layernorm(params["final_norm"], x_out, eps=1e-6)
+            logits = nn.dense(params["unembed"], x_out).astype(jnp.float32)
+        else:
+            logits, caches = _decode_step_logits(
+                params, cfg, x, s.t, caches, mem, compute_dtype)
 
         rng = s.rng
         if sampling is None:
@@ -415,12 +459,19 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
     (seqs, log_probs, seq_mask) trimmed to the longest live sequence.
     """
     import numpy as np
+    from ..ops import pallas_monolith
 
     b = img_latent.shape[0]
-    mem = precompute_memory_kv(params, cfg, img_latent, latent_valid,
-                               compute_dtype, cache_dtype)
     cache_len = min(initial_segment, max_len)
-    state = init_decode_state(cfg, b, max_len, cache_len, rng, cache_dtype)
+    monolith = pallas_monolith.use_monolith(
+        cfg, b, cache_len, img_latent.shape[1], compute_dtype, cache_dtype)
+    if monolith:
+        cache_len = -(-cache_len // 16) * 16
+    mem = precompute_memory_kv(params, cfg, img_latent, latent_valid,
+                               compute_dtype, cache_dtype,
+                               layout="te" if monolith else "hd")
+    state = init_decode_state(cfg, b, max_len, cache_len, rng, cache_dtype,
+                              monolith=monolith)
 
     # master per-original-row results; active rows map into it via row_map
     master_seqs = state.seqs
@@ -442,7 +493,7 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
         master_seqs, master_lps = write_back(master_seqs, master_lps, state, row_map)
         if t >= max_len or bool(jnp.all(state.finished)):
             break
-        if t > int(state.k_cache.shape[-1]):
+        if t > cache_len_of(state.k_cache):
             # segment boundary: before growing the cache, drop finished rows
             # (batch compaction — finished rows otherwise keep paying full
             # cache bandwidth until everyone is done; real batches complete
@@ -469,7 +520,10 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
                         None if mem.k_scale is None else mem.k_scale[:, sel],
                         None if mem.v_scale is None else mem.v_scale[:, sel])
                     row_map = row_map[unfinished]
-            state = grow_cache(state, _next_segment(int(state.k_cache.shape[-1]), max_len))
+            new_len = _next_segment(cache_len_of(state.k_cache), max_len)
+            if monolith:
+                new_len = -(-new_len // 16) * 16
+            state = grow_cache(state, new_len)
 
     return mask_and_clip_seqs(master_seqs, master_lps, cfg.eos_idx, cfg.pad_idx)
 
@@ -641,15 +695,27 @@ def streamed_generate(params: Params, cfg: DecoderConfig, img_latent,
 
     if img_latent.shape[0] != 1:
         raise ValueError("Streamed generation only supports single image batches")
-    mem = precompute_memory_kv(params, cfg, img_latent, latent_valid, compute_dtype)
-    state = init_decode_state(cfg, 1, max_len, min(256, max_len))
+    from ..ops import pallas_monolith
+
+    cache_len = min(256, max_len)
+    monolith = pallas_monolith.use_monolith(
+        cfg, 1, cache_len, img_latent.shape[1], compute_dtype, jnp.bfloat16)
+    if monolith:
+        cache_len = -(-cache_len // 16) * 16
+    mem = precompute_memory_kv(params, cfg, img_latent, latent_valid,
+                               compute_dtype,
+                               layout="te" if monolith else "hd")
+    state = init_decode_state(cfg, 1, max_len, cache_len, monolith=monolith)
 
     while True:
         start_t = int(state.t)
         if start_t >= max_len or bool(jnp.all(state.finished)):
             break
-        if start_t + flush_interval - 1 > int(state.k_cache.shape[-1]):
-            state = grow_cache(state, _next_segment(int(state.k_cache.shape[-1]), max_len))
+        if start_t + flush_interval - 1 > cache_len_of(state.k_cache):
+            new_len = _next_segment(cache_len_of(state.k_cache), max_len)
+            if monolith:
+                new_len = -(-new_len // 16) * 16
+            state = grow_cache(state, new_len)
         state = decode_segment(params, cfg, state, mem, flush_interval,
                                None, compute_dtype)
         t = int(state.t)

@@ -1,0 +1,381 @@
+"""Monolithic decode-step Pallas kernel: all decoder layers in one pallas_call.
+
+The per-token decode step of the KV-cached LMX decoder (reference:
+acai_omr/models/kv_caching.py:258-302 — 12x {self-attn, cross-attn, FF}) is
+~150 XLA ops per step on the fallback path; per-op dispatch and the missed
+DMA/compute overlap leave it at ~50% of the HBM floor (docs/PERF.md). This
+kernel runs the whole layer stack inside a single Pallas grid:
+
+* **grid = (num_layers, batch_tiles)** — for each layer, every batch tile of
+  rows flows through the full layer body. Layer weights (~28 MB) are fetched
+  once per layer (their block index only depends on the layer id) and overlap
+  the previous layer's compute; KV-cache and memory tiles stream per grid
+  step. v5e VMEM (~128 MB, probed) holds the double-buffered weights plus
+  cache tiles comfortably.
+* **Time-major caches (L, B, T, E)** — the sequence axis lives on sublanes,
+  so appending the new token's K/V writes one 16-sublane tile (~64 KB/step)
+  instead of a 128-wide lane tile (~1 MB/step with the lane-major layout),
+  via aliased input/output buffers (only the touched tile is written back).
+* **Transpose-free attention.** Per row, logits (T, H) come from one
+  ``dot_general`` contracting the lane axis of K (T, E) against a per-head
+  selection of q broadcast to (H, E); the weighted sum contracts sublanes of
+  the softmax weights (T, H) against V (T, E) into (H, E), collapsed back to
+  (1, E) with the same selection mask. Both forms are MXU-native; no
+  reshapes/transposes that Mosaic would reject as relayouts.
+* The token being decoded is folded in analytically (its K/V are quantized
+  to the cache dtype first), matching the fallback's write-then-attend
+  numerics; positions >= pos are masked with the shared NEG_INF.
+
+The step returns the post-layer-stack hidden state; final norm, unembed and
+argmax/sampling stay in XLA (a handful of cheap ops). Opt-out via
+``ACAI_MONOLITH_DECODE=0``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import nn
+
+Params = dict
+
+_ENABLED = os.environ.get("ACAI_MONOLITH_DECODE", "1") == "1"
+
+# test hooks: force the monolith path off-TPU and run the kernel in the
+# Pallas interpreter (CPU parity tests vs the per-op XLA path)
+_FORCE = False
+_INTERPRET = False
+
+
+def set_test_mode(force: bool, interpret: bool) -> None:
+    global _FORCE, _INTERPRET
+    _FORCE = force
+    _INTERPRET = interpret
+
+# sublane tile of the cache's time axis written back per step (>= the bf16
+# sublane tile so the append block is tile-aligned for bf16 and f32 alike)
+_TIME_TILE = 16
+# VMEM budget for the double-buffered cache/memory tiles (weights take ~56 MB
+# of the ~120 MB probed ceiling; see tools/vmem_probe.py)
+_TILE_BUDGET = 40 * 1024 * 1024
+_VMEM_LIMIT = 117 * 1024 * 1024
+
+
+def set_enabled(flag: bool) -> None:
+    global _ENABLED
+    _ENABLED = flag
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2) -> int:
+    """Rows per grid step: largest power-of-2 divisor of ``b`` whose four
+    double-buffered cache/memory blocks fit the tile budget."""
+    bt = 8
+    per_bt = 2 * (t + m) * e * itemsize * 2  # K+V, self+mem, double-buffered
+    while bt > 1 and (b % bt or bt * per_bt > _TILE_BUDGET):
+        bt //= 2
+    return bt
+
+
+def use_monolith(cfg, batch: int, t_cache: int, m_len: int,
+                 compute_dtype, cache_dtype) -> bool:
+    """The kernel covers the flagship decoder shapes (E mult of 128, bf16).
+
+    ``t_cache`` need not be tile-aligned (callers round cache segments up to
+    the time tile); the memory length is fixed per batch and must be.
+    """
+    del t_cache
+    if not _FORCE:
+        if not (_ENABLED and _on_tpu()):
+            return False
+        if compute_dtype != jnp.bfloat16 or cache_dtype != jnp.bfloat16:
+            return False
+    if compute_dtype != cache_dtype:
+        return False
+    e = cfg.hidden_dim
+    return (e % 128 == 0 and cfg.mlp_dim % 128 == 0
+            and 3 * e <= cfg.mlp_dim  # misc bias rows are padded to mlp_dim
+            and e % cfg.num_heads == 0 and (e // cfg.num_heads) % 8 == 0
+            and m_len % _TIME_TILE == 0)
+
+
+def prepack(params: Params, cfg, compute_dtype=jnp.bfloat16) -> Params:
+    """Slice/cast the decoder params into the kernel's operand layout.
+
+    Runs under jit once per decode segment (hoisted out of the token loop).
+    ``misc`` packs every per-layer bias/LayerNorm vector into one
+    (L, 12, mlp_dim) fp32 array so the kernel has a single small operand.
+    """
+    blocks = params["blocks"]
+    e, f = cfg.hidden_dim, cfg.mlp_dim
+    sa, ca = blocks["self_attn"], blocks["cross_attn"]
+
+    def row(x):
+        x = x.astype(jnp.float32)
+        return jnp.pad(x, ((0, 0), (0, f - x.shape[-1])))[:, None, :]
+
+    misc = jnp.concatenate([
+        row(sa["in_bias"]),                 # 0: qkv bias (3E)
+        row(sa["out"]["bias"]),             # 1: self out bias (E)
+        row(ca["in_bias"][:, :e]),          # 2: cross q bias (E)
+        row(ca["out"]["bias"]),             # 3: cross out bias (E)
+        row(blocks["linear1"]["bias"]),     # 4: ff1 bias (F)
+        row(blocks["linear2"]["bias"]),     # 5: ff2 bias (E)
+        row(blocks["norm1"]["scale"]), row(blocks["norm1"]["bias"]),   # 6, 7
+        row(blocks["norm2"]["scale"]), row(blocks["norm2"]["bias"]),   # 8, 9
+        row(blocks["norm3"]["scale"]), row(blocks["norm3"]["bias"]),   # 10, 11
+    ], axis=1)
+    return {
+        "w_qkv": sa["in_kernel"].astype(compute_dtype),
+        "w_self_out": sa["out"]["kernel"].astype(compute_dtype),
+        "w_cross_q": ca["in_kernel"][:, :, :e].astype(compute_dtype),
+        "w_cross_out": ca["out"]["kernel"].astype(compute_dtype),
+        "w_ff1": blocks["linear1"]["kernel"].astype(compute_dtype),
+        "w_ff2": blocks["linear2"]["kernel"].astype(compute_dtype),
+        "misc": misc,
+    }
+
+
+def _erf(z):
+    """Abramowitz & Stegun 7.1.26 rational erf (max abs err 1.5e-7, fp32).
+
+    Mosaic has no erf/erfc primitive; this uses only exp, which it lowers.
+    """
+    a = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    y = 1.0 - poly * jnp.exp(-a * a)
+    return jnp.where(z < 0, -y, y)
+
+
+def _ln(x, scale, bias, eps):
+    """(bt, E) in compute dtype -> LayerNorm in fp32 (ops.nn.layernorm)."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(x.dtype)
+
+
+def _attend(q_row, fresh_kv, k_blk, v_blk, bias_col, sel, sel_c, pos,
+            t_len, h, scale, dtype):
+    """Transpose-free single-query attention for one batch row.
+
+    q_row: (1, E) compute dtype; k_blk/v_blk: (T, E) cache dtype;
+    bias_col: (T, 1) additive fp32 or None; fresh_kv: (k_new, v_new) each
+    (1, E) — the current token, folded in analytically (self-attention only;
+    None for cross). sel/sel_c: (H, E) per-head selection masks in compute /
+    fp32. Returns (1, E) fp32.
+    """
+    qd = jnp.broadcast_to(q_row, sel.shape) * sel          # (H, E)
+    logits = jax.lax.dot_general(                          # (T, H)
+        k_blk, qd, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if fresh_kv is not None:
+        t_iota = jax.lax.broadcasted_iota(jnp.int32, (t_len, h), 0)
+        logits = jnp.where(t_iota < pos, logits, nn.NEG_INF)
+    if bias_col is not None:
+        logits = logits + bias_col                         # (T, 1) bcast
+    m = jnp.max(logits, axis=0, keepdims=True)             # (1, H)
+    if fresh_kv is not None:
+        k_new, v_new = fresh_kv
+        qk = q_row.astype(jnp.float32) * k_new.astype(jnp.float32)
+        lc = jax.lax.dot_general(qk, sel_c, (((1,), (1,)), ((), ()))) * scale
+        m = jnp.maximum(m, lc)                             # (1, H)
+    w = jnp.exp(logits - m)                                # (T, H)
+    denom = jnp.sum(w, axis=0, keepdims=True)              # (1, H)
+    out_he = jax.lax.dot_general(                          # (H, E)
+        w.astype(dtype), v_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out = jnp.sum(out_he * sel_c, axis=0, keepdims=True)   # (1, E)
+    if fresh_kv is not None:
+        wc = jnp.exp(lc - m)                               # (1, H)
+        denom = denom + wc
+        out = out + jnp.dot(wc, sel_c) * v_new.astype(jnp.float32)
+    return out / jnp.dot(denom, sel_c)
+
+
+def _kernel(s_ref, x_in_ref, w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref,
+            w_ff1_ref, w_ff2_ref, misc_ref, k_ref, v_ref, mk_ref, mv_ref,
+            mbias_ref, x_out_ref, kt_ref, vt_ref, x_state, *,
+            bt: int, t_len: int, m_len: int, e: int, h: int, nlayers: int,
+            dtype):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    pos = s_ref[0]
+    n_tiles = pl.num_programs(1)
+    dh = e // h
+    scale = 1.0 / math.sqrt(dh)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        for jj in range(n_tiles):
+            x_state[jj, 0:bt, :] = x_in_ref[jj * bt:(jj + 1) * bt, :]
+
+    # per-head column selector: sel[h, c] = 1 where c // Dh == h
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (h, e), 1) // dh
+    head_row = jax.lax.broadcasted_iota(jnp.int32, (h, e), 0)
+    sel_c = (lane_head == head_row).astype(jnp.float32)
+    sel = sel_c.astype(dtype)
+
+    misc = misc_ref[0]
+    b_qkv = misc[0:1, :3 * e]
+    b_sout, b_cq, b_cout = misc[1:2, :e], misc[2:3, :e], misc[3:4, :e]
+    b_ff1, b_ff2 = misc[4:5, :], misc[5:6, :e]
+    ln1s, ln1b = misc[6:7, :e], misc[7:8, :e]
+    ln2s, ln2b = misc[8:9, :e], misc[9:10, :e]
+    ln3s, ln3b = misc[10:11, :e], misc[11:12, :e]
+
+    x = x_state[j, 0:bt, :]                                 # (bt, E)
+
+    # ---- self-attention (+ cache append) ----
+    qkv = (jnp.dot(x, w_qkv_ref[0], preferred_element_type=jnp.float32)
+           + b_qkv).astype(dtype)                           # (bt, 3E)
+    q_all = qkv[:, :e]
+    k_all = qkv[:, e:2 * e]
+    v_all = qkv[:, 2 * e:]
+
+    base = (pos // _TIME_TILE) * _TIME_TILE
+    sub = jax.lax.broadcasted_iota(jnp.int32, (_TIME_TILE, e), 0) + base
+    rows = []
+    for b in range(bt):
+        k_new, v_new = k_all[b:b + 1, :], v_all[b:b + 1, :]
+        kt_ref[0, b] = jnp.where(sub == pos, k_new,
+                                 k_ref[0, b, pl.ds(base, _TIME_TILE), :])
+        vt_ref[0, b] = jnp.where(sub == pos, v_new,
+                                 v_ref[0, b, pl.ds(base, _TIME_TILE), :])
+        rows.append(_attend(q_all[b:b + 1, :], (k_new, v_new), k_ref[0, b],
+                            v_ref[0, b], None, sel, sel_c, pos, t_len, h,
+                            scale, dtype))
+    attn = jnp.concatenate(rows, axis=0).astype(dtype)      # (bt, E)
+    so = (jnp.dot(attn, w_sout_ref[0], preferred_element_type=jnp.float32)
+          + b_sout).astype(dtype)
+    x = _ln(x + so, ln1s, ln1b, 1e-5)
+
+    # ---- cross-attention over the precomputed memory K/V ----
+    qc = (jnp.dot(x, w_cq_ref[0], preferred_element_type=jnp.float32)
+          + b_cq).astype(dtype)
+    rows = []
+    for b in range(bt):
+        rows.append(_attend(qc[b:b + 1, :], None, mk_ref[0, b], mv_ref[0, b],
+                            mbias_ref[b], sel, sel_c, pos, m_len, h, scale,
+                            dtype))
+    cattn = jnp.concatenate(rows, axis=0).astype(dtype)
+    co = (jnp.dot(cattn, w_cout_ref[0], preferred_element_type=jnp.float32)
+          + b_cout).astype(dtype)
+    x = _ln(x + co, ln2s, ln2b, 1e-5)
+
+    # ---- feed-forward ----
+    h1 = (jnp.dot(x, w_ff1_ref[0], preferred_element_type=jnp.float32)
+          + b_ff1).astype(dtype)
+    # exact-form GELU with a rational erf (Mosaic lowers neither erf nor the
+    # erfc that jax.nn.gelu(approximate=False) expands to); the 1.5e-7 erf
+    # error is far below bf16 activation resolution
+    h32 = h1.astype(jnp.float32)
+    g = (0.5 * h32 * (1.0 + _erf(h32 / math.sqrt(2.0)))).astype(dtype)
+    f2 = (jnp.dot(g, w_ff2_ref[0], preferred_element_type=jnp.float32)
+          + b_ff2).astype(dtype)
+    x = _ln(x + f2, ln3s, ln3b, 1e-5)
+
+    x_state[j, 0:bt, :] = x
+
+    # final layer: flush the whole hidden state to the (B, E) output block
+    # (constant index map -> written back to HBM once, at the last grid step)
+    @pl.when((i == nlayers - 1) & (j == n_tiles - 1))
+    def _():
+        for jj in range(n_tiles):
+            x_out_ref[jj * bt:(jj + 1) * bt, :] = x_state[jj, 0:bt, :]
+
+
+def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
+                  mem_k, mem_v, mem_bias_col, *, num_heads: int,
+                  interpret: bool | None = None):
+    """Run the full decoder layer stack for one token.
+
+    x: (B, E) compute dtype (embedded token); k_cache/v_cache: (L, B, T, E)
+    time-major caches (aliased and appended in place at ``pos``); mem_k/mem_v:
+    (L, B, M, E); mem_bias_col: (B, M, 1) fp32 additive padding bias.
+    Returns (x_out (B, E), k_cache', v_cache').
+    """
+    nlayers, b, t_len, e = k_cache.shape
+    m_len = mem_k.shape[2]
+    f = mono["w_ff1"].shape[-1]
+    if interpret is None:
+        interpret = _INTERPRET
+    dtype = x.dtype
+    bt = pick_row_tile(b, t_len, m_len, e, jnp.dtype(dtype).itemsize)
+    grid = (nlayers, b // bt)
+    scalars = jnp.asarray([pos], jnp.int32)
+
+    def wspec(shape):
+        return pl.BlockSpec((1,) + shape, lambda i, j, s: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, e), lambda i, j, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            wspec((e, 3 * e)), wspec((e, e)), wspec((e, e)), wspec((e, e)),
+            wspec((e, f)), wspec((f, e)),
+            pl.BlockSpec((1, 12, f), lambda i, j, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, t_len, e), lambda i, j, s: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, t_len, e), lambda i, j, s: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, m_len, e), lambda i, j, s: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, m_len, e), lambda i, j, s: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, m_len, 1), lambda i, j, s: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, e), lambda i, j, s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, _TIME_TILE, e),
+                         lambda i, j, s: (i, j, s[0] // _TIME_TILE, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, _TIME_TILE, e),
+                         lambda i, j, s: (i, j, s[0] // _TIME_TILE, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b // bt, max(bt, _TIME_TILE), e), dtype),
+        ],
+    )
+    kernel = functools.partial(
+        _kernel, bt=bt, t_len=t_len, m_len=m_len, e=e, h=num_heads,
+        nlayers=nlayers, dtype=dtype)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, e), dtype),
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ],
+        input_output_aliases={9: 1, 10: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scalars, x, mono["w_qkv"], mono["w_self_out"], mono["w_cross_q"],
+      mono["w_cross_out"], mono["w_ff1"], mono["w_ff2"], mono["misc"],
+      k_cache, v_cache, mem_k, mem_v, mem_bias_col)

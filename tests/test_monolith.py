@@ -1,0 +1,141 @@
+"""Parity tests for the monolithic decode-step Pallas kernel.
+
+Mirrors the reference's cached-vs-uncached equivalence strategy (reference:
+tests/test_kv_caching.py — cached components validated against the plain
+forward on identical weights): the monolith layer-stack kernel, run in the
+Pallas interpreter on CPU, must reproduce the per-op XLA decode step and the
+full generate() loop bit-for-bit in fp32.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acai_omr_tpu.models import decode
+from acai_omr_tpu.models.omr_decoder import DecoderConfig, init_decoder_params
+from acai_omr_tpu.ops import pallas_monolith
+
+CFG = DecoderConfig(max_lmx_seq_len=64, vocab_size=33, num_layers=2,
+                    hidden_dim=256, num_heads=4, mlp_dim=1024, eos_idx=2)
+B, M, T_CACHE = 4, 32, 32
+
+
+@pytest.fixture(autouse=True)
+def _test_mode():
+    pallas_monolith.set_test_mode(force=True, interpret=True)
+    yield
+    pallas_monolith.set_test_mode(force=False, interpret=False)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    params = init_decoder_params(key, CFG)
+    latent = jax.random.normal(jax.random.PRNGKey(1), (B, M, CFG.hidden_dim),
+                               jnp.float32)
+    valid = jnp.arange(M)[None, :] < jnp.asarray([M, M - 5, 17, M])[:, None]
+    return params, latent, valid
+
+
+def hd_to_te(c):
+    """(L, B, H, Dh, T) -> (L, B, T, E)."""
+    l, b, h, dh, t = c.shape
+    return jnp.transpose(c, (0, 1, 4, 2, 3)).reshape(l, b, t, h * dh)
+
+
+def te_to_hd(c, h):
+    l, b, t, e = c.shape
+    return jnp.transpose(c.reshape(l, b, t, h, e // h), (0, 1, 3, 4, 2))
+
+
+def test_step_parity_vs_xla(setup):
+    """One monolith step == the per-op XLA step (logits + cache append)."""
+    params, latent, valid = setup
+    mem_hd = decode.precompute_memory_kv(params, CFG, latent, valid,
+                                         jnp.float32, jnp.float32)
+    mem_te = decode.precompute_memory_kv(params, CFG, latent, valid,
+                                         jnp.float32, jnp.float32, layout="te")
+
+    # prefill caches with a few decoded positions via the XLA path
+    pos = 5
+    state = decode.init_decode_state(CFG, B, 16, T_CACHE,
+                                     cache_dtype=jnp.float32)
+    state = decode.decode_segment(params, CFG, state, mem_hd, pos,
+                                  compute_dtype=jnp.float32)
+    assert int(state.t) == pos + 1 or bool(jnp.all(state.finished))
+    t = state.t
+
+    prev_tok = jnp.take_along_axis(state.seqs, (t - 1)[None, None], axis=1)[:, 0]
+    x = decode._embed_token(params, prev_tok, t - 1, jnp.float32)
+
+    caches = {"k": state.k_cache, "v": state.v_cache}
+    ref_logits, ref_caches = decode._decode_step_logits(
+        params, CFG, x, t, dict(caches), mem_hd, jnp.float32)
+
+    mono = pallas_monolith.prepack(params, CFG, jnp.float32)
+    bias_col = mem_hd.bias.reshape(B, M, 1).astype(jnp.float32)
+    x_out, k_te, v_te = pallas_monolith.decode_layers(
+        mono, x, t - 1, hd_to_te(state.k_cache), hd_to_te(state.v_cache),
+        mem_te.k, mem_te.v, bias_col, num_heads=CFG.num_heads)
+    from acai_omr_tpu.ops import nn
+    x_out = nn.layernorm(params["final_norm"], x_out, eps=1e-6)
+    logits = nn.dense(params["unembed"], x_out).astype(jnp.float32)
+
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               atol=2e-4, rtol=1e-4)
+    # appended K/V columns match the XLA writes (only positions <= pos valid)
+    k_back = te_to_hd(k_te, CFG.num_heads)
+    v_back = te_to_hd(v_te, CFG.num_heads)
+    np.testing.assert_allclose(
+        np.asarray(k_back[..., :pos + 1]),
+        np.asarray(ref_caches["k"][..., :pos + 1]), atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(v_back[..., :pos + 1]),
+        np.asarray(ref_caches["v"][..., :pos + 1]), atol=2e-5, rtol=1e-5)
+
+
+def test_generate_parity_full_loop(setup):
+    """Full generate(): monolith path == per-op path (tokens identical)."""
+    params, latent, valid = setup
+
+    pallas_monolith.set_test_mode(force=False, interpret=True)
+    seqs_ref, lps_ref, mask_ref = decode.generate(
+        params, CFG, latent, valid, max_len=48, initial_segment=16,
+        compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+
+    pallas_monolith.set_test_mode(force=True, interpret=True)
+    seqs, lps, mask = decode.generate(
+        params, CFG, latent, valid, max_len=48, initial_segment=16,
+        compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+
+    assert seqs.shape == seqs_ref.shape
+    np.testing.assert_array_equal(np.asarray(seqs), np.asarray(seqs_ref))
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(mask_ref))
+    np.testing.assert_allclose(np.asarray(lps), np.asarray(lps_ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_generate_parity_sampled(setup):
+    """Sampled rollouts (GRPO path) agree across the two step backends."""
+    params, latent, valid = setup
+    kwargs = dict(max_len=32, initial_segment=16, compute_dtype=jnp.float32,
+                  cache_dtype=jnp.float32,
+                  sampling=decode.SamplingConfig(top_k=5, temperature=1.3),
+                  rng=jax.random.PRNGKey(7))
+
+    pallas_monolith.set_test_mode(force=False, interpret=True)
+    seqs_ref, lps_ref, _ = decode.generate(params, CFG, latent, valid, **kwargs)
+    pallas_monolith.set_test_mode(force=True, interpret=True)
+    seqs, lps, _ = decode.generate(params, CFG, latent, valid, **kwargs)
+
+    np.testing.assert_array_equal(np.asarray(seqs), np.asarray(seqs_ref))
+    np.testing.assert_allclose(np.asarray(lps), np.asarray(lps_ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_row_tile_picker():
+    assert pallas_monolith.pick_row_tile(32, 512, 512, 1024, 2) == 4
+    assert pallas_monolith.pick_row_tile(1, 512, 512, 1024, 2) == 1
+    assert pallas_monolith.pick_row_tile(32, 1536, 512, 1024, 2) == 2
+    assert pallas_monolith.pick_row_tile(64, 256, 512, 1024, 2) == 4

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["bf16", "int8"])
+    ap.add_argument("mode", choices=["bf16", "int8", "mono"])
     ap.add_argument("--cache-len", type=int, default=512)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--steps", type=int, default=64)
@@ -35,14 +35,18 @@ def main():
     import bench
     from acai_omr_tpu.models import decode as dlib
 
-    cache_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8}[args.mode]
+    cache_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8,
+                   "mono": jnp.bfloat16}[args.mode]
+    mono = args.mode == "mono"
     cfg, params, mem, mem_valid = bench.build()
     mem, mem_valid = mem[: args.batch], mem_valid[: args.batch]
 
     memkv = dlib.precompute_memory_kv(params, cfg, mem, mem_valid,
-                                      jnp.bfloat16, cache_dtype)
+                                      jnp.bfloat16, cache_dtype,
+                                      layout="te" if mono else "hd")
     state = dlib.init_decode_state(cfg, args.batch, args.cache_len,
-                                   args.cache_len, cache_dtype=cache_dtype)
+                                   args.cache_len, cache_dtype=cache_dtype,
+                                   monolith=mono)
 
     def run():
         s = dlib.decode_segment(params, cfg, state, memkv, args.steps, None,

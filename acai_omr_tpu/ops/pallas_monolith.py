@@ -62,10 +62,11 @@ def set_test_mode(force: bool, interpret: bool) -> None:
 # sublane tile of the cache's time axis written back per step (>= the bf16
 # sublane tile so the append block is tile-aligned for bf16 and f32 alike)
 _TIME_TILE = 16
-# VMEM budget for the double-buffered cache/memory tiles (weights take ~56 MB
-# of the ~120 MB probed ceiling; see tools/vmem_probe.py)
-_TILE_BUDGET = 40 * 1024 * 1024
+# probed VMEM ceiling (~120 MB; see tools/vmem_probe.py), minus slack for
+# Mosaic temporaries; the flagship layer's double-buffered weights take 56 MB
 _VMEM_LIMIT = 117 * 1024 * 1024
+_WEIGHTS_VMEM = 56 * 1024 * 1024
+_SLACK_VMEM = 6 * 1024 * 1024
 
 
 def set_enabled(flag: bool) -> None:
@@ -82,11 +83,17 @@ def _on_tpu() -> bool:
 
 
 def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2) -> int:
-    """Rows per grid step: largest power-of-2 divisor of ``b`` whose four
-    double-buffered cache/memory blocks fit the tile budget."""
+    """Rows per grid step: largest power-of-2 divisor of ``b`` such that the
+    double-buffered cache/memory tiles plus the layer weights fit VMEM.
+
+    Bigger tiles are better: each grid step's compute grows with ``bt`` while
+    the next layer's 28 MB weight fetch still only gets a one-step lookahead,
+    so fatter steps hide the weight DMA (measured: the per-layer weight-fetch
+    stall is most of the gap to the HBM floor at small bt)."""
+    budget = _VMEM_LIMIT - _WEIGHTS_VMEM - _SLACK_VMEM
     bt = 8
     per_bt = 2 * (t + m) * e * itemsize * 2  # K+V, self+mem, double-buffered
-    while bt > 1 and (b % bt or bt * per_bt > _TILE_BUDGET):
+    while bt > 1 and (b % bt or bt * per_bt > budget):
         bt //= 2
     return bt
 
@@ -374,7 +381,10 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
         ],
         input_output_aliases={9: 1, 10: 2},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=_VMEM_LIMIT,
+            # the hidden state is carried across grid steps in scratch, so
+            # both grid dimensions are order-dependent
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(scalars, x, mono["w_qkv"], mono["w_self_out"], mono["w_cross_q"],
       mono["w_cross_out"], mono["w_ff1"], mono["w_ff2"], mono["misc"],

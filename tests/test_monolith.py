@@ -138,4 +138,4 @@ def test_row_tile_picker():
     assert pallas_monolith.pick_row_tile(32, 512, 512, 1024, 2) == 4
     assert pallas_monolith.pick_row_tile(1, 512, 512, 1024, 2) == 1
     assert pallas_monolith.pick_row_tile(32, 1536, 512, 1024, 2) == 2
-    assert pallas_monolith.pick_row_tile(64, 256, 512, 1024, 2) == 4
+    assert pallas_monolith.pick_row_tile(64, 256, 512, 1024, 2) == 8

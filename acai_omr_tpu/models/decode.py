@@ -112,6 +112,16 @@ def _memory_kv_arrays(params: Params, cfg: DecoderConfig,
             + bias_row[e:].astype(compute_dtype)              # (B, M, 2E)
         k, v = jnp.split(kv, 2, axis=-1)
         if layout == "te":
+            if cache_dtype == jnp.int8:
+                def qz(x):
+                    b_, m_, _ = x.shape
+                    xh = x.astype(jnp.float32).reshape(
+                        b_, m_, cfg.num_heads, cfg.head_dim)
+                    q, s = _quantize_rows(xh)                  # scale (B,M,H)
+                    return q.reshape(b_, m_, -1), s
+                kq, ks = qz(k)
+                vq, vs = qz(v)
+                return None, (kq, vq, ks, vs)
             return None, (k.astype(cache_dtype), v.astype(cache_dtype))
 
         def heads(x):
@@ -166,15 +176,17 @@ def init_decode_state(cfg: DecoderConfig, batch_size: int, max_len: int,
     finished = jnp.zeros((batch_size,), dtype=bool)
     if monolith:
         shape = (cfg.num_layers, batch_size, cache_len, cfg.hidden_dim)
+        scale_shape = (cfg.num_layers, batch_size, cache_len, cfg.num_heads)
     else:
         shape = (cfg.num_layers, batch_size, cfg.num_heads, cfg.head_dim,
                  cache_len)
+        scale_shape = shape[:3] + (cache_len,)
     k_cache = jnp.zeros(shape, dtype=cache_dtype)
     v_cache = jnp.zeros(shape, dtype=cache_dtype)
     k_scale = v_scale = None
     if cache_dtype == jnp.int8:
-        k_scale = jnp.ones(shape[:3] + (cache_len,), dtype=jnp.float32)
-        v_scale = jnp.ones(shape[:3] + (cache_len,), dtype=jnp.float32)
+        k_scale = jnp.ones(scale_shape, dtype=jnp.float32)
+        v_scale = jnp.ones(scale_shape, dtype=jnp.float32)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     return DecodeState(seqs, log_probs, finished, jnp.int32(1), k_cache,
@@ -193,9 +205,10 @@ def grow_cache(state: DecodeState, new_cache_len: int) -> DecodeState:
         return state
     if state.k_cache.ndim == 4:  # time-major monolith layout
         pad = [(0, 0), (0, 0), (0, new_cache_len - cur), (0, 0)]
+        spad = pad
     else:
         pad = [(0, 0)] * 4 + [(0, new_cache_len - cur)]
-    spad = [(0, 0)] * 3 + [(0, new_cache_len - cur)]
+        spad = [(0, 0)] * 3 + [(0, new_cache_len - cur)]
     return state._replace(
         k_cache=jnp.pad(state.k_cache, pad),
         v_cache=jnp.pad(state.v_cache, pad),
@@ -386,9 +399,17 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
             caches["ks"] = s.k_scale
             caches["vs"] = s.v_scale
         if monolith:
-            x_out, caches["k"], caches["v"] = pallas_monolith.decode_layers(
-                mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
-                bias_col, num_heads=cfg.num_heads)
+            if s.k_scale is not None:  # int8 caches
+                (x_out, caches["k"], caches["v"], caches["ks"],
+                 caches["vs"]) = pallas_monolith.decode_layers(
+                    mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
+                    bias_col, num_heads=cfg.num_heads, k_scale=s.k_scale,
+                    v_scale=s.v_scale, mem_k_scale=mem.k_scale,
+                    mem_v_scale=mem.v_scale)
+            else:
+                x_out, caches["k"], caches["v"] = pallas_monolith.decode_layers(
+                    mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
+                    bias_col, num_heads=cfg.num_heads)
             x_out = nn.layernorm(params["final_norm"], x_out, eps=1e-6)
             logits = nn.dense(params["unembed"], x_out).astype(jnp.float32)
         else:
@@ -465,8 +486,9 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
     cache_len = min(initial_segment, max_len)
     monolith = pallas_monolith.use_monolith(
         cfg, b, cache_len, img_latent.shape[1], compute_dtype, cache_dtype)
+    tt = pallas_monolith.time_tile(cache_dtype)
     if monolith:
-        cache_len = -(-cache_len // 16) * 16
+        cache_len = -(-cache_len // tt) * tt
     mem = precompute_memory_kv(params, cfg, img_latent, latent_valid,
                                compute_dtype, cache_dtype,
                                layout="te" if monolith else "hd")
@@ -522,7 +544,7 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
                     row_map = row_map[unfinished]
             new_len = _next_segment(cache_len_of(state.k_cache), max_len)
             if monolith:
-                new_len = -(-new_len // 16) * 16
+                new_len = -(-new_len // tt) * tt
             state = grow_cache(state, new_len)
 
     return mask_and_clip_seqs(master_seqs, master_lps, cfg.eos_idx, cfg.pad_idx)

@@ -59,9 +59,14 @@ def set_test_mode(force: bool, interpret: bool) -> None:
     _FORCE = force
     _INTERPRET = interpret
 
-# sublane tile of the cache's time axis written back per step (>= the bf16
-# sublane tile so the append block is tile-aligned for bf16 and f32 alike)
+# sublane tile of the cache's time axis written back per step (>= the native
+# sublane tile: 16 covers bf16/f32; int8 tiles are (32, 128))
 _TIME_TILE = 16
+INT8_QMAX = 127.0
+
+
+def time_tile(cache_dtype) -> int:
+    return 32 if cache_dtype == jnp.int8 else _TIME_TILE
 # probed VMEM ceiling (~120 MB; see tools/vmem_probe.py), minus slack for
 # Mosaic temporaries; the flagship layer's double-buffered weights take 56 MB
 _VMEM_LIMIT = 117 * 1024 * 1024
@@ -82,7 +87,8 @@ def _on_tpu() -> bool:
         return False
 
 
-def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2) -> int:
+def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2,
+                  num_heads: int = 16) -> int:
     """Rows per grid step: largest power-of-2 divisor of ``b`` such that the
     double-buffered cache/memory tiles plus the layer weights fit VMEM.
 
@@ -92,7 +98,11 @@ def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2) -> int:
     stall is most of the gap to the HBM floor at small bt)."""
     budget = _VMEM_LIMIT - _WEIGHTS_VMEM - _SLACK_VMEM
     bt = 8
-    per_bt = 2 * (t + m) * e * itemsize * 2  # K+V, self+mem, double-buffered
+    # K+V, self+mem, double-buffered; int8 adds fp32 scale planes (lanes
+    # padded to 128 in VMEM)
+    per_bt = 2 * (t + m) * e * itemsize * 2
+    if itemsize == 1:
+        per_bt += 2 * (t + m) * 128 * 4 * 2
     while bt > 1 and (b % bt or bt * per_bt > budget):
         bt //= 2
     return bt
@@ -100,7 +110,8 @@ def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2) -> int:
 
 def use_monolith(cfg, batch: int, t_cache: int, m_len: int,
                  compute_dtype, cache_dtype) -> bool:
-    """The kernel covers the flagship decoder shapes (E mult of 128, bf16).
+    """The kernel covers the flagship decoder shapes: E a multiple of 128,
+    bf16 compute with bf16 or int8 (quantized) caches.
 
     ``t_cache`` need not be tile-aligned (callers round cache segments up to
     the time tile); the memory length is fixed per batch and must be.
@@ -109,15 +120,20 @@ def use_monolith(cfg, batch: int, t_cache: int, m_len: int,
     if not _FORCE:
         if not (_ENABLED and _on_tpu()):
             return False
-        if compute_dtype != jnp.bfloat16 or cache_dtype != jnp.bfloat16:
+        if compute_dtype != jnp.bfloat16:
             return False
-    if compute_dtype != cache_dtype:
+        if cache_dtype not in (jnp.bfloat16, jnp.int8):
+            return False
+    elif compute_dtype != cache_dtype and cache_dtype != jnp.int8:
         return False
     e = cfg.hidden_dim
+    dh = e // cfg.num_heads if e % cfg.num_heads == 0 else 0
+    if cache_dtype == jnp.int8 and (dh & (dh - 1)) != 0:
+        return False  # rolling-max quantization needs a power-of-two head dim
     return (e % 128 == 0 and cfg.mlp_dim % 128 == 0
             and 3 * e <= cfg.mlp_dim  # misc bias rows are padded to mlp_dim
-            and e % cfg.num_heads == 0 and (e // cfg.num_heads) % 8 == 0
-            and m_len % _TIME_TILE == 0)
+            and dh > 0 and dh % 8 == 0
+            and m_len % time_tile(cache_dtype) == 0)
 
 
 def prepack(params: Params, cfg, compute_dtype=jnp.bfloat16) -> Params:
@@ -179,20 +195,70 @@ def _ln(x, scale, bias, eps):
     return (y * scale + bias).astype(x.dtype)
 
 
+def _quant_rows(x, dh: int, selnorm):
+    """Per-head max-abs int8 quantization of (bt, E) fp32 rows, batched.
+
+    The per-head maxima come from two windowed rolling-max passes (window =
+    head_dim, a power of two): backward rolls leave every head-start lane
+    holding its head's max; a masked forward pass broadcasts it across the
+    head's lanes. 12 VPU ops + one small matmul for ALL rows — the per-row
+    formulation costs ~6 tiny MXU issues per row, which dominated the int8
+    step. ``selnorm`` is the (H, E) per-head selector divided by head_dim.
+    Returns (q (bt, E) int-valued fp32, scale_e (bt, E), scale_h (bt, H));
+    same per-(head, token) granularity as decode._quantize_rows.
+    """
+    e = x.shape[-1]
+    a = jnp.abs(x)
+    s = 1
+    while s < dh:
+        # backward roll spelled as a positive cyclic shift (pltpu.roll
+        # rejects negative shifts)
+        a = jnp.maximum(a, pltpu.roll(a, e - s, axis=1))
+        s *= 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    a0 = jnp.where(lane % dh == 0, a, 0.0)
+    s = 1
+    while s < dh:
+        a0 = jnp.maximum(a0, pltpu.roll(a0, s, axis=1))
+        s *= 2
+    scale_e = jnp.maximum(a0, 1e-8) / INT8_QMAX
+    q = jnp.clip(jnp.round(x / scale_e), -INT8_QMAX, INT8_QMAX)
+    scale_h = jax.lax.dot_general(scale_e, selnorm, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    return q, scale_e, scale_h
+
+
 def _attend(q_row, fresh_kv, k_blk, v_blk, bias_col, sel, sel_c, pos,
-            t_len, h, scale, dtype):
+            t_len, h, scale, dtype, k_plane=None, v_plane=None, eye_h=None):
     """Transpose-free single-query attention for one batch row.
 
-    q_row: (1, E) compute dtype; k_blk/v_blk: (T, E) cache dtype;
+    q_row: (1, E) compute dtype — or, with int8 caches, the pre-quantized
+    triple (q (1, E) int-valued fp32, scale (1, H), scale (1, E)) from
+    :func:`_quant_rows`; k_blk/v_blk: (T, E) cache dtype;
     bias_col: (T, 1) additive fp32 or None; fresh_kv: (k_new, v_new) each
     (1, E) — the current token, folded in analytically (self-attention only;
-    None for cross). sel/sel_c: (H, E) per-head selection masks in compute /
-    fp32. Returns (1, E) fp32.
+    None for cross); with int8 caches these are already dequantized
+    (quantize -> dequantize round trip). sel/sel_c: (H, E) per-head selection
+    masks in compute / fp32. k_plane/v_plane: (T, H) fp32 dequantization
+    scales for int8 caches (int8 x int8 MXU dots; the query and the softmax
+    weights are per-head max-abs quantized so no int8->float conversion of
+    the cache streams ever happens). Returns (1, E) fp32.
     """
-    qd = jnp.broadcast_to(q_row, sel.shape) * sel          # (H, E)
-    logits = jax.lax.dot_general(                          # (T, H)
-        k_blk, qd, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+    quantized = k_plane is not None
+    if quantized:
+        q_q, qs_1h, qs_1e = q_row  # pre-quantized by the batched caller
+        qd = (jnp.broadcast_to(q_q, sel_c.shape) * sel_c).astype(jnp.int8)
+        logits = jax.lax.dot_general(                      # (T, H) int32
+            k_blk, qd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        logits = logits.astype(jnp.float32) * k_plane * qs_1h * scale
+        q_eff = q_q * qs_1e                                # dequantized query
+    else:
+        qd = jnp.broadcast_to(q_row, sel.shape) * sel      # (H, E)
+        logits = jax.lax.dot_general(                      # (T, H)
+            k_blk, qd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        q_eff = q_row.astype(jnp.float32)
     if fresh_kv is not None:
         t_iota = jax.lax.broadcasted_iota(jnp.int32, (t_len, h), 0)
         logits = jnp.where(t_iota < pos, logits, nn.NEG_INF)
@@ -201,14 +267,25 @@ def _attend(q_row, fresh_kv, k_blk, v_blk, bias_col, sel, sel_c, pos,
     m = jnp.max(logits, axis=0, keepdims=True)             # (1, H)
     if fresh_kv is not None:
         k_new, v_new = fresh_kv
-        qk = q_row.astype(jnp.float32) * k_new.astype(jnp.float32)
+        qk = q_eff * k_new.astype(jnp.float32)
         lc = jax.lax.dot_general(qk, sel_c, (((1,), (1,)), ((), ()))) * scale
         m = jnp.maximum(m, lc)                             # (1, H)
     w = jnp.exp(logits - m)                                # (T, H)
     denom = jnp.sum(w, axis=0, keepdims=True)              # (1, H)
-    out_he = jax.lax.dot_general(                          # (H, E)
-        w.astype(dtype), v_blk, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    if quantized:
+        w_v = w * v_plane                                  # fold dequant in
+        ws_1h = jnp.maximum(jnp.max(w_v, axis=0, keepdims=True), 1e-30) \
+            / INT8_QMAX
+        wq = jnp.round(w_v / ws_1h).astype(jnp.int8)       # (T, H) in [0,127]
+        out_he = jax.lax.dot_general(                      # (H, E) int32
+            wq, v_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        ws_h1 = jax.lax.dot_general(eye_h, ws_1h, (((1,), (1,)), ((), ())))
+        out_he = out_he * ws_h1                            # (H, 1) bcast
+    else:
+        out_he = jax.lax.dot_general(                      # (H, E)
+            w.astype(dtype), v_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
     out = jnp.sum(out_he * sel_c, axis=0, keepdims=True)   # (1, E)
     if fresh_kv is not None:
         wc = jnp.exp(lc - m)                               # (1, H)
@@ -217,11 +294,18 @@ def _attend(q_row, fresh_kv, k_blk, v_blk, bias_col, sel, sel_c, pos,
     return out / jnp.dot(denom, sel_c)
 
 
-def _kernel(s_ref, x_in_ref, w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref,
-            w_ff1_ref, w_ff2_ref, misc_ref, k_ref, v_ref, mk_ref, mv_ref,
-            mbias_ref, x_out_ref, kt_ref, vt_ref, x_state, *,
-            bt: int, t_len: int, m_len: int, e: int, h: int, nlayers: int,
-            dtype):
+def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
+            nlayers: int, dtype, quantized: bool, tt: int):
+    if quantized:
+        (x_in_ref, w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref, w_ff1_ref,
+         w_ff2_ref, misc_ref, k_ref, v_ref, ks_ref, vs_ref, mk_ref, mv_ref,
+         mks_ref, mvs_ref, mbias_ref,
+         x_out_ref, kt_ref, vt_ref, kst_ref, vst_ref, x_state) = refs
+    else:
+        (x_in_ref, w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref, w_ff1_ref,
+         w_ff2_ref, misc_ref, k_ref, v_ref, mk_ref, mv_ref, mbias_ref,
+         x_out_ref, kt_ref, vt_ref, x_state) = refs
+        ks_ref = vs_ref = mks_ref = mvs_ref = kst_ref = vst_ref = None
     i = pl.program_id(0)
     j = pl.program_id(1)
     pos = s_ref[0]
@@ -239,6 +323,11 @@ def _kernel(s_ref, x_in_ref, w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref,
     head_row = jax.lax.broadcasted_iota(jnp.int32, (h, e), 0)
     sel_c = (lane_head == head_row).astype(jnp.float32)
     sel = sel_c.astype(dtype)
+    eye_h = None
+    if quantized:
+        eye_h = (jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)
+                 == jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
+                 ).astype(jnp.float32)
 
     misc = misc_ref[0]
     b_qkv = misc[0:1, :3 * e]
@@ -257,18 +346,43 @@ def _kernel(s_ref, x_in_ref, w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref,
     k_all = qkv[:, e:2 * e]
     v_all = qkv[:, 2 * e:]
 
-    base = (pos // _TIME_TILE) * _TIME_TILE
-    sub = jax.lax.broadcasted_iota(jnp.int32, (_TIME_TILE, e), 0) + base
+    base = (pos // tt) * tt
+    sub = jax.lax.broadcasted_iota(jnp.int32, (tt, e), 0) + base
+    sub_h = jax.lax.broadcasted_iota(jnp.int32, (tt, h), 0) + base
+    if quantized:
+        selnorm = sel_c / dh
+        qq_all, qs_e, qs_h = _quant_rows(q_all.astype(jnp.float32), dh, selnorm)
+        kq_all, ks_e, ks_h = _quant_rows(k_all.astype(jnp.float32), dh, selnorm)
+        vq_all, vs_e, vs_h = _quant_rows(v_all.astype(jnp.float32), dh, selnorm)
     rows = []
     for b in range(bt):
         k_new, v_new = k_all[b:b + 1, :], v_all[b:b + 1, :]
-        kt_ref[0, b] = jnp.where(sub == pos, k_new,
-                                 k_ref[0, b, pl.ds(base, _TIME_TILE), :])
-        vt_ref[0, b] = jnp.where(sub == pos, v_new,
-                                 v_ref[0, b, pl.ds(base, _TIME_TILE), :])
-        rows.append(_attend(q_all[b:b + 1, :], (k_new, v_new), k_ref[0, b],
-                            v_ref[0, b], None, sel, sel_c, pos, t_len, h,
-                            scale, dtype))
+        if quantized:
+            kt_ref[0, b] = jnp.where(sub == pos, kq_all[b:b + 1, :],
+                                     k_ref[0, b, pl.ds(base, tt), :]
+                                     .astype(jnp.float32)).astype(jnp.int8)
+            vt_ref[0, b] = jnp.where(sub == pos, vq_all[b:b + 1, :],
+                                     v_ref[0, b, pl.ds(base, tt), :]
+                                     .astype(jnp.float32)).astype(jnp.int8)
+            kst_ref[0, b] = jnp.where(sub_h == pos, ks_h[b:b + 1, :],
+                                      ks_ref[0, b, pl.ds(base, tt), :])
+            vst_ref[0, b] = jnp.where(sub_h == pos, vs_h[b:b + 1, :],
+                                      vs_ref[0, b, pl.ds(base, tt), :])
+            fresh = (kq_all[b:b + 1, :] * ks_e[b:b + 1, :],
+                     vq_all[b:b + 1, :] * vs_e[b:b + 1, :])  # dequantized
+            rows.append(_attend(
+                (qq_all[b:b + 1, :], qs_h[b:b + 1, :], qs_e[b:b + 1, :]),
+                fresh, k_ref[0, b], v_ref[0, b], None, sel, sel_c, pos,
+                t_len, h, scale, dtype, k_plane=ks_ref[0, b],
+                v_plane=vs_ref[0, b], eye_h=eye_h))
+        else:
+            kt_ref[0, b] = jnp.where(sub == pos, k_new,
+                                     k_ref[0, b, pl.ds(base, tt), :])
+            vt_ref[0, b] = jnp.where(sub == pos, v_new,
+                                     v_ref[0, b, pl.ds(base, tt), :])
+            rows.append(_attend(q_all[b:b + 1, :], (k_new, v_new), k_ref[0, b],
+                                v_ref[0, b], None, sel, sel_c, pos, t_len, h,
+                                scale, dtype))
     attn = jnp.concatenate(rows, axis=0).astype(dtype)      # (bt, E)
     so = (jnp.dot(attn, w_sout_ref[0], preferred_element_type=jnp.float32)
           + b_sout).astype(dtype)
@@ -277,11 +391,19 @@ def _kernel(s_ref, x_in_ref, w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref,
     # ---- cross-attention over the precomputed memory K/V ----
     qc = (jnp.dot(x, w_cq_ref[0], preferred_element_type=jnp.float32)
           + b_cq).astype(dtype)
+    if quantized:
+        qcq_all, qcs_e, qcs_h = _quant_rows(qc.astype(jnp.float32), dh, selnorm)
     rows = []
     for b in range(bt):
-        rows.append(_attend(qc[b:b + 1, :], None, mk_ref[0, b], mv_ref[0, b],
-                            mbias_ref[b], sel, sel_c, pos, m_len, h, scale,
-                            dtype))
+        if quantized:
+            q_arg = (qcq_all[b:b + 1, :], qcs_h[b:b + 1, :], qcs_e[b:b + 1, :])
+        else:
+            q_arg = qc[b:b + 1, :]
+        rows.append(_attend(
+            q_arg, None, mk_ref[0, b], mv_ref[0, b], mbias_ref[b],
+            sel, sel_c, pos, m_len, h, scale, dtype,
+            k_plane=mks_ref[0, b] if quantized else None,
+            v_plane=mvs_ref[0, b] if quantized else None, eye_h=eye_h))
     cattn = jnp.concatenate(rows, axis=0).astype(dtype)
     co = (jnp.dot(cattn, w_cout_ref[0], preferred_element_type=jnp.float32)
           + b_cout).astype(dtype)
@@ -311,21 +433,29 @@ def _kernel(s_ref, x_in_ref, w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref,
 
 def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
                   mem_k, mem_v, mem_bias_col, *, num_heads: int,
-                  interpret: bool | None = None):
+                  k_scale=None, v_scale=None, mem_k_scale=None,
+                  mem_v_scale=None, interpret: bool | None = None):
     """Run the full decoder layer stack for one token.
 
     x: (B, E) compute dtype (embedded token); k_cache/v_cache: (L, B, T, E)
     time-major caches (aliased and appended in place at ``pos``); mem_k/mem_v:
-    (L, B, M, E); mem_bias_col: (B, M, 1) fp32 additive padding bias.
-    Returns (x_out (B, E), k_cache', v_cache').
+    (L, B, M, E); mem_bias_col: (B, M, 1) fp32 additive padding bias. With
+    int8 caches, pass the fp32 scale planes k_scale/v_scale (L, B, T, H) and
+    mem_*_scale (L, B, M, H); the new token's scales are appended in place
+    alongside its K/V. Returns (x_out (B, E), k_cache', v_cache'[, k_scale',
+    v_scale']).
     """
     nlayers, b, t_len, e = k_cache.shape
     m_len = mem_k.shape[2]
     f = mono["w_ff1"].shape[-1]
+    h = num_heads
+    quantized = k_scale is not None
     if interpret is None:
         interpret = _INTERPRET
     dtype = x.dtype
-    bt = pick_row_tile(b, t_len, m_len, e, jnp.dtype(dtype).itemsize)
+    tt = time_tile(k_cache.dtype)
+    bt = pick_row_tile(b, t_len, m_len, e, jnp.dtype(k_cache.dtype).itemsize,
+                       num_heads)
     grid = (nlayers, b // bt)
     scalars = jnp.asarray([pos], jnp.int32)
 
@@ -333,59 +463,77 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
         return pl.BlockSpec((1,) + shape, lambda i, j, s: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    def cache_spec(length, width):
+        return pl.BlockSpec((1, bt, length, width),
+                            lambda i, j, s: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tile_spec(width):
+        return pl.BlockSpec((1, bt, tt, width),
+                            lambda i, j, s: (i, j, s[0] // tt, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((b, e), lambda i, j, s: (0, 0), memory_space=pltpu.VMEM),
+        wspec((e, 3 * e)), wspec((e, e)), wspec((e, e)), wspec((e, e)),
+        wspec((e, f)), wspec((f, e)),
+        pl.BlockSpec((1, 12, f), lambda i, j, s: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        cache_spec(t_len, e), cache_spec(t_len, e),
+    ]
+    inputs = [x, mono["w_qkv"], mono["w_self_out"], mono["w_cross_q"],
+              mono["w_cross_out"], mono["w_ff1"], mono["w_ff2"], mono["misc"],
+              k_cache, v_cache]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, e), dtype),
+        jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+        jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((b, e), lambda i, j, s: (0, 0), memory_space=pltpu.VMEM),
+        tile_spec(e), tile_spec(e),
+    ]
+    # alias indices count the scalar-prefetch argument as input 0: the k/v
+    # caches are pallas inputs 9/10 -> outputs 1/2 (scale planes 11/12 -> 3/4)
+    aliases = {9: 1, 10: 2}
+    if quantized:
+        in_specs += [cache_spec(t_len, h), cache_spec(t_len, h),
+                     cache_spec(m_len, e), cache_spec(m_len, e),
+                     cache_spec(m_len, h), cache_spec(m_len, h)]
+        inputs += [k_scale, v_scale, mem_k, mem_v, mem_k_scale, mem_v_scale]
+        out_shape += [jax.ShapeDtypeStruct(k_scale.shape, jnp.float32),
+                      jax.ShapeDtypeStruct(v_scale.shape, jnp.float32)]
+        out_specs += [tile_spec(h), tile_spec(h)]
+        aliases[11] = 3
+        aliases[12] = 4
+    else:
+        in_specs += [cache_spec(m_len, e), cache_spec(m_len, e)]
+        inputs += [mem_k, mem_v]
+    in_specs.append(pl.BlockSpec((bt, m_len, 1), lambda i, j, s: (j, 0, 0),
+                                 memory_space=pltpu.VMEM))
+    inputs.append(mem_bias_col)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((b, e), lambda i, j, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            wspec((e, 3 * e)), wspec((e, e)), wspec((e, e)), wspec((e, e)),
-            wspec((e, f)), wspec((f, e)),
-            pl.BlockSpec((1, 12, f), lambda i, j, s: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, t_len, e), lambda i, j, s: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, t_len, e), lambda i, j, s: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, m_len, e), lambda i, j, s: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, m_len, e), lambda i, j, s: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, m_len, 1), lambda i, j, s: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((b, e), lambda i, j, s: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, _TIME_TILE, e),
-                         lambda i, j, s: (i, j, s[0] // _TIME_TILE, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, _TIME_TILE, e),
-                         lambda i, j, s: (i, j, s[0] // _TIME_TILE, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((b // bt, max(bt, _TIME_TILE), e), dtype),
+            pltpu.VMEM((b // bt, max(bt, 16), e), dtype),
         ],
     )
     kernel = functools.partial(
-        _kernel, bt=bt, t_len=t_len, m_len=m_len, e=e, h=num_heads,
-        nlayers=nlayers, dtype=dtype)
+        _kernel, bt=bt, t_len=t_len, m_len=m_len, e=e, h=h,
+        nlayers=nlayers, dtype=dtype, quantized=quantized, tt=tt)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, e), dtype),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
-        ],
-        input_output_aliases={9: 1, 10: 2},
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
             # the hidden state is carried across grid steps in scratch, so
             # both grid dimensions are order-dependent
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(scalars, x, mono["w_qkv"], mono["w_self_out"], mono["w_cross_q"],
-      mono["w_cross_out"], mono["w_ff1"], mono["w_ff2"], mono["misc"],
-      k_cache, v_cache, mem_k, mem_v, mem_bias_col)
+    )(scalars, *inputs)

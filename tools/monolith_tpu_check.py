@@ -30,11 +30,11 @@ def main():
                       dtype=jnp.bfloat16)
     valid = jnp.ones((BATCH, MEM_LEN), dtype=bool)
 
-    def run(tag):
+    def run(tag, cache_dtype=jnp.bfloat16):
         t0 = time.perf_counter()
         out = decode.generate(params, cfg, mem, valid, max_len=DECODE_LEN,
                               compute_dtype=jnp.bfloat16,
-                              cache_dtype=jnp.bfloat16)
+                              cache_dtype=cache_dtype)
         jax.block_until_ready(out[0])
         compile_s = time.perf_counter() - t0
         times = []
@@ -42,7 +42,7 @@ def main():
             t0 = time.perf_counter()
             out = decode.generate(params, cfg, mem, valid, max_len=DECODE_LEN,
                                   compute_dtype=jnp.bfloat16,
-                                  cache_dtype=jnp.bfloat16)
+                                  cache_dtype=cache_dtype)
             jax.block_until_ready(out[0])
             times.append(time.perf_counter() - t0)
         el = min(times)
@@ -51,9 +51,15 @@ def main():
         return out
 
     pallas_monolith.set_enabled(False)
-    ref = run("xla   ")
+    ref = run("xla     ")
     pallas_monolith.set_enabled(True)
-    mono = run("mono  ")
+    mono = run("mono    ")
+    mono8 = run("mono-i8 ", jnp.int8)
+
+    a8, b8 = np.asarray(mono[0]), np.asarray(mono8[0])
+    n8 = min(a8.shape[1], b8.shape[1])
+    print(f"int8-vs-bf16 monolith token agreement (random weights): "
+          f"{float((a8[:, :n8] == b8[:, :n8]).mean()):.4f}")
 
     a, b = np.asarray(ref[0]), np.asarray(mono[0])
     n = min(a.shape[1], b.shape[1])

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("mode", choices=["bf16", "int8", "mono"])
+    ap.add_argument("mode", choices=["bf16", "int8", "mono", "mono8"])
     ap.add_argument("--cache-len", type=int, default=512)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--steps", type=int, default=64)
@@ -36,8 +36,8 @@ def main():
     from acai_omr_tpu.models import decode as dlib
 
     cache_dtype = {"bf16": jnp.bfloat16, "int8": jnp.int8,
-                   "mono": jnp.bfloat16}[args.mode]
-    mono = args.mode == "mono"
+                   "mono": jnp.bfloat16, "mono8": jnp.int8}[args.mode]
+    mono = args.mode in ("mono", "mono8")
     cfg, params, mem, mem_valid = bench.build()
     mem, mem_valid = mem[: args.batch], mem_valid[: args.batch]
 

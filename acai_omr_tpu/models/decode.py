@@ -572,14 +572,18 @@ class BeamState(NamedTuple):
 
 def init_beam_state(cfg: DecoderConfig, batch_size: int, beam_size: int,
                     max_len: int, cache_len: int,
-                    cache_dtype=jnp.bfloat16) -> BeamState:
+                    cache_dtype=jnp.bfloat16,
+                    monolith: bool = False) -> BeamState:
     b, k = batch_size, beam_size
     seqs = jnp.full((b, k, max_len), cfg.pad_idx, dtype=jnp.int32)
     seqs = seqs.at[:, :, 0].set(cfg.bos_idx)
     log_probs = jnp.zeros((b, k, max_len), dtype=jnp.float32)
     scores = jnp.zeros((b, k), dtype=jnp.float32)
     finished = jnp.zeros((b, k), dtype=bool)
-    shape = (cfg.num_layers, b * k, cfg.num_heads, cfg.head_dim, cache_len)
+    if monolith:
+        shape = (cfg.num_layers, b * k, cache_len, cfg.hidden_dim)
+    else:
+        shape = (cfg.num_layers, b * k, cfg.num_heads, cfg.head_dim, cache_len)
     return BeamState(seqs, log_probs, scores, finished, jnp.int32(1),
                      jnp.zeros(shape, cache_dtype), jnp.zeros(shape, cache_dtype))
 
@@ -599,8 +603,17 @@ def beam_decode_segment(params: Params, cfg: DecoderConfig, state: BeamState,
     """
     b, k, max_len = state.seqs.shape
     v = cfg.vocab_size
-    cache_len = state.k_cache.shape[-1]
+    cache_len = cache_len_of(state.k_cache)
     stop_t = jnp.minimum(state.t + num_steps, min(max_len, cache_len + 1))
+    monolith = state.k_cache.ndim == 4
+    if monolith:
+        from ..ops import pallas_monolith
+        mono = pallas_monolith.prepack(params, cfg, compute_dtype)
+        m_len = mem.k.shape[2]
+        if mem.bias is None:
+            bias_col = jnp.zeros((b * k, m_len, 1), jnp.float32)
+        else:
+            bias_col = mem.bias.reshape(b * k, m_len, 1).astype(jnp.float32)
 
     def cond(s: BeamState):
         return (s.t < stop_t) & ~jnp.all(s.finished)
@@ -610,8 +623,15 @@ def beam_decode_segment(params: Params, cfg: DecoderConfig, state: BeamState,
             s.seqs, s.t - 1, 1, axis=2)[:, :, 0].reshape(b * k)
         x = _embed_token(params, prev_tok, s.t - 1, compute_dtype)
         caches = {"k": s.k_cache, "v": s.v_cache}
-        logits, caches = _decode_step_logits(
-            params, cfg, x, s.t, caches, mem, compute_dtype)
+        if monolith:
+            x_out, caches["k"], caches["v"] = pallas_monolith.decode_layers(
+                mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
+                bias_col, num_heads=cfg.num_heads)
+            x_out = nn.layernorm(params["final_norm"], x_out, eps=1e-6)
+            logits = nn.dense(params["unembed"], x_out).astype(jnp.float32)
+        else:
+            logits, caches = _decode_step_logits(
+                params, cfg, x, s.t, caches, mem, compute_dtype)
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         lp = lp.reshape(b, k, v)
 
@@ -665,6 +685,8 @@ def beam_generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
     trimmed like :func:`generate`; with ``return_all_beams`` also returns
     ``(all_seqs, all_scores)``.
     """
+    from ..ops import pallas_monolith
+
     b = img_latent.shape[0]
     k = beam_size
     # beams share the image latent: expand rows B -> B*K adjacently
@@ -672,10 +694,16 @@ def beam_generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
     mem_valid = None if latent_valid is None else jnp.repeat(latent_valid, k, axis=0)
     if cache_dtype == jnp.int8:
         raise NotImplementedError("beam search supports bf16/f32 caches only")
+    cache_len = min(initial_segment, max_len)
+    monolith = pallas_monolith.use_monolith(
+        cfg, b * k, cache_len, mem_lat.shape[1], compute_dtype, cache_dtype)
+    tt = pallas_monolith.time_tile(cache_dtype)
+    if monolith:
+        cache_len = -(-cache_len // tt) * tt
     mem = precompute_memory_kv(params, cfg, mem_lat, mem_valid, compute_dtype,
-                               cache_dtype)
-    state = init_beam_state(cfg, b, k, max_len, min(initial_segment, max_len),
-                            cache_dtype)
+                               cache_dtype, layout="te" if monolith else "hd")
+    state = init_beam_state(cfg, b, k, max_len, cache_len, cache_dtype,
+                            monolith=monolith)
 
     steps = segment_steps or max_len
     while True:
@@ -683,9 +711,15 @@ def beam_generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
         t = int(state.t)
         if t >= max_len or bool(jnp.all(state.finished)):
             break
-        if t > int(state.k_cache.shape[-1]):
-            new_len = _next_segment(int(state.k_cache.shape[-1]), max_len)
-            pad = [(0, 0)] * 4 + [(0, new_len - state.k_cache.shape[-1])]
+        if t > cache_len_of(state.k_cache):
+            new_len = _next_segment(cache_len_of(state.k_cache), max_len)
+            if monolith:
+                new_len = -(-new_len // tt) * tt
+            grown = cache_len_of(state.k_cache)
+            if state.k_cache.ndim == 4:
+                pad = [(0, 0), (0, 0), (0, new_len - grown), (0, 0)]
+            else:
+                pad = [(0, 0)] * 4 + [(0, new_len - grown)]
             state = state._replace(k_cache=jnp.pad(state.k_cache, pad),
                                    v_cache=jnp.pad(state.v_cache, pad))
 

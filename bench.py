@@ -104,10 +104,18 @@ def measure_dp_throughput(cfg, params):
                                 cache_dtype=jnp.bfloat16, compact=False)
         jax.block_until_ready(s[0])
 
-    run()
-    t0 = time.perf_counter()
-    run()
-    return b / (time.perf_counter() - t0)
+    # GSPMD partitions plain XLA ops across the mesh but not a Pallas custom
+    # call — run the sharded measurement on the per-op path (it is the one
+    # that scales across chips; per-chip deployments keep the monolith)
+    from acai_omr_tpu.ops import pallas_monolith
+    pallas_monolith.set_enabled(False)
+    try:
+        run()
+        t0 = time.perf_counter()
+        run()
+        return b / (time.perf_counter() - t0)
+    finally:
+        pallas_monolith.set_enabled(True)
 
 
 def main():

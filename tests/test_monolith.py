@@ -134,6 +134,23 @@ def test_generate_parity_sampled(setup):
                                atol=2e-4, rtol=1e-4)
 
 
+def test_beam_generate_parity(setup):
+    """Beam search: monolith path == per-op path (tokens + scores)."""
+    params, latent, valid = setup
+    kwargs = dict(beam_size=3, max_len=32, initial_segment=16,
+                  compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+
+    pallas_monolith.set_test_mode(force=False, interpret=True)
+    seqs_ref, lps_ref, _ = decode.beam_generate(params, CFG, latent, valid,
+                                                **kwargs)
+    pallas_monolith.set_test_mode(force=True, interpret=True)
+    seqs, lps, _ = decode.beam_generate(params, CFG, latent, valid, **kwargs)
+
+    np.testing.assert_array_equal(np.asarray(seqs), np.asarray(seqs_ref))
+    np.testing.assert_allclose(np.asarray(lps), np.asarray(lps_ref),
+                               atol=2e-4, rtol=1e-4)
+
+
 def test_int8_step_quantized_append_and_logits(setup):
     """int8 monolith step: appended K/V dequantize to the fp32 projections
     within half a quantization step, and logits track the fp32 path."""

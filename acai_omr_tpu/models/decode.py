@@ -509,11 +509,24 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
     # num_steps is an upper bound (stop_t also respects cache_len/max_len);
     # keeping it a constant avoids recompiling per segment position.
     steps = segment_steps or max_len
+    t_known = 1  # host-side mirror of state.t, refreshed by the status pull
     while True:
         state = decode_segment(params, cfg, state, mem, steps, sampling, compute_dtype)
-        t = int(state.t)
         master_seqs, master_lps = write_back(master_seqs, master_lps, state, row_map)
-        if t >= max_len or bool(jnp.all(state.finished)):
+        # Every device->host pull is a full round trip (~29 ms through the
+        # axon tunnel — tools/sync probe); when this segment's stop bound
+        # already reached max_len the loop is over either way (budget hit or
+        # everyone finished), so skip the status pull entirely.
+        stop_bound = min(t_known + steps, cache_len_of(state.k_cache) + 1,
+                         max_len)
+        if stop_bound >= max_len:
+            break
+        # one pull for everything the host needs: [t, finished rows...]
+        status = np.asarray(jnp.concatenate(
+            [state.t[None], state.finished.astype(jnp.int32)]))
+        t = t_known = int(status[0])
+        finished_rows = status[1:].astype(bool)
+        if t >= max_len or bool(finished_rows.all()):
             break
         if t > cache_len_of(state.k_cache):
             # segment boundary: before growing the cache, drop finished rows
@@ -521,7 +534,7 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
             # cache bandwidth until everyone is done; real batches complete
             # raggedly, so this is a large win on mixed-length workloads)
             if compact:
-                finished = np.asarray(state.finished[: len(row_map)])
+                finished = finished_rows[: len(row_map)]
                 unfinished = np.flatnonzero(~finished)
                 target_b = max(1, 1 << (len(unfinished) - 1).bit_length()) \
                     if len(unfinished) else 1
@@ -706,10 +719,18 @@ def beam_generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
                             monolith=monolith)
 
     steps = segment_steps or max_len
+    t_known = 1
     while True:
         state = beam_decode_segment(params, cfg, state, mem, steps, compute_dtype)
-        t = int(state.t)
-        if t >= max_len or bool(jnp.all(state.finished)):
+        stop_bound = min(t_known + steps, cache_len_of(state.k_cache) + 1,
+                         max_len)
+        if stop_bound >= max_len:
+            break  # loop over either way — skip the ~29 ms status pull
+        import numpy as np
+        status = np.asarray(jnp.concatenate(
+            [state.t[None], jnp.all(state.finished)[None].astype(jnp.int32)]))
+        t = t_known = int(status[0])
+        if t >= max_len or bool(status[1]):
             break
         if t > cache_len_of(state.k_cache):
             new_len = _next_segment(cache_len_of(state.k_cache), max_len)
@@ -763,10 +784,9 @@ def streamed_generate(params: Params, cfg: DecoderConfig, img_latent,
                                layout="te" if monolith else "hd")
     state = init_decode_state(cfg, 1, max_len, cache_len, monolith=monolith)
 
-    while True:
-        start_t = int(state.t)
-        if start_t >= max_len or bool(jnp.all(state.finished)):
-            break
+    start_t = 1  # host mirror of state.t — one device pull per flush
+    done = False
+    while not done and start_t < max_len:
         if start_t + flush_interval - 1 > cache_len_of(state.k_cache):
             new_len = _next_segment(cache_len_of(state.k_cache), max_len)
             if monolith:
@@ -774,9 +794,17 @@ def streamed_generate(params: Params, cfg: DecoderConfig, img_latent,
             state = grow_cache(state, new_len)
         state = decode_segment(params, cfg, state, mem, flush_interval,
                                None, compute_dtype)
-        t = int(state.t)
-        new_tokens = np.asarray(state.seqs[:, start_t:t])
-        if t < max_len and not bool(jnp.all(state.finished)):
+        # single device->host round trip per flush (~29 ms each through the
+        # axon tunnel): [t, all_finished, flush window of tokens]
+        win = min(flush_interval, max_len - start_t)
+        status = np.asarray(jnp.concatenate([
+            state.t[None], jnp.all(state.finished)[None].astype(jnp.int32),
+            jax.lax.dynamic_slice(state.seqs, (0, start_t), (1, win))[0]]))
+        t = int(status[0])
+        done = t >= max_len or bool(status[1])
+        new_tokens = status[None, 2:2 + (t - start_t)]
+        start_t = t
+        if not done:
             yield ("step", new_tokens)
 
     yield ("finish", mask_and_clip_seqs(state.seqs, state.log_probs,

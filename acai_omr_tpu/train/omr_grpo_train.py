@@ -330,14 +330,18 @@ def grpo_update(old_params, state, update_step, cfg: ViTOMRConfig,
             unexpanded_latent_valid=unexp_valid)
 
     # --- inner updates -----------------------------------------------------
-    total_loss, total_ce = 0.0, 0.0
+    # accumulate metrics on device; one ~29 ms host pull for all of them
+    loss_acc = ce_acc = None
     for _ in range(uc.update_epochs):
         rng, step_rng = jax.random.split(rng)
         state, metrics = update_step(state, batch, step_rng)
-        total_loss += float(metrics["loss"])
-        total_ce += float(metrics["ce_loss"])
+        loss_acc = metrics["loss"] if loss_acc is None else loss_acc + metrics["loss"]
+        ce_acc = metrics["ce_loss"] if ce_acc is None else ce_acc + metrics["ce_loss"]
 
-    avg_reward = float(raw_rewards.mean())
+    pulled = np.asarray(jnp.stack([loss_acc, ce_acc,
+                                   raw_rewards.mean().astype(jnp.float32)]))
+    total_loss, total_ce, avg_reward = (float(pulled[0]), float(pulled[1]),
+                                        float(pulled[2]))
     out = {
         "loss": total_loss / uc.update_epochs,
         "ce_loss": total_ce / uc.update_epochs,

@@ -207,22 +207,25 @@ def omr_teacher_force_train(cfg: ViTOMRConfig, params, train_dataset,
                                            "tau": jnp.float32(tau)})
                 loss_dev, grads = grad_fns[use_hard](state.params, db, step_rng)
                 grads_acc = trainer.accumulate_grads(grads_acc, grads)
-                loss = float(loss_dev)
-                window_losses.append(loss)
-                epoch_loss += loss
+                # keep the loss on device: a host pull per micro-step blocks
+                # async dispatch (and costs a ~29 ms round trip through the
+                # axon tunnel) — pull once per optimizer step for logging
+                window_losses.append(loss_dev)
                 n_micro += 1
                 if len(window_losses) >= accum:
                     # reference parity: step on the SUM of window gradients
                     # (no 1/accum rescale; omr_teacher_force_train.py:118-127)
                     state = apply_fn(state, grads_acc, jnp.float32(1.0))
-                    writer.scalar("train/loss",
-                                  sum(window_losses) / len(window_losses), opt_step)
+                    window_mean = float(sum(window_losses)) / len(window_losses)
+                    epoch_loss += window_mean * len(window_losses)
+                    writer.scalar("train/loss", window_mean, opt_step)
                     writer.scalar("train/hyperparams/tf_prob", tf_prob, opt_step)
                     writer.scalar("train/hyperparams/tau", tau, opt_step)
                     grads_acc, window_losses = None, []
                     opt_step += 1
             if window_losses:  # epoch-final partial window (reference: :126)
                 state = apply_fn(state, grads_acc, jnp.float32(1.0))
+                epoch_loss += float(sum(window_losses))
                 grads_acc, window_losses = None, []
                 opt_step += 1
         except (KeyboardInterrupt, Exception):
@@ -230,11 +233,11 @@ def omr_teacher_force_train(cfg: ViTOMRConfig, params, train_dataset,
             raise
 
         train_loss = epoch_loss / max(n_micro, 1)
-        val_loss, n_val = 0.0, 0
+        val_losses, n_val = [], 0
         for batch in val_loader:
-            val_loss += float(eval_fn(state.params, _device_batch(batch)))
+            val_losses.append(eval_fn(state.params, _device_batch(batch)))
             n_val += 1
-        val_loss /= max(n_val, 1)
+        val_loss = float(sum(val_losses)) / max(n_val, 1)  # one pull
 
         dt = time.perf_counter() - t0
         print(f"Epoch {epoch + 1}: train {train_loss:.5f} val {val_loss:.5f} ({dt:.1f}s)")

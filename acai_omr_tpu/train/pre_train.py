@@ -161,24 +161,29 @@ def pre_train(mae_cfg: MaeConfig, train_dataset, validation_dataset, *,
 
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
-        epoch_loss, n_batches = 0.0, 0
+        loss_acc, n_batches = None, 0
         try:
             for batch in train_loader:
                 rng, step_rng = jax.random.split(rng)
                 state, metrics = step_fn(state, _device_batch(batch, data_sh), step_rng)
-                epoch_loss += float(metrics["loss"])
+                # accumulate on device: a per-step float() pull would block
+                # async dispatch (and costs ~29 ms/step through the axon
+                # tunnel); one pull per epoch
+                loss_acc = metrics["loss"] if loss_acc is None \
+                    else loss_acc + metrics["loss"]
                 n_batches += 1
         except (KeyboardInterrupt, Exception):
             emergency_checkpoint()
             raise
-        train_loss = epoch_loss / max(n_batches, 1)
+        train_loss = float(loss_acc) / max(n_batches, 1) if n_batches else 0.0
 
-        val_loss, n_val = 0.0, 0
+        val_acc, n_val = None, 0
         for batch in val_loader:
             rng, step_rng = jax.random.split(rng)
-            val_loss += float(eval_fn(state.params, _device_batch(batch, data_sh), step_rng))
+            v = eval_fn(state.params, _device_batch(batch, data_sh), step_rng)
+            val_acc = v if val_acc is None else val_acc + v
             n_val += 1
-        val_loss /= max(n_val, 1)
+        val_loss = float(val_acc) / max(n_val, 1) if n_val else 0.0
 
         dt = time.perf_counter() - t0
         print(f"Epoch {epoch + 1}: train {train_loss:.5f} val {val_loss:.5f} "

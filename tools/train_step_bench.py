@@ -1,0 +1,132 @@
+"""Corrected training-step timing: chained steps, ONE device->host sync.
+
+Every device->host pull costs ~29 ms through the axon tunnel (probed:
+dispatch 0.8 ms, pull 29 ms), so the earlier per-step `float(loss)` timings
+overstate step cost and understate throughput. This chains N identical steps
+back-to-back (async dispatch queues them) and syncs once.
+
+Usage: python tools/train_step_bench.py [ss|mae] [--batch N] [--steps N]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from acai_omr_tpu.utils import fast_prng
+
+fast_prng.enable()
+
+
+def bench_ss(batch: int, n_steps: int, img_hw=(256, 1024), lmx_len=256):
+    """Scheduled-sampling seq2seq step at flagship size (the docs/PERF.md
+    training-study config: img budget 1024 patches, lmx 256)."""
+    from acai_omr_tpu.train import omr_teacher_force_train as tf_train
+    from acai_omr_tpu.models import vitomr as vitomr_lib
+    from acai_omr_tpu.data.tokenizer import LmxTokenizer
+    from acai_omr_tpu.data import loader
+    from acai_omr_tpu.parallel import trainer
+    import optax
+
+    tok = LmxTokenizer("lmx_vocab.txt")
+    cfg = tf_train.set_up_vitomr(tok)
+    params = vitomr_lib.init_vitomr_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(jnp.array, params)
+
+    rng = np.random.default_rng(0)
+    h, w = img_hw
+    examples = [(rng.random((1, h, w), dtype=np.float32),
+                 " ".join(tok.decode(rng.integers(3, 200, lmx_len - 2))
+                          .split()))
+                for _ in range(batch)]
+    batch_arrays = loader.pack_omr_batch(examples, cfg.encoder, tok)
+    db = {k: jnp.asarray(v) for k, v in batch_arrays.items()
+          if isinstance(v, np.ndarray)}
+    db["tf_prob"] = jnp.float32(0.5)
+    db["tau"] = jnp.float32(2.0)
+
+    tx = optax.adamw(1e-4)
+    state = trainer.create_train_state(params, tx)
+    grad_fn = trainer.make_grad_fn(
+        tf_train.make_loss_fn(cfg, {"use_hard_sampling": False}))
+    apply_fn = trainer.make_apply_fn(tx)
+
+    key = jax.random.PRNGKey(1)
+
+    def run(n):
+        nonlocal state, key
+        losses = []
+        for _ in range(n):
+            key, sk = jax.random.split(key)
+            loss, grads = grad_fn(state.params, db, sk)
+            state = apply_fn(state, grads, jnp.float32(1.0))
+            losses.append(loss)
+        return float(sum(losses))  # ONE pull
+
+    run(2)  # compile + warm
+    t0 = time.perf_counter()
+    run(n_steps)
+    el = (time.perf_counter() - t0) / n_steps
+    print(f"scheduled-sampling step B={batch} img {h}x{w} lmx {lmx_len}: "
+          f"{el * 1e3:.1f} ms/step -> {batch / el:.1f} img/s "
+          f"({n_steps} chained steps, one sync)", flush=True)
+
+
+def bench_mae(batch: int, n_steps: int, seq_len=512):
+    from acai_omr_tpu.train import pre_train as pt
+    from acai_omr_tpu.models import mae as mae_lib
+    from acai_omr_tpu.data import loader
+    from acai_omr_tpu.parallel import trainer
+    import optax
+
+    cfg = pt.set_up_mae()
+    params = mae_lib.init_mae_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(jnp.array, params)
+
+    rng = np.random.default_rng(0)
+    examples = [(rng.random((1, 128, 1024), dtype=np.float32),) * 2
+                for _ in range(batch)]
+    arrays = loader.pack_mae_batch([(a, b) for a, b in examples], cfg.encoder)
+    db = {k: jnp.asarray(v) for k, v in arrays.items()
+          if isinstance(v, np.ndarray)}
+
+    tx = optax.adamw(1.5e-4)
+    state = trainer.create_train_state(params, tx)
+    step_fn = trainer.make_train_step(pt.make_loss_fn(cfg, jnp.bfloat16), tx)
+
+    key = jax.random.PRNGKey(1)
+
+    def run(n):
+        nonlocal state, key
+        losses = []
+        for _ in range(n):
+            key, sk = jax.random.split(key)
+            state, metrics = step_fn(state, db, sk)
+            losses.append(metrics["loss"])
+        return float(sum(losses))
+
+    run(2)
+    t0 = time.perf_counter()
+    run(n_steps)
+    el = (time.perf_counter() - t0) / n_steps
+    print(f"MAE pretrain step B={batch} L<={seq_len}: {el * 1e3:.1f} ms/step "
+          f"-> {batch / el:.1f} img/s ({n_steps} chained, one sync)",
+          flush=True)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["ss", "mae"], nargs="?", default="ss")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
+    if args.mode == "ss":
+        bench_ss(args.batch or 8, args.steps)
+    else:
+        bench_mae(args.batch or 64, args.steps)

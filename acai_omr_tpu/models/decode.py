@@ -73,10 +73,16 @@ class DecodeState(NamedTuple):
 INT8_QMAX = 127.0
 
 
-def _quantize_rows(x: jnp.ndarray):
-    """(..., Dh) bf16/f32 -> (int8 values, (...,) f32 scale) with max-abs rows."""
+def _quantize_rows(x: jnp.ndarray, scale_dtype=None):
+    """(..., Dh) bf16/f32 -> (int8 values, (...,) f32 scale) with max-abs rows.
+
+    ``scale_dtype`` (e.g. bf16 for the monolith's lane-packed scale planes)
+    rounds the scale BEFORE quantizing so the stored scale dequantizes
+    exactly what was quantized."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
     scale = jnp.maximum(amax, 1e-8) / INT8_QMAX
+    if scale_dtype is not None:
+        scale = scale.astype(scale_dtype).astype(jnp.float32)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale[..., None]),
                  -INT8_QMAX, INT8_QMAX).astype(jnp.int8)
     return q, scale
@@ -117,7 +123,8 @@ def _memory_kv_arrays(params: Params, cfg: DecoderConfig,
                     b_, m_, _ = x.shape
                     xh = x.astype(jnp.float32).reshape(
                         b_, m_, cfg.num_heads, cfg.head_dim)
-                    q, s = _quantize_rows(xh)                  # scale (B,M,H)
+                    # bf16 scales: stored lane-packed in bf16 planes
+                    q, s = _quantize_rows(xh, jnp.bfloat16)    # scale (B,M,H)
                     return q.reshape(b_, m_, -1), s
                 kq, ks = qz(k)
                 vq, vs = qz(v)
@@ -162,21 +169,33 @@ def precompute_memory_kv(params: Params, cfg: DecoderConfig,
 def init_decode_state(cfg: DecoderConfig, batch_size: int, max_len: int,
                       cache_len: int, rng=None,
                       cache_dtype=jnp.bfloat16,
-                      monolith: bool = False) -> DecodeState:
+                      monolith: bool = False,
+                      scale_group: int | None = None) -> DecodeState:
     """Fresh decode state with <bos>-seeded sequences (models.py:562-573).
 
     ``monolith=True`` allocates time-major (L, B, T, E) caches for the
     monolithic Pallas decode kernel (ops.pallas_monolith); the default is the
     lane-major (L, B, H, Dh, T) layout of the per-op path. The two are
-    distinguished downstream by ndim.
+    distinguished downstream by ndim. With int8 monolith caches the scale
+    planes are bf16 and lane-packed as (L, B/G, T, G*H) with
+    ``G = scale_group`` (= pallas_monolith.scale_pack_group(...)): narrow
+    H-lane planes would stream at ~22% of HBM peak.
     """
     seqs = jnp.full((batch_size, max_len), cfg.pad_idx, dtype=jnp.int32)
     seqs = seqs.at[:, 0].set(cfg.bos_idx)
     log_probs = jnp.zeros((batch_size, max_len), dtype=jnp.float32)
     finished = jnp.zeros((batch_size,), dtype=bool)
+    scale_dtype = jnp.float32
     if monolith:
         shape = (cfg.num_layers, batch_size, cache_len, cfg.hidden_dim)
-        scale_shape = (cfg.num_layers, batch_size, cache_len, cfg.num_heads)
+        g = scale_group
+        if g is None and cache_dtype == jnp.int8:
+            raise ValueError(
+                "int8 monolith caches need scale_group="
+                "pallas_monolith.scale_pack_group(b, cache_len, m_len, e, h)")
+        scale_shape = None if g is None else (
+            cfg.num_layers, batch_size // g, cache_len, g * cfg.num_heads)
+        scale_dtype = jnp.bfloat16
     else:
         shape = (cfg.num_layers, batch_size, cfg.num_heads, cfg.head_dim,
                  cache_len)
@@ -185,8 +204,8 @@ def init_decode_state(cfg: DecoderConfig, batch_size: int, max_len: int,
     v_cache = jnp.zeros(shape, dtype=cache_dtype)
     k_scale = v_scale = None
     if cache_dtype == jnp.int8:
-        k_scale = jnp.ones(scale_shape, dtype=jnp.float32)
-        v_scale = jnp.ones(scale_shape, dtype=jnp.float32)
+        k_scale = jnp.ones(scale_shape, dtype=scale_dtype)
+        v_scale = jnp.ones(scale_shape, dtype=scale_dtype)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     return DecodeState(seqs, log_probs, finished, jnp.int32(1), k_cache,
@@ -483,17 +502,30 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
     from ..ops import pallas_monolith
 
     b = img_latent.shape[0]
+    m_len = img_latent.shape[1]
+    e, heads = cfg.hidden_dim, cfg.num_heads
     cache_len = min(initial_segment, max_len)
     monolith = pallas_monolith.use_monolith(
-        cfg, b, cache_len, img_latent.shape[1], compute_dtype, cache_dtype)
+        cfg, b, cache_len, m_len, compute_dtype, cache_dtype)
     tt = pallas_monolith.time_tile(cache_dtype)
     if monolith:
         cache_len = -(-cache_len // tt) * tt
     mem = precompute_memory_kv(params, cfg, img_latent, latent_valid,
                                compute_dtype, cache_dtype,
                                layout="te" if monolith else "hd")
+    packed = monolith and cache_dtype == jnp.int8
+    group = None
+    if packed:
+        # int8 scale planes ride lane-packed (tools/narrow_lane_dma_probe.py);
+        # the pack group must equal the kernel's row tile for this shape
+        group = pallas_monolith.scale_pack_group(b, cache_len, m_len, e, heads)
+        mem = mem._replace(
+            k_scale=pallas_monolith.pack_scales(
+                mem.k_scale.astype(jnp.bfloat16), group),
+            v_scale=pallas_monolith.pack_scales(
+                mem.v_scale.astype(jnp.bfloat16), group))
     state = init_decode_state(cfg, b, max_len, cache_len, rng, cache_dtype,
-                              monolith=monolith)
+                              monolith=monolith, scale_group=group)
 
     # master per-original-row results; active rows map into it via row_map
     master_seqs = state.seqs
@@ -533,6 +565,7 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
             # (batch compaction — finished rows otherwise keep paying full
             # cache bandwidth until everyone is done; real batches complete
             # raggedly, so this is a large win on mixed-length workloads)
+            sel = None
             if compact:
                 finished = finished_rows[: len(row_map)]
                 unfinished = np.flatnonzero(~finished)
@@ -544,20 +577,44 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
                     # duplicate pad rows are marked finished so they can't
                     # block the all-finished early exit
                     fin = jnp.zeros((target_b,), bool).at[len(unfinished):].set(True)
-                    state = DecodeState(
-                        state.seqs[sel], state.log_probs[sel], fin, state.t,
-                        state.k_cache[:, sel], state.v_cache[:, sel], state.rng,
-                        None if state.k_scale is None else state.k_scale[:, sel],
-                        None if state.v_scale is None else state.v_scale[:, sel])
-                    mem = MemoryKV(
-                        mem.k[:, sel], mem.v[:, sel],
-                        None if mem.bias is None else mem.bias[sel],
-                        None if mem.k_scale is None else mem.k_scale[:, sel],
-                        None if mem.v_scale is None else mem.v_scale[:, sel])
                     row_map = row_map[unfinished]
             new_len = _next_segment(cache_len_of(state.k_cache), max_len)
             if monolith:
                 new_len = -(-new_len // tt) * tt
+            b_next = len(sel) if sel is not None else state.seqs.shape[0]
+            new_group = group
+            if packed:
+                new_group = pallas_monolith.scale_pack_group(
+                    b_next, new_len, m_len, e, heads)
+
+            def move_scales(s):
+                """Row-select and/or re-group a scale-plane cache array."""
+                if s is None:
+                    return None
+                if packed:
+                    if sel is None and new_group == group:
+                        return s
+                    u = pallas_monolith.unpack_scales(s, group)
+                    if sel is not None:
+                        u = u[:, sel]
+                    return pallas_monolith.pack_scales(u, new_group)
+                return s if sel is None else s[:, sel]
+
+            if sel is not None:
+                state = DecodeState(
+                    state.seqs[sel], state.log_probs[sel], fin, state.t,
+                    state.k_cache[:, sel], state.v_cache[:, sel], state.rng,
+                    move_scales(state.k_scale), move_scales(state.v_scale))
+                mem = MemoryKV(
+                    mem.k[:, sel], mem.v[:, sel],
+                    None if mem.bias is None else mem.bias[sel],
+                    move_scales(mem.k_scale), move_scales(mem.v_scale))
+            elif packed and new_group != group:
+                state = state._replace(k_scale=move_scales(state.k_scale),
+                                       v_scale=move_scales(state.v_scale))
+                mem = mem._replace(k_scale=move_scales(mem.k_scale),
+                                   v_scale=move_scales(mem.v_scale))
+            group = new_group
             state = grow_cache(state, new_len)
 
     return mask_and_clip_seqs(master_seqs, master_lps, cfg.eos_idx, cfg.pad_idx)

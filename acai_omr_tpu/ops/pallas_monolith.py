@@ -69,7 +69,7 @@ def time_tile(cache_dtype) -> int:
     return 32 if cache_dtype == jnp.int8 else _TIME_TILE
 # probed VMEM ceiling (~120 MB; see tools/vmem_probe.py), minus slack for
 # Mosaic temporaries; the flagship layer's double-buffered weights take 56 MB
-_VMEM_LIMIT = 117 * 1024 * 1024
+_VMEM_LIMIT = int(119.5 * 1024 * 1024)
 _WEIGHTS_VMEM = 56 * 1024 * 1024
 _SLACK_VMEM = 6 * 1024 * 1024
 
@@ -98,14 +98,42 @@ def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2,
     stall is most of the gap to the HBM floor at small bt)."""
     budget = _VMEM_LIMIT - _WEIGHTS_VMEM - _SLACK_VMEM
     bt = 8
-    # K+V, self+mem, double-buffered; int8 adds fp32 scale planes (lanes
-    # padded to 128 in VMEM)
+    # K+V, self+mem, double-buffered; int8 adds bf16 scale planes, lane-packed
+    # to bt*H so they stream at full HBM width (tools/narrow_lane_dma_probe.py:
+    # 16-lane blocks reach ~22% of peak)
     per_bt = 2 * (t + m) * e * itemsize * 2
     if itemsize == 1:
-        per_bt += 2 * (t + m) * 128 * 4 * 2
+        per_bt += 2 * (t + m) * num_heads * 2 * 2
     while bt > 1 and (b % bt or bt * per_bt > budget):
         bt //= 2
     return bt
+
+
+def scale_pack_group(b: int, t: int, m: int, e: int,
+                     num_heads: int = 16) -> int:
+    """Lane-pack group for int8 scale planes == the kernel's row tile.
+
+    The packed layout (L, B/G, T, G*H) makes each grid step's scale block a
+    full-lane tile; the group must equal the row tile so block j covers
+    exactly rows [j*G, (j+1)*G).
+    """
+    return pick_row_tile(b, t, m, e, 1, num_heads)
+
+
+def pack_scales(s: jnp.ndarray, group: int) -> jnp.ndarray:
+    """(L, B, T, H) -> (L, B/G, T, G*H): row-groups packed along lanes."""
+    l, b, t, h = s.shape
+    s = s.reshape(l, b // group, group, t, h)
+    return jnp.transpose(s, (0, 1, 3, 2, 4)).reshape(l, b // group, t,
+                                                     group * h)
+
+
+def unpack_scales(s: jnp.ndarray, group: int) -> jnp.ndarray:
+    """(L, B/G, T, G*H) -> (L, B, T, H)."""
+    l, j, t, gh = s.shape
+    h = gh // group
+    s = s.reshape(l, j, t, group, h)
+    return jnp.transpose(s, (0, 1, 3, 2, 4)).reshape(l, j * group, t, h)
 
 
 def use_monolith(cfg, batch: int, t_cache: int, m_len: int,
@@ -141,14 +169,17 @@ def prepack(params: Params, cfg, compute_dtype=jnp.bfloat16) -> Params:
 
     Runs under jit once per decode segment (hoisted out of the token loop).
     ``misc`` packs every per-layer bias/LayerNorm vector into one
-    (L, 12, mlp_dim) fp32 array so the kernel has a single small operand.
+    (L, 12, mlp_dim) array in the compute dtype so the kernel has a single
+    small operand (bf16 is exact when the params are bf16 — the decode
+    deployment case — and saves ~5 MB of double-buffered VMEM; fp32 test
+    mode keeps fp32).
     """
     blocks = params["blocks"]
     e, f = cfg.hidden_dim, cfg.mlp_dim
     sa, ca = blocks["self_attn"], blocks["cross_attn"]
 
     def row(x):
-        x = x.astype(jnp.float32)
+        x = x.astype(compute_dtype)
         return jnp.pad(x, ((0, 0), (0, f - x.shape[-1])))[:, None, :]
 
     misc = jnp.concatenate([
@@ -221,77 +252,168 @@ def _quant_rows(x, dh: int, selnorm):
     while s < dh:
         a0 = jnp.maximum(a0, pltpu.roll(a0, s, axis=1))
         s *= 2
-    scale_e = jnp.maximum(a0, 1e-8) / INT8_QMAX
+    # scales round to bf16 BEFORE quantizing: the stored scale planes are
+    # bf16 (lane-packed cache layout) and the MXU gadget dots that move
+    # scales between row/column/packed forms carry bf16 values exactly —
+    # quantize/dequantize stay an exact round trip
+    scale_e = (jnp.maximum(a0, 1e-8) / INT8_QMAX).astype(jnp.bfloat16) \
+        .astype(jnp.float32)
     q = jnp.clip(jnp.round(x / scale_e), -INT8_QMAX, INT8_QMAX)
     scale_h = jax.lax.dot_general(scale_e, selnorm, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
     return q, scale_e, scale_h
 
 
-def _attend(q_row, fresh_kv, k_blk, v_blk, bias_col, sel, sel_c, pos,
-            t_len, h, scale, dtype, k_plane=None, v_plane=None, eye_h=None):
-    """Transpose-free single-query attention for one batch row.
+def _batched_consts(bt: int, h: int, e: int, dtype):
+    """Iota-built constant selector matrices for the batched attention.
 
-    q_row: (1, E) compute dtype — or, with int8 caches, the pre-quantized
-    triple (q (1, E) int-valued fp32, scale (1, H), scale (1, E)) from
-    :func:`_quant_rows`; k_blk/v_blk: (T, E) cache dtype;
-    bias_col: (T, 1) additive fp32 or None; fresh_kv: (k_new, v_new) each
-    (1, E) — the current token, folded in analytically (self-attention only;
-    None for cross); with int8 caches these are already dequantized
-    (quantize -> dequantize round trip). sel/sel_c: (H, E) per-head selection
-    masks in compute / fp32. k_plane/v_plane: (T, H) fp32 dequantization
-    scales for int8 caches (int8 x int8 MXU dots; the query and the softmax
-    weights are per-head max-abs quantized so no int8->float conversion of
-    the cache streams ever happens). Returns (1, E) fp32.
+    Lane/row index convention everywhere: ``l = b * H + h`` (b-major).
+    R picks row b for lane-group l//H (broadcast bt -> nl rows via one dot);
+    S is its transpose (collapse nl -> bt); sel_rep is the per-head column
+    selector replicated per row; tile_hl lane-tiles an (·, H) plane to
+    (·, nl); eye converts (1, nl) rows to (nl, 1) columns via one dot
+    (Mosaic-legal "transpose" of a vector).
     """
+    nl = bt * h
+    dh = e // h
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (nl, bt), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (nl, bt), 1)
+    r32 = ((i0 // h) == i1).astype(jnp.float32)
+    lane_e = jax.lax.broadcasted_iota(jnp.int32, (nl, e), 1)
+    row_l = jax.lax.broadcasted_iota(jnp.int32, (nl, e), 0)
+    sel_rep32 = ((lane_e // dh) == (row_l % h)).astype(jnp.float32)
+    s0 = jax.lax.broadcasted_iota(jnp.int32, (bt, nl), 0)
+    s1 = jax.lax.broadcasted_iota(jnp.int32, (bt, nl), 1)
+    s32 = ((s1 // h) == s0).astype(jnp.float32)
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (nl, nl), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (nl, nl), 1)
+           ).astype(jnp.float32)
+    lane_h = jax.lax.broadcasted_iota(jnp.int32, (nl, h), 1)
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (nl, h), 0) % h
+    return {"R32": r32, "R_dt": r32.astype(dtype), "sel_rep32": sel_rep32,
+            "S32": s32, "eye": eye, "packmask": lane_h == row_h}
+
+
+def _pack_scale_row(s_bh: jnp.ndarray, consts) -> jnp.ndarray:
+    """(bt, H) per-head scales -> (1, nl) lane-packed row, l = b*H + h.
+
+    R-dot broadcast + per-row lane select + eye-dot transpose; exact for
+    bf16-valued scales (every MXU multiply is by 0/1)."""
+    sexp = jax.lax.dot_general(consts["R32"], s_bh, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (nl, H)
+    col = jnp.sum(jnp.where(consts["packmask"], sexp, 0.0), axis=1,
+                  keepdims=True)                                    # (nl, 1)
+    return jax.lax.dot_general(col, consts["eye"], (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (1, nl)
+
+
+def _row_to_col(x_row, eye):
+    """(1, nl) -> (nl, 1) via an eye-dot (the Mosaic-legal vector transpose;
+    rounds to bf16 on the MXU exactly like the per-row path's sel_c dots)."""
+    return jax.lax.dot_general(eye, x_row, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _attend_all(q, fresh, k_blk, v_blk, bias_flat, pos, t_len, bt, h, e,
+                scale, dtype, consts, k_plane=None, v_plane=None):
+    """Batched single-query attention: every row of the batch tile in one
+    set of block-diagonal MXU dots (full lane width ``nl = bt * H``).
+
+    Semantics match :func:`_attend` row-for-row — the block-diagonal big
+    matrices only add exactly-zero / NEG_INF-masked terms, so the fp32
+    interpreter parity vs the per-op path is preserved. The streamed bytes
+    equal the per-row formulation's; what changes is the number of MXU
+    issues (2 wide dots + a handful of tiny gadget dots per attention site
+    vs ~4 per row), which bound the int8 monolith (docs/PERF.md).
+
+    q: (bt, E) compute dtype — or the int8 triple (qq int-valued f32,
+    qs_h (bt, H), qs_e (bt, E)). fresh: None for cross-attention, else
+    (p_rows, v_eff): p_rows = q_eff * k_eff elementwise (bt, E) f32 and the
+    (dequantized) fresh V rows (bt, E) f32, folded in analytically.
+    k_blk/v_blk: (bt, T, E) cache-blocks; k_plane/v_plane: (T, bt*H) bf16
+    lane-packed int8 scale planes (16-lane-wide planes stream at ~22% of
+    HBM peak — tools/narrow_lane_dma_probe.py — so the cache layout packs
+    bt rows' planes into full 128-lane tiles). bias_flat: (bt*T, 1)
+    additive fp32 or None. Returns (bt, E) fp32.
+    """
+    nl = bt * h
+    btt = bt * t_len
     quantized = k_plane is not None
+    r32, sel_rep32, s32, eye = (consts["R32"], consts["sel_rep32"],
+                                consts["S32"], consts["eye"])
+
+    k_stack = k_blk.reshape(btt, e)
+    v_stack = v_blk.reshape(btt, e)
+
     if quantized:
-        q_q, qs_1h, qs_1e = q_row  # pre-quantized by the batched caller
-        qd = (jnp.broadcast_to(q_q, sel_c.shape) * sel_c).astype(jnp.int8)
-        logits = jax.lax.dot_general(                      # (T, H) int32
-            k_blk, qd, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        logits = logits.astype(jnp.float32) * k_plane * qs_1h * scale
-        q_eff = q_q * qs_1e                                # dequantized query
+        qq, qs_h, qs_e = q
+        qd = jax.lax.dot_general(r32, qq, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        qd8 = (qd * sel_rep32).astype(jnp.int8)                # (nl, E)
+        big = jax.lax.dot_general(k_stack, qd8, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        # packed plane rows replicate across the bt sublane blocks; values in
+        # off-diagonal blocks are other rows' scales, masked out below
+        kp_big = pltpu.repeat(k_plane, bt, axis=0).astype(jnp.float32)
+        # qs_row[l] = qs_h[l//H, l%H] — exact: _quant_rows rounds scales to
+        # bf16 so the gadget dots carry them losslessly
+        qs_row = _pack_scale_row(qs_h, consts)
+        logits = big.astype(jnp.float32) * kp_big * qs_row * scale
     else:
-        qd = jnp.broadcast_to(q_row, sel.shape) * sel      # (H, E)
-        logits = jax.lax.dot_general(                      # (T, H)
-            k_blk, qd, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        q_eff = q_row.astype(jnp.float32)
-    if fresh_kv is not None:
-        t_iota = jax.lax.broadcasted_iota(jnp.int32, (t_len, h), 0)
-        logits = jnp.where(t_iota < pos, logits, nn.NEG_INF)
-    if bias_col is not None:
-        logits = logits + bias_col                         # (T, 1) bcast
-    m = jnp.max(logits, axis=0, keepdims=True)             # (1, H)
-    if fresh_kv is not None:
-        k_new, v_new = fresh_kv
-        qk = q_eff * k_new.astype(jnp.float32)
-        lc = jax.lax.dot_general(qk, sel_c, (((1,), (1,)), ((), ()))) * scale
-        m = jnp.maximum(m, lc)                             # (1, H)
-    w = jnp.exp(logits - m)                                # (T, H)
-    denom = jnp.sum(w, axis=0, keepdims=True)              # (1, H)
-    if quantized:
-        w_v = w * v_plane                                  # fold dequant in
-        ws_1h = jnp.maximum(jnp.max(w_v, axis=0, keepdims=True), 1e-30) \
-            / INT8_QMAX
-        wq = jnp.round(w_v / ws_1h).astype(jnp.int8)       # (T, H) in [0,127]
-        out_he = jax.lax.dot_general(                      # (H, E) int32
-            wq, v_blk, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32).astype(jnp.float32)
-        ws_h1 = jax.lax.dot_general(eye_h, ws_1h, (((1,), (1,)), ((), ())))
-        out_he = out_he * ws_h1                            # (H, 1) bcast
-    else:
-        out_he = jax.lax.dot_general(                      # (H, E)
-            w.astype(dtype), v_blk, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-    out = jnp.sum(out_he * sel_c, axis=0, keepdims=True)   # (1, E)
-    if fresh_kv is not None:
-        wc = jnp.exp(lc - m)                               # (1, H)
+        qd = jax.lax.dot_general(consts["R_dt"], q, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        qd = (qd * sel_rep32).astype(dtype)                    # (nl, E)
+        big = jax.lax.dot_general(k_stack, qd, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        logits = big * scale
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (btt, nl), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (btt, nl), 1)
+    diag = (sub // t_len) == (lane // h)
+    if fresh is not None:
+        diag = diag & ((sub % t_len) < pos)
+    logits = jnp.where(diag, logits, nn.NEG_INF)
+    if bias_flat is not None:
+        logits = logits + bias_flat                            # (btt, 1) bcast
+
+    m = jnp.max(logits, axis=0, keepdims=True)                 # (1, nl)
+    if fresh is not None:
+        p_rows, v_eff = fresh
+        p_big = jax.lax.dot_general(r32, p_rows, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        p_big = p_big * sel_rep32
+        ones = jnp.ones((1, e), jnp.float32)
+        lc = jax.lax.dot_general(ones, p_big, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+        m = jnp.maximum(m, lc)                                 # (1, nl)
+    w = jnp.exp(logits - m)                                    # (btt, nl)
+    denom = jnp.sum(w, axis=0, keepdims=True)
+    if fresh is not None:
+        wc = jnp.exp(lc - m)
         denom = denom + wc
-        out = out + jnp.dot(wc, sel_c) * v_new.astype(jnp.float32)
-    return out / jnp.dot(denom, sel_c)
+
+    if quantized:
+        vp_big = pltpu.repeat(v_plane, bt, axis=0).astype(jnp.float32)
+        w_v = w * vp_big
+        ws_row = jnp.maximum(jnp.max(w_v, axis=0, keepdims=True), 1e-30) \
+            / INT8_QMAX
+        wq = jnp.round(w_v / ws_row).astype(jnp.int8)          # (btt, nl)
+        out_big = jax.lax.dot_general(
+            wq, v_stack, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        out_big = out_big * _row_to_col(ws_row, eye)           # (nl, E)
+    else:
+        out_big = jax.lax.dot_general(
+            w.astype(dtype), v_stack, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (nl, E)
+    if fresh is not None:
+        v_rep = jax.lax.dot_general(r32, v_eff, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        out_big = out_big + _row_to_col(wc, eye) * v_rep
+    out_big = out_big / _row_to_col(denom, eye)
+    return jax.lax.dot_general(s32, out_big * sel_rep32,
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
 
 
 def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
@@ -309,7 +431,6 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
     i = pl.program_id(0)
     j = pl.program_id(1)
     pos = s_ref[0]
-    n_tiles = pl.num_programs(1)
     dh = e // h
     scale = 1.0 / math.sqrt(dh)
 
@@ -319,16 +440,11 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
     def _():
         x_state[j] = x_in_ref[0]
 
-    # per-head column selector: sel[h, c] = 1 where c // Dh == h
+    # per-head column selector: sel_c[h, c] = 1 where c // Dh == h (feeds the
+    # per-head max in _quant_rows)
     lane_head = jax.lax.broadcasted_iota(jnp.int32, (h, e), 1) // dh
     head_row = jax.lax.broadcasted_iota(jnp.int32, (h, e), 0)
     sel_c = (lane_head == head_row).astype(jnp.float32)
-    sel = sel_c.astype(dtype)
-    eye_h = None
-    if quantized:
-        eye_h = (jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)
-                 == jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
-                 ).astype(jnp.float32)
 
     misc = misc_ref[0]
     b_qkv = misc[0:1, :3 * e]
@@ -348,43 +464,54 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
     v_all = qkv[:, 2 * e:]
 
     base = (pos // tt) * tt
-    sub = jax.lax.broadcasted_iota(jnp.int32, (tt, e), 0) + base
-    sub_h = jax.lax.broadcasted_iota(jnp.int32, (tt, h), 0) + base
     if quantized:
         selnorm = sel_c / dh
         qq_all, qs_e, qs_h = _quant_rows(q_all.astype(jnp.float32), dh, selnorm)
         kq_all, ks_e, ks_h = _quant_rows(k_all.astype(jnp.float32), dh, selnorm)
         vq_all, vs_e, vs_h = _quant_rows(v_all.astype(jnp.float32), dh, selnorm)
-    rows = []
-    for b in range(bt):
-        k_new, v_new = k_all[b:b + 1, :], v_all[b:b + 1, :]
-        if quantized:
-            kt_ref[0, b] = jnp.where(sub == pos, kq_all[b:b + 1, :],
-                                     k_ref[0, b, pl.ds(base, tt), :]
-                                     .astype(jnp.float32)).astype(jnp.int8)
-            vt_ref[0, b] = jnp.where(sub == pos, vq_all[b:b + 1, :],
-                                     v_ref[0, b, pl.ds(base, tt), :]
-                                     .astype(jnp.float32)).astype(jnp.int8)
-            kst_ref[0, b] = jnp.where(sub_h == pos, ks_h[b:b + 1, :],
-                                      ks_ref[0, b, pl.ds(base, tt), :])
-            vst_ref[0, b] = jnp.where(sub_h == pos, vs_h[b:b + 1, :],
-                                      vs_ref[0, b, pl.ds(base, tt), :])
-            fresh = (kq_all[b:b + 1, :] * ks_e[b:b + 1, :],
-                     vq_all[b:b + 1, :] * vs_e[b:b + 1, :])  # dequantized
-            rows.append(_attend(
-                (qq_all[b:b + 1, :], qs_h[b:b + 1, :], qs_e[b:b + 1, :]),
-                fresh, k_ref[0, b], v_ref[0, b], None, sel, sel_c, pos,
-                t_len, h, scale, dtype, k_plane=ks_ref[0, b],
-                v_plane=vs_ref[0, b], eye_h=eye_h))
-        else:
-            kt_ref[0, b] = jnp.where(sub == pos, k_new,
-                                     k_ref[0, b, pl.ds(base, tt), :])
-            vt_ref[0, b] = jnp.where(sub == pos, v_new,
-                                     v_ref[0, b, pl.ds(base, tt), :])
-            rows.append(_attend(q_all[b:b + 1, :], (k_new, v_new), k_ref[0, b],
-                                v_ref[0, b], None, sel, sel_c, pos, t_len, h,
-                                scale, dtype))
-    attn = jnp.concatenate(rows, axis=0).astype(dtype)      # (bt, E)
+
+    consts = _batched_consts(bt, h, e, dtype)
+    nl = bt * h
+    # cache append, all rows at once (one tt-sublane tile per row)
+    sub3 = base + jax.lax.broadcasted_iota(jnp.int32, (bt, tt, e), 1)
+    sub2 = base + jax.lax.broadcasted_iota(jnp.int32, (tt, nl), 0)
+    if quantized:
+        kt_ref[0] = jnp.where(
+            sub3 == pos, kq_all[:, None, :],
+            k_ref[0, :, pl.ds(base, tt), :].astype(jnp.float32)
+        ).astype(jnp.int8)
+        vt_ref[0] = jnp.where(
+            sub3 == pos, vq_all[:, None, :],
+            v_ref[0, :, pl.ds(base, tt), :].astype(jnp.float32)
+        ).astype(jnp.int8)
+        # scale planes are lane-packed (T, bt*H); pack the new row via the
+        # exact MXU gadget (values are bf16-rounded by _quant_rows)
+        ks_row = _pack_scale_row(ks_h, consts)             # (1, nl) f32
+        vs_row = _pack_scale_row(vs_h, consts)
+        kst_ref[0, 0] = jnp.where(
+            sub2 == pos, ks_row,
+            ks_ref[0, 0, pl.ds(base, tt), :].astype(jnp.float32)
+        ).astype(kst_ref.dtype)
+        vst_ref[0, 0] = jnp.where(
+            sub2 == pos, vs_row,
+            vs_ref[0, 0, pl.ds(base, tt), :].astype(jnp.float32)
+        ).astype(vst_ref.dtype)
+        p_rows = (qq_all * qs_e) * (kq_all * ks_e)
+        attn32 = _attend_all(
+            (qq_all, qs_h, qs_e), (p_rows, vq_all * vs_e),
+            k_ref[0], v_ref[0], None, pos, t_len, bt, h, e, scale,
+            dtype, consts, k_plane=ks_ref[0, 0], v_plane=vs_ref[0, 0])
+    else:
+        kt_ref[0] = jnp.where(sub3 == pos, k_all[:, None, :],
+                              k_ref[0, :, pl.ds(base, tt), :])
+        vt_ref[0] = jnp.where(sub3 == pos, v_all[:, None, :],
+                              v_ref[0, :, pl.ds(base, tt), :])
+        p_rows = q_all.astype(jnp.float32) * k_all.astype(jnp.float32)
+        attn32 = _attend_all(
+            q_all, (p_rows, v_all.astype(jnp.float32)),
+            k_ref[0], v_ref[0], None, pos, t_len, bt, h, e, scale,
+            dtype, consts)
+    attn = attn32.astype(dtype)
     so = (jnp.dot(attn, w_sout_ref[0], preferred_element_type=jnp.float32)
           + b_sout).astype(dtype)
     x = _ln(x + so, ln1s, ln1b, 1e-5)
@@ -392,20 +519,19 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
     # ---- cross-attention over the precomputed memory K/V ----
     qc = (jnp.dot(x, w_cq_ref[0], preferred_element_type=jnp.float32)
           + b_cq).astype(dtype)
+    bias_flat = mbias_ref[...].reshape(bt * m_len, 1)
     if quantized:
-        qcq_all, qcs_e, qcs_h = _quant_rows(qc.astype(jnp.float32), dh, selnorm)
-    rows = []
-    for b in range(bt):
-        if quantized:
-            q_arg = (qcq_all[b:b + 1, :], qcs_h[b:b + 1, :], qcs_e[b:b + 1, :])
-        else:
-            q_arg = qc[b:b + 1, :]
-        rows.append(_attend(
-            q_arg, None, mk_ref[0, b], mv_ref[0, b], mbias_ref[b],
-            sel, sel_c, pos, m_len, h, scale, dtype,
-            k_plane=mks_ref[0, b] if quantized else None,
-            v_plane=mvs_ref[0, b] if quantized else None, eye_h=eye_h))
-    cattn = jnp.concatenate(rows, axis=0).astype(dtype)
+        qcq_all, qcs_e, qcs_h = _quant_rows(qc.astype(jnp.float32), dh,
+                                            selnorm)
+        cattn32 = _attend_all(
+            (qcq_all, qcs_h, qcs_e), None, mk_ref[0], mv_ref[0],
+            bias_flat, pos, m_len, bt, h, e, scale, dtype, consts,
+            k_plane=mks_ref[0, 0], v_plane=mvs_ref[0, 0])
+    else:
+        cattn32 = _attend_all(
+            qc, None, mk_ref[0], mv_ref[0], bias_flat, pos, m_len,
+            bt, h, e, scale, dtype, consts)
+    cattn = cattn32.astype(dtype)
     co = (jnp.dot(cattn, w_cout_ref[0], preferred_element_type=jnp.float32)
           + b_cout).astype(dtype)
     x = _ln(x + co, ln2s, ln2b, 1e-5)
@@ -438,10 +564,13 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     x: (B, E) compute dtype (embedded token); k_cache/v_cache: (L, B, T, E)
     time-major caches (aliased and appended in place at ``pos``); mem_k/mem_v:
     (L, B, M, E); mem_bias_col: (B, M, 1) fp32 additive padding bias. With
-    int8 caches, pass the fp32 scale planes k_scale/v_scale (L, B, T, H) and
-    mem_*_scale (L, B, M, H); the new token's scales are appended in place
-    alongside its K/V. Returns (x_out (B, E), k_cache', v_cache'[, k_scale',
-    v_scale']).
+    int8 caches, pass bf16 **lane-packed** scale planes k_scale/v_scale
+    (L, B/G, T, G*H) and mem_*_scale (L, B/G, M, G*H) with
+    G = :func:`scale_pack_group` (pack with :func:`pack_scales`); narrow
+    (·, H)-lane planes stream at ~22% of HBM peak, which bound the int8
+    mode (tools/narrow_lane_dma_probe.py). The new token's scales are
+    appended in place alongside its K/V. Returns (x_out (B, E), k_cache',
+    v_cache'[, k_scale', v_scale']).
     """
     nlayers, b, t_len, e = k_cache.shape
     m_len = mem_k.shape[2]
@@ -502,13 +631,29 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     # caches are pallas inputs 9/10 -> outputs 1/2 (scale planes 11/12 -> 3/4)
     aliases = {9: 1, 10: 2}
     if quantized:
-        in_specs += [cache_spec(t_len, h), cache_spec(t_len, h),
+        nl = bt * h
+        expect = (nlayers, b // bt, t_len, nl)
+        if k_scale.shape != expect:
+            raise ValueError(
+                f"int8 scale planes must be lane-packed with group bt={bt}: "
+                f"expected {expect}, got {k_scale.shape} — pack with "
+                f"pallas_monolith.pack_scales(s, scale_pack_group(...))")
+
+        def scale_spec(length):
+            return pl.BlockSpec((1, 1, length, nl),
+                                lambda i, j, s: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        scale_tile = pl.BlockSpec((1, 1, tt, nl),
+                                  lambda i, j, s: (i, j, s[0] // tt, 0),
+                                  memory_space=pltpu.VMEM)
+        in_specs += [scale_spec(t_len), scale_spec(t_len),
                      cache_spec(m_len, e), cache_spec(m_len, e),
-                     cache_spec(m_len, h), cache_spec(m_len, h)]
+                     scale_spec(m_len), scale_spec(m_len)]
         inputs += [k_scale, v_scale, mem_k, mem_v, mem_k_scale, mem_v_scale]
-        out_shape += [jax.ShapeDtypeStruct(k_scale.shape, jnp.float32),
-                      jax.ShapeDtypeStruct(v_scale.shape, jnp.float32)]
-        out_specs += [tile_spec(h), tile_spec(h)]
+        out_shape += [jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+                      jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype)]
+        out_specs += [scale_tile, scale_tile]
         aliases[11] = 3
         aliases[12] = 4
     else:

@@ -170,13 +170,20 @@ def test_int8_step_quantized_append_and_logits(setup):
                           jnp.float32)
     bias_col = mem_te.bias.reshape(B, M, 1).astype(jnp.float32)
 
+    # scale planes ride lane-packed in bf16 (group == the kernel row tile)
+    g = pallas_monolith.scale_pack_group(B, t_cache, M, CFG.hidden_dim,
+                                         CFG.num_heads)
+    pack = lambda s: pallas_monolith.pack_scales(s.astype(jnp.bfloat16), g)
     state = decode.init_decode_state(CFG, B, 16, t_cache,
-                                     cache_dtype=jnp.int8, monolith=True)
-    x8, k8, v8, ks8, vs8 = pallas_monolith.decode_layers(
+                                     cache_dtype=jnp.int8, monolith=True,
+                                     scale_group=g)
+    x8, k8, v8, ks8p, vs8p = pallas_monolith.decode_layers(
         mono, x, pos, state.k_cache, state.v_cache, mem_te.k, mem_te.v,
         bias_col, num_heads=CFG.num_heads, k_scale=state.k_scale,
-        v_scale=state.v_scale, mem_k_scale=mem_te.k_scale,
-        mem_v_scale=mem_te.v_scale)
+        v_scale=state.v_scale, mem_k_scale=pack(mem_te.k_scale),
+        mem_v_scale=pack(mem_te.v_scale))
+    ks8 = pallas_monolith.unpack_scales(ks8p.astype(jnp.float32), g)
+    vs8 = pallas_monolith.unpack_scales(vs8p.astype(jnp.float32), g)
 
     statef = decode.init_decode_state(CFG, B, 16, t_cache,
                                       cache_dtype=jnp.float32, monolith=True)

@@ -400,7 +400,10 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
     monolith = state.k_cache.ndim == 4
     if monolith:
         from ..ops import pallas_monolith
-        mono = pallas_monolith.prepack(params, cfg, compute_dtype)
+        mono = pallas_monolith.prepack(
+            params, cfg, compute_dtype,
+            quantize_weights=(state.k_scale is not None
+                              and pallas_monolith.want_w8a8(state.k_cache.dtype)))
         b, m_len = mem.k.shape[1], mem.k.shape[2]
         if mem.bias is None:
             bias_col = jnp.zeros((b, m_len, 1), jnp.float32)

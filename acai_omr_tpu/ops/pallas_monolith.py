@@ -164,7 +164,8 @@ def use_monolith(cfg, batch: int, t_cache: int, m_len: int,
             and m_len % time_tile(cache_dtype) == 0)
 
 
-def prepack(params: Params, cfg, compute_dtype=jnp.bfloat16) -> Params:
+def prepack(params: Params, cfg, compute_dtype=jnp.bfloat16,
+            quantize_weights: bool = False) -> Params:
     """Slice/cast the decoder params into the kernel's operand layout.
 
     Runs under jit once per decode segment (hoisted out of the token loop).
@@ -173,6 +174,12 @@ def prepack(params: Params, cfg, compute_dtype=jnp.bfloat16) -> Params:
     small operand (bf16 is exact when the params are bf16 — the decode
     deployment case — and saves ~5 MB of double-buffered VMEM; fp32 test
     mode keeps fp32).
+
+    ``quantize_weights=True`` (the int8 decode mode) stores every weight
+    matrix int8 with per-output-column max-abs scales packed into one
+    (L, 6, mlp_dim) fp32 operand ("wscale"): weight streaming is half the
+    int8 step's non-cache HBM traffic, and the matmuls then run as
+    int8 x int8 MXU dots against per-row-quantized activations (W8A8).
     """
     blocks = params["blocks"]
     e, f = cfg.hidden_dim, cfg.mlp_dim
@@ -193,15 +200,56 @@ def prepack(params: Params, cfg, compute_dtype=jnp.bfloat16) -> Params:
         row(blocks["norm2"]["scale"]), row(blocks["norm2"]["bias"]),   # 8, 9
         row(blocks["norm3"]["scale"]), row(blocks["norm3"]["bias"]),   # 10, 11
     ], axis=1)
-    return {
-        "w_qkv": sa["in_kernel"].astype(compute_dtype),
-        "w_self_out": sa["out"]["kernel"].astype(compute_dtype),
-        "w_cross_q": ca["in_kernel"][:, :, :e].astype(compute_dtype),
-        "w_cross_out": ca["out"]["kernel"].astype(compute_dtype),
-        "w_ff1": blocks["linear1"]["kernel"].astype(compute_dtype),
-        "w_ff2": blocks["linear2"]["kernel"].astype(compute_dtype),
-        "misc": misc,
+    mats = {
+        "w_qkv": sa["in_kernel"],
+        "w_self_out": sa["out"]["kernel"],
+        "w_cross_q": ca["in_kernel"][:, :, :e],
+        "w_cross_out": ca["out"]["kernel"],
+        "w_ff1": blocks["linear1"]["kernel"],
+        "w_ff2": blocks["linear2"]["kernel"],
     }
+    if not quantize_weights:
+        out = {k: w.astype(compute_dtype) for k, w in mats.items()}
+        out["misc"] = misc
+        return out
+
+    out = {}
+    srows = []
+    for name in ("w_qkv", "w_self_out", "w_cross_q", "w_cross_out",
+                 "w_ff1", "w_ff2"):
+        w = mats[name].astype(jnp.float32)                   # (L, IN, OUT)
+        amax = jnp.max(jnp.abs(w), axis=1, keepdims=True)    # (L, 1, OUT)
+        s = (jnp.maximum(amax, 1e-8) / INT8_QMAX).astype(jnp.bfloat16) \
+            .astype(jnp.float32)
+        out[name] = jnp.clip(jnp.round(w / s), -INT8_QMAX,
+                             INT8_QMAX).astype(jnp.int8)
+        srows.append(jnp.pad(s, ((0, 0), (0, 0), (0, f - s.shape[-1]))))
+    out["misc"] = misc
+    out["wscale"] = jnp.concatenate(srows, axis=1)           # (L, 6, F)
+    return out
+
+
+_W8A8 = os.environ.get("ACAI_W8A8_DECODE", "1") == "1"
+
+
+def want_w8a8(cache_dtype) -> bool:
+    """int8 decode quantizes the weights too (W8A8) unless opted out."""
+    return _W8A8 and cache_dtype == jnp.int8
+
+
+def _qdot(x, w8, s_row):
+    """W8A8 matmul: per-row max-abs activation quantization, int8 MXU dot,
+    fp32 dequant by row scale x per-output-column weight scale.
+
+    x: (bt, IN) compute dtype; w8: (IN, OUT) int8; s_row: (1, OUT) fp32.
+    Returns (bt, OUT) fp32 (bias added by the caller).
+    """
+    x32 = x.astype(jnp.float32)
+    rs = jnp.maximum(jnp.max(jnp.abs(x32), axis=1, keepdims=True),
+                     1e-8) / INT8_QMAX
+    x8 = jnp.round(x32 / rs).astype(jnp.int8)
+    acc = jnp.dot(x8, w8, preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * rs * s_row
 
 
 def _erf(z):
@@ -417,12 +465,20 @@ def _attend_all(q, fresh, k_blk, v_blk, bias_flat, pos, t_len, bt, h, e,
 
 
 def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
-            nlayers: int, dtype, quantized: bool, tt: int):
+            nlayers: int, dtype, quantized: bool, tt: int,
+            w8a8: bool = False):
+    ws_ref = None
     if quantized:
-        (x_in_ref, w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref, w_ff1_ref,
-         w_ff2_ref, misc_ref, k_ref, v_ref, ks_ref, vs_ref, mk_ref, mv_ref,
-         mks_ref, mvs_ref, mbias_ref,
-         x_out_ref, kt_ref, vt_ref, kst_ref, vst_ref, x_state) = refs
+        if w8a8:
+            (x_in_ref, w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref, w_ff1_ref,
+             w_ff2_ref, misc_ref, k_ref, v_ref, ks_ref, vs_ref, mk_ref,
+             mv_ref, mks_ref, mvs_ref, mbias_ref, ws_ref,
+             x_out_ref, kt_ref, vt_ref, kst_ref, vst_ref, x_state) = refs
+        else:
+            (x_in_ref, w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref, w_ff1_ref,
+             w_ff2_ref, misc_ref, k_ref, v_ref, ks_ref, vs_ref, mk_ref,
+             mv_ref, mks_ref, mvs_ref, mbias_ref,
+             x_out_ref, kt_ref, vt_ref, kst_ref, vst_ref, x_state) = refs
     else:
         (x_in_ref, w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref, w_ff1_ref,
          w_ff2_ref, misc_ref, k_ref, v_ref, mk_ref, mv_ref, mbias_ref,
@@ -454,11 +510,20 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
     ln2s, ln2b = misc[8:9, :e], misc[9:10, :e]
     ln3s, ln3b = misc[10:11, :e], misc[11:12, :e]
 
+    if w8a8:
+        ws = ws_ref[0]                                      # (6, F) fp32
+
+        def mat(xv, wref, srow, width):
+            return _qdot(xv, wref[0], ws[srow:srow + 1, :width])
+    else:
+        def mat(xv, wref, srow, width):
+            del srow, width
+            return jnp.dot(xv, wref[0], preferred_element_type=jnp.float32)
+
     x = x_state[j, 0:bt, :]                                 # (bt, E)
 
     # ---- self-attention (+ cache append) ----
-    qkv = (jnp.dot(x, w_qkv_ref[0], preferred_element_type=jnp.float32)
-           + b_qkv).astype(dtype)                           # (bt, 3E)
+    qkv = (mat(x, w_qkv_ref, 0, 3 * e) + b_qkv).astype(dtype)  # (bt, 3E)
     q_all = qkv[:, :e]
     k_all = qkv[:, e:2 * e]
     v_all = qkv[:, 2 * e:]
@@ -512,13 +577,11 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
             k_ref[0], v_ref[0], None, pos, t_len, bt, h, e, scale,
             dtype, consts)
     attn = attn32.astype(dtype)
-    so = (jnp.dot(attn, w_sout_ref[0], preferred_element_type=jnp.float32)
-          + b_sout).astype(dtype)
+    so = (mat(attn, w_sout_ref, 1, e) + b_sout).astype(dtype)
     x = _ln(x + so, ln1s, ln1b, 1e-5)
 
     # ---- cross-attention over the precomputed memory K/V ----
-    qc = (jnp.dot(x, w_cq_ref[0], preferred_element_type=jnp.float32)
-          + b_cq).astype(dtype)
+    qc = (mat(x, w_cq_ref, 2, e) + b_cq).astype(dtype)
     bias_flat = mbias_ref[...].reshape(bt * m_len, 1)
     if quantized:
         qcq_all, qcs_e, qcs_h = _quant_rows(qc.astype(jnp.float32), dh,
@@ -532,20 +595,17 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
             qc, None, mk_ref[0], mv_ref[0], bias_flat, pos, m_len,
             bt, h, e, scale, dtype, consts)
     cattn = cattn32.astype(dtype)
-    co = (jnp.dot(cattn, w_cout_ref[0], preferred_element_type=jnp.float32)
-          + b_cout).astype(dtype)
+    co = (mat(cattn, w_cout_ref, 3, e) + b_cout).astype(dtype)
     x = _ln(x + co, ln2s, ln2b, 1e-5)
 
     # ---- feed-forward ----
-    h1 = (jnp.dot(x, w_ff1_ref[0], preferred_element_type=jnp.float32)
-          + b_ff1).astype(dtype)
+    h1 = (mat(x, w_ff1_ref, 4, w_ff1_ref.shape[-1]) + b_ff1).astype(dtype)
     # exact-form GELU with a rational erf (Mosaic lowers neither erf nor the
     # erfc that jax.nn.gelu(approximate=False) expands to); the 1.5e-7 erf
     # error is far below bf16 activation resolution
     h32 = h1.astype(jnp.float32)
     g = (0.5 * h32 * (1.0 + _erf(h32 / math.sqrt(2.0)))).astype(dtype)
-    f2 = (jnp.dot(g, w_ff2_ref[0], preferred_element_type=jnp.float32)
-          + b_ff2).astype(dtype)
+    f2 = (mat(g, w_ff2_ref, 5, e) + b_ff2).astype(dtype)
     x = _ln(x + f2, ln3s, ln3b, 1e-5)
 
     x_state[j, 0:bt, :] = x
@@ -662,6 +722,13 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     in_specs.append(pl.BlockSpec((bt, m_len, 1), lambda i, j, s: (j, 0, 0),
                                  memory_space=pltpu.VMEM))
     inputs.append(mem_bias_col)
+    w8a8 = "wscale" in mono
+    if w8a8 and not quantized:
+        raise ValueError("W8A8 weights require int8 caches (quantized mode)")
+    if w8a8:
+        in_specs.append(pl.BlockSpec((1, 6, f), lambda i, j, s: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(mono["wscale"])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -674,7 +741,7 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     )
     kernel = functools.partial(
         _kernel, bt=bt, t_len=t_len, m_len=m_len, e=e, h=h,
-        nlayers=nlayers, dtype=dtype, quantized=quantized, tt=tt)
+        nlayers=nlayers, dtype=dtype, quantized=quantized, tt=tt, w8a8=w8a8)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

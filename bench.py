@@ -55,14 +55,14 @@ def run_decode(cfg, params, mem, mem_valid):
 
 
 def measure_p50_latency(cfg, params, mem, mem_valid, tokens: int = 256,
-                        reps: int = 5) -> float:
+                        reps: int = 5, cache_dtype=jnp.bfloat16) -> float:
     """Single-system decode latency for a typical-length (~256 token) sequence."""
     from acai_omr_tpu.models import decode as decode_lib
 
     def run_one():
         s = decode_lib.generate(params, cfg, mem[:1], mem_valid[:1],
                                 max_len=tokens, compute_dtype=jnp.bfloat16,
-                                cache_dtype=jnp.bfloat16)
+                                cache_dtype=cache_dtype)
         jax.block_until_ready(s[0])
 
     run_one()  # warm-up
@@ -186,6 +186,9 @@ def main():
         run_b64(dt)
         b64[name] = round(64 / (time.perf_counter() - t0), 2)
 
+    int8_p50 = measure_p50_latency(cfg, params, mem, mem_valid,
+                                   cache_dtype=jnp.int8)
+
     vs_baseline = None
     if BASELINE_PATH.exists():
         base = json.loads(BASELINE_PATH.read_text())
@@ -208,6 +211,7 @@ def main():
         "p50_single_system_latency_s": round(p50_latency, 3),
         "typical_systems_per_sec_256tok": round(typical_systems_per_sec, 2),
         "int8_kv_systems_per_sec": round(int8_systems_per_sec, 2),
+        "int8_p50_single_system_latency_s": round(int8_p50, 3),
         **b64,
         "device": str(jax.devices()[0]),
         **extras,

@@ -209,6 +209,49 @@ def test_int8_step_quantized_append_and_logits(setup):
     assert rel < 0.05, rel
 
 
+def test_int8_w8a8_step_close(setup):
+    """W8A8 (int8 weights + per-row int8 activations) tracks the fp32 path
+    within combined quantization noise on one full layer-stack step."""
+    params, latent, valid = setup
+    mem_te = decode.precompute_memory_kv(params, CFG, latent, valid,
+                                         jnp.float32, jnp.int8, layout="te")
+    mem_f32 = decode.precompute_memory_kv(params, CFG, latent, valid,
+                                          jnp.float32, jnp.float32,
+                                          layout="te")
+    tt = pallas_monolith.time_tile(jnp.int8)
+    t_cache = tt * 2
+    g = pallas_monolith.scale_pack_group(B, t_cache, M, CFG.hidden_dim,
+                                         CFG.num_heads)
+    pack = lambda s: pallas_monolith.pack_scales(s.astype(jnp.bfloat16), g)
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, CFG.hidden_dim),
+                          jnp.float32)
+    bias_col = mem_te.bias.reshape(B, M, 1).astype(jnp.float32)
+
+    mono8 = pallas_monolith.prepack(params, CFG, jnp.float32,
+                                    quantize_weights=True)
+    assert mono8["w_qkv"].dtype == jnp.int8
+    assert mono8["wscale"].shape == (CFG.num_layers, 6, CFG.mlp_dim)
+    state = decode.init_decode_state(CFG, B, 16, t_cache,
+                                     cache_dtype=jnp.int8, monolith=True,
+                                     scale_group=g)
+    x8 = pallas_monolith.decode_layers(
+        mono8, x, 3, state.k_cache, state.v_cache, mem_te.k, mem_te.v,
+        bias_col, num_heads=CFG.num_heads, k_scale=state.k_scale,
+        v_scale=state.v_scale, mem_k_scale=pack(mem_te.k_scale),
+        mem_v_scale=pack(mem_te.v_scale))[0]
+
+    monof = pallas_monolith.prepack(params, CFG, jnp.float32)
+    statef = decode.init_decode_state(CFG, B, 16, t_cache,
+                                      cache_dtype=jnp.float32, monolith=True)
+    xf = pallas_monolith.decode_layers(
+        monof, x, 3, statef.k_cache, statef.v_cache, mem_f32.k, mem_f32.v,
+        bias_col, num_heads=CFG.num_heads)[0]
+
+    xf_n, x8_n = np.asarray(xf, np.float32), np.asarray(x8, np.float32)
+    rel = np.abs(x8_n - xf_n).mean() / (np.abs(xf_n).mean() + 1e-9)
+    assert rel < 0.08, rel
+
+
 def test_int8_generate_runs_and_is_close(setup):
     """Full int8-monolith generate runs through growth/compaction and stays
     close to the fp32 decode (random weights: tokens may diverge late, but
@@ -221,6 +264,20 @@ def test_int8_generate_runs_and_is_close(setup):
     assert mask.dtype == bool and bool(mask[:, 0].all())
     # log-probs are valid (<= 0) wherever mask is set
     assert float(jnp.max(jnp.where(mask, lps, -1.0))) <= 1e-6
+
+
+def test_scale_pack_roundtrip():
+    """Lane-packing of int8 scale planes is a pure layout permutation."""
+    s = jax.random.normal(jax.random.PRNGKey(0), (3, 8, 32, 4))
+    for g in (1, 2, 4, 8):
+        p = pallas_monolith.pack_scales(s, g)
+        assert p.shape == (3, 8 // g, 32, g * 4)
+        np.testing.assert_array_equal(
+            np.asarray(pallas_monolith.unpack_scales(p, g)), np.asarray(s))
+        # packed lane l = b_in_group * H + h
+        np.testing.assert_array_equal(
+            np.asarray(p[1, 0, :, 4:8]) if g > 1 else np.asarray(p[1, 0, :, :4]),
+            np.asarray(s[1, 1 if g > 1 else 0]))
 
 
 def test_row_tile_picker():

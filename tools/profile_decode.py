@@ -44,9 +44,20 @@ def main():
     memkv = dlib.precompute_memory_kv(params, cfg, mem, mem_valid,
                                       jnp.bfloat16, cache_dtype,
                                       layout="te" if mono else "hd")
+    group = None
+    if mono and cache_dtype == jnp.int8:
+        from acai_omr_tpu.ops import pallas_monolith
+        group = pallas_monolith.scale_pack_group(
+            args.batch, args.cache_len, mem.shape[1], cfg.hidden_dim,
+            cfg.num_heads)
+        memkv = memkv._replace(
+            k_scale=pallas_monolith.pack_scales(
+                memkv.k_scale.astype(jnp.bfloat16), group),
+            v_scale=pallas_monolith.pack_scales(
+                memkv.v_scale.astype(jnp.bfloat16), group))
     state = dlib.init_decode_state(cfg, args.batch, args.cache_len,
                                    args.cache_len, cache_dtype=cache_dtype,
-                                   monolith=mono)
+                                   monolith=mono, scale_group=group)
 
     def run():
         s = dlib.decode_segment(params, cfg, state, memkv, args.steps, None,

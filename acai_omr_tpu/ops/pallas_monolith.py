@@ -362,7 +362,7 @@ def _row_to_col(x_row, eye):
                                preferred_element_type=jnp.float32)
 
 
-def _attend_all(q, fresh, k_blk, v_blk, bias_flat, pos, t_len, bt, h, e,
+def _attend_all(q, fresh, k_blk, v_blk, mask_add, pos, t_len, bt, h, e,
                 scale, dtype, consts, k_plane=None, v_plane=None):
     """Batched single-query attention: every row of the batch tile in one
     set of block-diagonal MXU dots (full lane width ``nl = bt * H``).
@@ -381,8 +381,11 @@ def _attend_all(q, fresh, k_blk, v_blk, bias_flat, pos, t_len, bt, h, e,
     k_blk/v_blk: (bt, T, E) cache-blocks; k_plane/v_plane: (T, bt*H) bf16
     lane-packed int8 scale planes (16-lane-wide planes stream at ~22% of
     HBM peak — tools/narrow_lane_dma_probe.py — so the cache layout packs
-    bt rows' planes into full 128-lane tiles). bias_flat: (bt*T, 1)
-    additive fp32 or None. Returns (bt, E) fp32.
+    bt rows' planes into full 128-lane tiles). mask_add: (bt*T, bt*H) fp32
+    additive mask (0 on valid diagonal-block entries, NEG_INF elsewhere,
+    cross-attention padding bias folded in) — built once per batch tile in
+    scratch instead of iota/where passes on every grid step. Returns
+    (bt, E) fp32.
     """
     nl = bt * h
     btt = bt * t_len
@@ -401,28 +404,22 @@ def _attend_all(q, fresh, k_blk, v_blk, bias_flat, pos, t_len, bt, h, e,
         big = jax.lax.dot_general(k_stack, qd8, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
         # packed plane rows replicate across the bt sublane blocks; values in
-        # off-diagonal blocks are other rows' scales, masked out below
+        # off-diagonal blocks are other rows' scales, killed by mask_add
         kp_big = pltpu.repeat(k_plane, bt, axis=0).astype(jnp.float32)
         # qs_row[l] = qs_h[l//H, l%H] — exact: _quant_rows rounds scales to
-        # bf16 so the gadget dots carry them losslessly
-        qs_row = _pack_scale_row(qs_h, consts)
-        logits = big.astype(jnp.float32) * kp_big * qs_row * scale
+        # bf16 so the gadget dots carry them losslessly; sm scale folds in
+        qs_row = _pack_scale_row(qs_h, consts) * scale
+        logits = big.astype(jnp.float32) * kp_big * qs_row + mask_add
     else:
         qd = jax.lax.dot_general(consts["R_dt"], q, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         qd = (qd * sel_rep32).astype(dtype)                    # (nl, E)
         big = jax.lax.dot_general(k_stack, qd, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        logits = big * scale
-
-    sub = jax.lax.broadcasted_iota(jnp.int32, (btt, nl), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (btt, nl), 1)
-    diag = (sub // t_len) == (lane // h)
-    if fresh is not None:
-        diag = diag & ((sub % t_len) < pos)
-    logits = jnp.where(diag, logits, nn.NEG_INF)
-    if bias_flat is not None:
-        logits = logits + bias_flat                            # (btt, 1) bcast
+        # mask_add is 0 on the valid diagonal blocks (exact) and NEG_INF
+        # off-diagonal / beyond pos — exp underflows to exactly 0.0 there,
+        # so the softmax matches the where()-masked formulation bit for bit
+        logits = big * scale + mask_add
 
     m = jnp.max(logits, axis=0, keepdims=True)                 # (1, nl)
     if fresh is not None:
@@ -473,16 +470,16 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
             (x_in_ref, w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref, w_ff1_ref,
              w_ff2_ref, misc_ref, k_ref, v_ref, ks_ref, vs_ref, mk_ref,
              mv_ref, mks_ref, mvs_ref, mbias_ref, ws_ref,
-             x_out_ref, kt_ref, vt_ref, kst_ref, vst_ref, x_state) = refs
+             x_out_ref, kt_ref, vt_ref, kst_ref, vst_ref, x_state, mask_self, mask_cross) = refs
         else:
             (x_in_ref, w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref, w_ff1_ref,
              w_ff2_ref, misc_ref, k_ref, v_ref, ks_ref, vs_ref, mk_ref,
              mv_ref, mks_ref, mvs_ref, mbias_ref,
-             x_out_ref, kt_ref, vt_ref, kst_ref, vst_ref, x_state) = refs
+             x_out_ref, kt_ref, vt_ref, kst_ref, vst_ref, x_state, mask_self, mask_cross) = refs
     else:
         (x_in_ref, w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref, w_ff1_ref,
          w_ff2_ref, misc_ref, k_ref, v_ref, mk_ref, mv_ref, mbias_ref,
-         x_out_ref, kt_ref, vt_ref, x_state) = refs
+         x_out_ref, kt_ref, vt_ref, x_state, mask_self, mask_cross) = refs
         ks_ref = vs_ref = mks_ref = mvs_ref = kst_ref = vst_ref = None
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -491,10 +488,30 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
     scale = 1.0 / math.sqrt(dh)
 
     # per-tile init/flush keep the j grid dimension honestly parallel (no
-    # cross-tile reads or writes anywhere in the kernel)
+    # cross-tile reads or writes anywhere in the kernel). The additive
+    # attention masks are built once per tile at layer 0 (identical values
+    # for every j, so interleaved parallel-j writes are benign) instead of
+    # iota/compare/where passes on all nlayers grid steps.
+    nl = bt * h
     @pl.when(i == 0)
     def _():
         x_state[j] = x_in_ref[0]
+        sub_s = jax.lax.broadcasted_iota(jnp.int32, (bt * t_len, nl), 0)
+        lane_s = jax.lax.broadcasted_iota(jnp.int32, (bt * t_len, nl), 1)
+        valid_s = ((sub_s // t_len) == (lane_s // h)) \
+            & ((sub_s % t_len) < pos)
+        # bf16 masks: 0.0 is exact on valid entries (additive identity) and
+        # the NEG_INF magnitude only needs exp() to underflow to 0
+        mask_self[...] = jnp.where(valid_s, 0.0, nn.NEG_INF) \
+            .astype(jnp.bfloat16)
+        sub_c = jax.lax.broadcasted_iota(jnp.int32, (bt * m_len, nl), 0)
+        lane_c = jax.lax.broadcasted_iota(jnp.int32, (bt * m_len, nl), 1)
+        bias_flat = mbias_ref[...].reshape(bt * m_len, 1)
+        # the cross mask folds this tile's padding bias -> per-j slot (the
+        # self mask is bias-free and identical across tiles: one slot)
+        mask_cross[j] = (jnp.where((sub_c // m_len) == (lane_c // h),
+                                   0.0, nn.NEG_INF)
+                         + bias_flat).astype(jnp.bfloat16)
 
     # per-head column selector: sel_c[h, c] = 1 where c // Dh == h (feeds the
     # per-head max in _quant_rows)
@@ -564,7 +581,7 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
         p_rows = (qq_all * qs_e) * (kq_all * ks_e)
         attn32 = _attend_all(
             (qq_all, qs_h, qs_e), (p_rows, vq_all * vs_e),
-            k_ref[0], v_ref[0], None, pos, t_len, bt, h, e, scale,
+            k_ref[0], v_ref[0], mask_self[...], pos, t_len, bt, h, e, scale,
             dtype, consts, k_plane=ks_ref[0, 0], v_plane=vs_ref[0, 0])
     else:
         kt_ref[0] = jnp.where(sub3 == pos, k_all[:, None, :],
@@ -574,7 +591,7 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
         p_rows = q_all.astype(jnp.float32) * k_all.astype(jnp.float32)
         attn32 = _attend_all(
             q_all, (p_rows, v_all.astype(jnp.float32)),
-            k_ref[0], v_ref[0], None, pos, t_len, bt, h, e, scale,
+            k_ref[0], v_ref[0], mask_self[...], pos, t_len, bt, h, e, scale,
             dtype, consts)
     attn = attn32.astype(dtype)
     so = (mat(attn, w_sout_ref, 1, e) + b_sout).astype(dtype)
@@ -582,17 +599,16 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
 
     # ---- cross-attention over the precomputed memory K/V ----
     qc = (mat(x, w_cq_ref, 2, e) + b_cq).astype(dtype)
-    bias_flat = mbias_ref[...].reshape(bt * m_len, 1)
     if quantized:
         qcq_all, qcs_e, qcs_h = _quant_rows(qc.astype(jnp.float32), dh,
                                             selnorm)
         cattn32 = _attend_all(
             (qcq_all, qcs_h, qcs_e), None, mk_ref[0], mv_ref[0],
-            bias_flat, pos, m_len, bt, h, e, scale, dtype, consts,
+            mask_cross[j], pos, m_len, bt, h, e, scale, dtype, consts,
             k_plane=mks_ref[0, 0], v_plane=mvs_ref[0, 0])
     else:
         cattn32 = _attend_all(
-            qc, None, mk_ref[0], mv_ref[0], bias_flat, pos, m_len,
+            qc, None, mk_ref[0], mv_ref[0], mask_cross[j], pos, m_len,
             bt, h, e, scale, dtype, consts)
     cattn = cattn32.astype(dtype)
     co = (mat(cattn, w_cout_ref, 3, e) + b_cout).astype(dtype)
@@ -737,6 +753,8 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((b // bt, max(bt, 16), e), dtype),
+            pltpu.VMEM((bt * t_len, bt * h), jnp.bfloat16),  # self mask_add
+            pltpu.VMEM((b // bt, bt * m_len, bt * h), jnp.bfloat16),  # cross mask_add (per tile: folds the tile's padding bias)
         ],
     )
     kernel = functools.partial(

@@ -363,7 +363,7 @@ def _row_to_col(x_row, eye):
 
 
 def _attend_all(q, fresh, k_blk, v_blk, mask_add, pos, t_len, bt, h, e,
-                scale, dtype, consts, k_plane=None, v_plane=None):
+                scale, dtype, consts, k_plane=None, v_plane=None, bias=None):
     """Batched single-query attention: every row of the batch tile in one
     set of block-diagonal MXU dots (full lane width ``nl = bt * H``).
 
@@ -410,6 +410,8 @@ def _attend_all(q, fresh, k_blk, v_blk, mask_add, pos, t_len, bt, h, e,
         # bf16 so the gadget dots carry them losslessly; sm scale folds in
         qs_row = _pack_scale_row(qs_h, consts) * scale
         logits = big.astype(jnp.float32) * kp_big * qs_row + mask_add
+        if bias is not None:
+            logits = logits + bias                             # (btt, 1) bcast
     else:
         qd = jax.lax.dot_general(consts["R_dt"], q, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -420,6 +422,8 @@ def _attend_all(q, fresh, k_blk, v_blk, mask_add, pos, t_len, bt, h, e,
         # off-diagonal / beyond pos — exp underflows to exactly 0.0 there,
         # so the softmax matches the where()-masked formulation bit for bit
         logits = big * scale + mask_add
+        if bias is not None:
+            logits = logits + bias                             # (btt, 1) bcast
 
     m = jnp.max(logits, axis=0, keepdims=True)                 # (1, nl)
     if fresh is not None:
@@ -506,12 +510,10 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
             .astype(jnp.bfloat16)
         sub_c = jax.lax.broadcasted_iota(jnp.int32, (bt * m_len, nl), 0)
         lane_c = jax.lax.broadcasted_iota(jnp.int32, (bt * m_len, nl), 1)
-        bias_flat = mbias_ref[...].reshape(bt * m_len, 1)
-        # the cross mask folds this tile's padding bias -> per-j slot (the
-        # self mask is bias-free and identical across tiles: one slot)
-        mask_cross[j] = (jnp.where((sub_c // m_len) == (lane_c // h),
-                                   0.0, nn.NEG_INF)
-                         + bias_flat).astype(jnp.bfloat16)
+        # bias-free and identical across tiles -> one shared slot (the
+        # per-tile padding bias is added per step; one cheap pass)
+        mask_cross[...] = jnp.where((sub_c // m_len) == (lane_c // h),
+                                    0.0, nn.NEG_INF).astype(jnp.bfloat16)
 
     # per-head column selector: sel_c[h, c] = 1 where c // Dh == h (feeds the
     # per-head max in _quant_rows)
@@ -599,17 +601,18 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
 
     # ---- cross-attention over the precomputed memory K/V ----
     qc = (mat(x, w_cq_ref, 2, e) + b_cq).astype(dtype)
+    bias_flat = mbias_ref[...].reshape(bt * m_len, 1)
     if quantized:
         qcq_all, qcs_e, qcs_h = _quant_rows(qc.astype(jnp.float32), dh,
                                             selnorm)
         cattn32 = _attend_all(
             (qcq_all, qcs_h, qcs_e), None, mk_ref[0], mv_ref[0],
-            mask_cross[j], pos, m_len, bt, h, e, scale, dtype, consts,
-            k_plane=mks_ref[0, 0], v_plane=mvs_ref[0, 0])
+            mask_cross[...], pos, m_len, bt, h, e, scale, dtype, consts,
+            k_plane=mks_ref[0, 0], v_plane=mvs_ref[0, 0], bias=bias_flat)
     else:
         cattn32 = _attend_all(
-            qc, None, mk_ref[0], mv_ref[0], mask_cross[j], pos, m_len,
-            bt, h, e, scale, dtype, consts)
+            qc, None, mk_ref[0], mv_ref[0], mask_cross[...], pos, m_len,
+            bt, h, e, scale, dtype, consts, bias=bias_flat)
     cattn = cattn32.astype(dtype)
     co = (mat(cattn, w_cout_ref, 3, e) + b_cout).astype(dtype)
     x = _ln(x + co, ln2s, ln2b, 1e-5)
@@ -754,7 +757,7 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
         scratch_shapes=[
             pltpu.VMEM((b // bt, max(bt, 16), e), dtype),
             pltpu.VMEM((bt * t_len, bt * h), jnp.bfloat16),  # self mask_add
-            pltpu.VMEM((b // bt, bt * m_len, bt * h), jnp.bfloat16),  # cross mask_add (per tile: folds the tile's padding bias)
+            pltpu.VMEM((bt * m_len, bt * h), jnp.bfloat16),  # cross mask_add
         ],
     )
     kernel = functools.partial(

@@ -20,6 +20,7 @@ jitted, mesh-sharded train steps:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -164,16 +165,23 @@ def make_grad_fn(loss_fn: Callable):
     return grad_fn
 
 
-def make_apply_fn(tx: optax.GradientTransformation):
+def make_apply_fn(tx: optax.GradientTransformation, donate: bool = True):
     """Jitted optimizer application for accumulated gradients.
 
     ``scale`` rescales the summed window gradients before the update; the
     reference steps on the raw SUM of per-batch mean gradients
     (loss.backward() x8 then step, omr_teacher_force_train.py:118-127), so
     its parity value is 1.0.
+
+    ``donate=True`` (default) donates the state and the gradients: callers
+    always rebind ``state = apply_fn(state, grads, ...)`` and drop the grads,
+    and without donation a chain of async-dispatched steps holds every
+    in-flight step's ~3 GB state + grads live at once (observed TPU OOM at
+    ~20 chained flagship seq2seq steps). Pass ``donate=False`` only if the
+    old state or the grads are reused after the call.
     """
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def apply_fn(state: TrainState, grads, scale):
         grads = jax.tree.map(lambda g: g * scale, grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -83,9 +83,13 @@ def set_up_vitomr(tokenizer: LmxTokenizer | None = None,
 
 
 def make_loss_fn(cfg: ViTOMRConfig, tf_state: dict,
-                 compute_dtype=jnp.bfloat16, label_smoothing=LABEL_SMOOTHING):
+                 compute_dtype=jnp.bfloat16, label_smoothing=LABEL_SMOOTHING,
+                 remat="dots"):
     """Scheduled-sampling loss. ``tf_state`` holds mutable curriculum values
-    read at trace time; pass tf_prob/tau/hard via batch to avoid retraces."""
+    read at trace time; pass tf_prob/tau/hard via batch to avoid retraces.
+    ``remat``: per-layer rematerialization policy (ops/transformer._remat_wrap)
+    — "dots" saves matmul outputs (default; measured fastest at B=8),
+    False trades memory for no recompute, True is full recompute."""
     def loss_fn(params, batch, rng):
         logits = vitomr_lib.forward_scheduled_sampling(
             params, cfg, batch["patches"], batch["pe_idx"], batch["pe_w"],
@@ -93,7 +97,7 @@ def make_loss_fn(cfg: ViTOMRConfig, tf_state: dict,
             teacher_forcing_prob=batch["tf_prob"], sample_tau=batch["tau"],
             use_hard_sampling=tf_state["use_hard_sampling"], rng=rng,
             compute_dtype=compute_dtype, deterministic=False,
-            frozen_stop_gradient=True, remat="dots")
+            frozen_stop_gradient=True, remat=remat)
         loss = vitomr_lib.omr_ce_loss(logits, batch["targets"],
                                       cfg.decoder.pad_idx, label_smoothing)
         return loss, {}

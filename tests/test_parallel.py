@@ -118,7 +118,9 @@ def test_host_grad_accumulation_matches_fused():
 
     grad_fn = trainer.make_grad_fn(loss_fn)
     apply_fn = trainer.make_apply_fn(tx)
-    state = trainer.create_train_state(params, tx)
+    # apply_fn donates its state: give each state its own param buffers so
+    # the donated first state can't invalidate `params` (shared by the oracle)
+    state = trainer.create_train_state(jax.tree.map(jnp.array, params), tx)
     acc = None
     for mb in (mb1, mb2):
         _, g = grad_fn(state.params, mb, key)
@@ -130,7 +132,7 @@ def test_host_grad_accumulation_matches_fused():
         return (jnp.mean(jnp.sum(p["w"] * mb1["x"], -1))
                 + jnp.mean(jnp.sum(p["w"] * mb2["x"], -1)))
     og = jax.grad(total_loss)(params)
-    s2 = trainer.create_train_state(params, tx)
+    s2 = trainer.create_train_state(jax.tree.map(jnp.array, params), tx)
     s2 = apply_fn(s2, og, jnp.float32(1.0))
     np.testing.assert_allclose(np.asarray(state.params["w"]),
                                np.asarray(s2.params["w"]), atol=1e-6)

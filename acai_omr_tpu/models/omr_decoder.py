@@ -71,13 +71,16 @@ def forward(params: Params, cfg: DecoderConfig, input_seqs: jnp.ndarray,
             img_latent: jnp.ndarray, lmx_valid: jnp.ndarray | None,
             latent_valid: jnp.ndarray | None, *, token_idxs_input: bool = True,
             compute_dtype=jnp.float32, rng=None, deterministic: bool = True,
-            remat=False) -> jnp.ndarray:
+            remat=False, mem_kv: jnp.ndarray | None = None) -> jnp.ndarray:
     """Teacher-forced forward -> (B, T, V) logits.
 
     input_seqs: (B, T) int32 right-shifted token ids, or (B, T, E) mixed
     embeddings when ``token_idxs_input=False`` (scheduled sampling feeds
     expected embeddings, reference: models.py:459-462). Masks are *validity*
     (True = attend), the complement of the reference's padding masks.
+    ``mem_kv``: optional (L, B, Tm, 2E) precomputed cross K/V
+    (transformer.precompute_memory_kv) — scheduled sampling computes it once
+    and shares it across its two decoder passes.
     """
     if input_seqs.ndim == 2 and input_seqs.shape[1] > cfg.max_lmx_seq_len:
         raise ValueError(
@@ -98,7 +101,7 @@ def forward(params: Params, cfg: DecoderConfig, input_seqs: jnp.ndarray,
     mem = img_latent.astype(compute_dtype)
     x = transformer.decoder_stack(params["blocks"], x, mem, self_bias, cross_bias,
                                   cfg.num_heads, cfg.dropout, rng, deterministic,
-                                  remat)
+                                  remat, mem_kv=mem_kv)
     x = nn.layernorm(params["final_norm"], x, eps=1e-6)
     logits = nn.dense(params["unembed"], x)
     return logits.astype(jnp.float32)

@@ -168,17 +168,23 @@ def forward_scheduled_sampling(params: Params, cfg: ViTOMRConfig, patches,
         params, cfg, patches, pe_idx, pe_w, valid, compute_dtype=compute_dtype,
         rng=enc_rng, deterministic=deterministic,
         frozen_stop_gradient=frozen_stop_gradient, remat=remat)
+    # both decoder passes cross-attend to the same memory with the same
+    # weights: project the per-layer cross K/V once and share (saves a full
+    # set of memory projections, ~1.2 TFLOP/step fwd+bwd at flagship shapes)
+    from ..ops import transformer
+    mem_kv = transformer.precompute_memory_kv(
+        params["decoder"]["blocks"], img_latent.astype(compute_dtype))
     tf_logits = omr_decoder.forward(
         params["decoder"], cfg.decoder, input_seqs, img_latent, lmx_valid,
         latent_valid, compute_dtype=compute_dtype, rng=dec1_rng,
-        deterministic=deterministic, remat=remat)
+        deterministic=deterministic, remat=remat, mem_kv=mem_kv)
     mixed = sample_and_mix_seqs(params, mix_rng, input_seqs, tf_logits,
                                 teacher_forcing_prob, sample_tau,
                                 use_hard_sampling, compute_dtype)
     return omr_decoder.forward(
         params["decoder"], cfg.decoder, mixed, img_latent, lmx_valid,
         latent_valid, token_idxs_input=False, compute_dtype=compute_dtype,
-        rng=dec2_rng, deterministic=deterministic, remat=remat)
+        rng=dec2_rng, deterministic=deterministic, remat=remat, mem_kv=mem_kv)
 
 
 def omr_ce_loss(logits: jnp.ndarray, target_seqs: jnp.ndarray, pad_idx: int,

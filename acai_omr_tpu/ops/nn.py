@@ -227,7 +227,7 @@ def _flash_attention(q, k, v, mask: MaskSpec) -> jnp.ndarray:
 
 
 def mha(params: Params, x_q: jnp.ndarray, x_kv: jnp.ndarray, num_heads: int,
-        bias=None) -> jnp.ndarray:
+        bias=None, precomputed_kv: jnp.ndarray | None = None) -> jnp.ndarray:
     """Full multi-head attention block (projections + SDPA + out proj).
 
     Mirrors torch nn.MultiheadAttention with a fused in_proj: when
@@ -239,11 +239,19 @@ def mha(params: Params, x_q: jnp.ndarray, x_kv: jnp.ndarray, num_heads: int,
     ``bias`` may be an additive array (legacy) or a :class:`MaskSpec`; with a
     MaskSpec on TPU the Pallas flash-attention kernel runs (segment-id
     masking), falling back to the fused-bias XLA path elsewhere.
+
+    ``precomputed_kv``: (B, Tk, 2E) already-projected+biased cross K/V
+    (:func:`acai_omr_tpu.ops.transformer.precompute_memory_kv`) — the
+    training-path analogue of the decode MemoryCache (reference:
+    kv_caching.py:227-256); skips the per-call memory projection.
     """
     e = x_q.shape[-1]
     in_kernel = params["in_kernel"].astype(x_q.dtype)
     in_bias = params["in_bias"].astype(x_q.dtype)
-    if x_q is x_kv:
+    if precomputed_kv is not None:
+        q = jnp.dot(x_q, in_kernel[:, :e]) + in_bias[:e]
+        k, v = jnp.split(precomputed_kv.astype(x_q.dtype), 2, axis=-1)
+    elif x_q is x_kv:
         qkv = jnp.dot(x_q, in_kernel) + in_bias
         q, k, v = jnp.split(qkv, 3, axis=-1)
     else:

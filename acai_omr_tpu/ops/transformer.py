@@ -93,8 +93,13 @@ def encoder_layer(params: Params, x: jnp.ndarray, bias, num_heads: int,
 def decoder_layer(params: Params, x: jnp.ndarray, memory: jnp.ndarray,
                   self_bias, cross_bias, num_heads: int,
                   dropout_rate: float = 0.0, rng=None,
-                  deterministic: bool = True) -> jnp.ndarray:
-    """Post-norm decoder layer: SA -> norm1, CA -> norm2, FF -> norm3."""
+                  deterministic: bool = True,
+                  mem_kv: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Post-norm decoder layer: SA -> norm1, CA -> norm2, FF -> norm3.
+
+    ``mem_kv``: optional (B, Tm, 2E) precomputed cross K/V for this layer
+    (see :func:`precompute_memory_kv`); skips the in-layer memory projection.
+    """
     if rng is None:
         rngs = (None,) * 4
     else:
@@ -102,7 +107,8 @@ def decoder_layer(params: Params, x: jnp.ndarray, memory: jnp.ndarray,
     sa = nn.mha(params["self_attn"], x, x, num_heads, self_bias)
     sa = nn.dropout(rngs[0], sa, dropout_rate, deterministic)
     x = nn.layernorm(params["norm1"], x + sa, eps=1e-5)
-    ca = nn.mha(params["cross_attn"], x, memory, num_heads, cross_bias)
+    ca = nn.mha(params["cross_attn"], x, memory, num_heads, cross_bias,
+                precomputed_kv=mem_kv)
     ca = nn.dropout(rngs[1], ca, dropout_rate, deterministic)
     x = nn.layernorm(params["norm2"], x + ca, eps=1e-5)
     h = nn.gelu(nn.dense(params["linear1"], x))
@@ -157,33 +163,60 @@ def encoder_stack(stacked: Params, x: jnp.ndarray, bias, num_heads: int,
     return out
 
 
+def precompute_memory_kv(stacked: Params, memory: jnp.ndarray) -> jnp.ndarray:
+    """All layers' cross-attention K/V projections of ``memory`` in one
+    batched matmul -> (L, B, Tm, 2E).
+
+    The training-path analogue of the decode path's per-layer MemoryCache
+    (reference: acai_omr/models/kv_caching.py:227-256). Scheduled sampling's
+    two decoder passes consume the *same* memory with the same weights —
+    computing the K/V once and passing them to both passes removes a full
+    set of memory projections (~1.2 TFLOP/step at flagship shapes, fwd+bwd).
+    """
+    e = memory.shape[-1]
+    kern = stacked["cross_attn"]["in_kernel"][:, :, e:].astype(memory.dtype)
+    bias = stacked["cross_attn"]["in_bias"][:, e:].astype(memory.dtype)
+    kv = jnp.einsum("bte,lef->lbtf", memory, kern,
+                    preferred_element_type=memory.dtype)
+    return kv + bias[:, None, None, :]
+
+
 def decoder_stack(stacked: Params, x: jnp.ndarray, memory: jnp.ndarray,
                   self_bias, cross_bias, num_heads: int,
                   dropout_rate: float = 0.0, rng=None,
-                  deterministic: bool = True, remat=False) -> jnp.ndarray:
+                  deterministic: bool = True, remat=False,
+                  mem_kv: jnp.ndarray | None = None) -> jnp.ndarray:
     """Run a stack of decoder layers with lax.scan over the layer axis.
 
     ``remat=True`` recomputes each layer's activations in the backward pass —
     the TPU-native analogue of the reference's layer-wise
     ``checkpoint_sequential`` used to fit GRPO rollouts in memory
     (reference: acai_omr/models/models.py:470-478).
+
+    ``mem_kv``: optional (L, B, Tm, 2E) precomputed cross K/V
+    (:func:`precompute_memory_kv`); each layer consumes its slice instead of
+    projecting ``memory`` in-layer. The remat wrapper treats the slice as a
+    layer input, so it is saved (not recomputed) in the backward pass.
     """
     n = num_stacked_layers(stacked)
     layer_rngs = None if rng is None else jax.random.split(rng, n)
 
-    def run_layer(layer_params, carry, layer_rng):
+    def run_layer(layer_params, carry, layer_rng, mem_kv_l):
         return decoder_layer(layer_params, carry, memory, self_bias, cross_bias,
-                             num_heads, dropout_rate, layer_rng, deterministic)
+                             num_heads, dropout_rate, layer_rng, deterministic,
+                             mem_kv=mem_kv_l)
 
     run_layer = _remat_wrap(run_layer, remat)
 
-    if layer_rngs is None:
-        def body(carry, layer_params):
-            return run_layer(layer_params, carry, None), None
-        out, _ = jax.lax.scan(body, x, stacked)
-    else:
-        def body(carry, xs):
-            layer_params, layer_rng = xs
-            return run_layer(layer_params, carry, layer_rng), None
-        out, _ = jax.lax.scan(body, x, (stacked, layer_rngs))
+    xs = (stacked, layer_rngs, mem_kv)
+    present = tuple(x_ is not None for x_ in xs)
+
+    def body(carry, packed):
+        it = iter(packed)
+        layer_params = next(it)
+        layer_rng = next(it) if present[1] else None
+        mem_kv_l = next(it) if present[2] else None
+        return run_layer(layer_params, carry, layer_rng, mem_kv_l), None
+
+    out, _ = jax.lax.scan(body, x, tuple(x_ for x_ in xs if x_ is not None))
     return out

@@ -11,6 +11,7 @@ Run as ``python -m acai_omr_tpu.train.omr_teacher_force_train``.
 
 from __future__ import annotations
 
+import os
 import time
 from pathlib import Path
 
@@ -142,6 +143,11 @@ def omr_teacher_force_train(cfg: ViTOMRConfig, params, train_dataset,
                             bucket_boundaries=None, seed: int = 0,
                             compute_dtype=jnp.bfloat16):
     """Full stage-2 loop; returns (params, stats)."""
+    # Pallas flash attention is a measured +3.5% on THIS step's shapes
+    # (tools/flash_ab.py ss: 31.1 -> 32.2 img/s on v5e) but a -5% regression
+    # on MAE pretrain shapes — default it on for this stage only; explicit
+    # ACAI_FLASH_ATTENTION=0/1 still wins
+    os.environ.setdefault("ACAI_FLASH_ATTENTION", "1")
     model_dir = Path(model_dir)
     model_dir.mkdir(parents=True, exist_ok=False)
     (model_dir / "checkpoints").mkdir()

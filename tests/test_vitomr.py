@@ -161,3 +161,34 @@ def test_mae_to_vitomr_transfer():
     # decoder untouched
     for a, b in zip(jax.tree.leaves(vp2["decoder"]), jax.tree.leaves(vp["decoder"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_precomputed_memory_kv_matches_inlayer_projection(rng):
+    """transformer.precompute_memory_kv + mem_kv= path == in-layer cross
+    projection (the scheduled-sampling sharing optimization), all remat
+    modes, and gradients flow into the cross in_proj weights."""
+    from acai_omr_tpu.ops import transformer
+
+    params = omr_decoder.init_decoder_params(jax.random.PRNGKey(3), TINY_DEC)
+    seqs = jnp.asarray(rng.integers(3, 11, (2, 8)), jnp.int32)
+    mem = jnp.asarray(rng.standard_normal((2, 12, 16)), jnp.float32)
+    lmx_valid = jnp.asarray(rng.random((2, 8)) > 0.2)
+    lat_valid = jnp.asarray(rng.random((2, 12)) > 0.2)
+
+    base = omr_decoder.forward(params, TINY_DEC, seqs, mem, lmx_valid, lat_valid)
+    mkv = transformer.precompute_memory_kv(params["blocks"], mem)
+    assert mkv.shape == (TINY_DEC.num_layers, 2, 12, 2 * TINY_DEC.hidden_dim)
+    for remat in (False, "dots", True):
+        shared = omr_decoder.forward(params, TINY_DEC, seqs, mem, lmx_valid,
+                                     lat_valid, mem_kv=mkv, remat=remat)
+        np.testing.assert_allclose(np.asarray(base), np.asarray(shared),
+                                   atol=2e-5, rtol=1e-5)
+
+    def loss(p):
+        kv = transformer.precompute_memory_kv(p["blocks"], mem)
+        out = omr_decoder.forward(p, TINY_DEC, seqs, mem, lmx_valid, lat_valid,
+                                  mem_kv=kv, remat="dots")
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.linalg.norm(g["blocks"]["cross_attn"]["in_kernel"])) > 0

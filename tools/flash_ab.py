@@ -1,11 +1,11 @@
-"""In-process A/B: XLA fused-bias attention vs Pallas flash attention on the
-scheduled-sampling training step (the docs/PERF.md config: B=8, img budget
-1024 patches, lmx 256).
+"""In-process A/B: XLA fused-bias attention vs Pallas flash attention on a
+training step — scheduled-sampling (the docs/PERF.md config: B=8, img budget
+1024 patches, lmx 256) or MAE pretrain (B=64, L<=512).
 
 Interleaved in one process (cleared jit caches between flips) so machine
-drift cannot masquerade as a kernel difference. The flash backward is known
-to compile very slowly through the axon tunnel — that cost is one-time and
-excluded from the chained-step timing.
+drift cannot masquerade as a kernel difference.
+
+Usage: python tools/flash_ab.py [ss|mae]
 """
 
 import os
@@ -53,6 +53,30 @@ def build():
     return state, db, grad_fn, apply_fn, batch
 
 
+def build_mae():
+    import optax
+    from acai_omr_tpu.train import pre_train as pt
+    from acai_omr_tpu.models import mae as mae_lib
+    from acai_omr_tpu.data import loader
+    from acai_omr_tpu.parallel import trainer
+
+    cfg = pt.set_up_mae()
+    params = jax.tree.map(jnp.array,
+                          mae_lib.init_mae_params(jax.random.PRNGKey(0), cfg))
+    rng = np.random.default_rng(0)
+    batch = 64
+    examples = [(rng.random((1, 128, 1024), dtype=np.float32),) * 2
+                for _ in range(batch)]
+    arrays = loader.pack_mae_batch(list(examples), cfg.encoder)
+    db = {k: jnp.asarray(v) for k, v in arrays.items()
+          if isinstance(v, np.ndarray)}
+    tx = optax.adamw(1.5e-4)
+    state = trainer.create_train_state(params, tx)
+    grad_fn = trainer.make_grad_fn(pt.make_loss_fn(cfg, jnp.bfloat16))
+    apply_fn = trainer.make_apply_fn(tx)
+    return state, db, grad_fn, apply_fn, batch
+
+
 def measure(tag, state, db, grad_fn, apply_fn, batch, n_steps=20):
     key = jax.random.PRNGKey(1)
     # fresh state per measure: apply_fn donates its inputs, so the shared
@@ -85,7 +109,8 @@ def measure(tag, state, db, grad_fn, apply_fn, batch, n_steps=20):
     return batch / el
 
 
-state, db, grad_fn, apply_fn, batch = build()
+mode = sys.argv[1] if len(sys.argv) > 1 else "ss"
+state, db, grad_fn, apply_fn, batch = build_mae() if mode == "mae" else build()
 results = {}
 for rnd in range(2):
     for flash in (False, True):

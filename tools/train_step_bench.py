@@ -24,9 +24,15 @@ from acai_omr_tpu.utils import fast_prng
 fast_prng.enable()
 
 
-def bench_ss(batch: int, n_steps: int, img_hw=(256, 1024), lmx_len=256):
+def bench_ss(batch: int, n_steps: int, img_hw=(256, 1024), lmx_len=256,
+             accum: int = 1):
     """Scheduled-sampling seq2seq step at flagship size (the docs/PERF.md
-    training-study config: img budget 1024 patches, lmx 256)."""
+    training-study config: img budget 1024 patches, lmx 256).
+
+    ``accum > 1`` measures the real stage-2 regime (reference: 8 microbatches
+    per optimizer step, omr_teacher_force_train.py:40,126): grads accumulate
+    on device and the ~13 ms optimizer application amortizes over the window.
+    """
     from acai_omr_tpu.train import omr_teacher_force_train as tf_train
     from acai_omr_tpu.models import vitomr as vitomr_lib
     from acai_omr_tpu.data.tokenizer import LmxTokenizer
@@ -62,19 +68,29 @@ def bench_ss(batch: int, n_steps: int, img_hw=(256, 1024), lmx_len=256):
     def run(n):
         nonlocal state, key
         losses = []
-        for _ in range(n):
+        grads_acc, in_window = None, 0
+        for i in range(n):
             key, sk = jax.random.split(key)
             loss, grads = grad_fn(state.params, db, sk)
-            state = apply_fn(state, grads, jnp.float32(1.0))
+            grads_acc = trainer.accumulate_grads(grads_acc, grads)
+            in_window += 1
+            if in_window >= accum:
+                state = apply_fn(state, grads_acc, jnp.float32(1.0))
+                grads_acc, in_window = None, 0
             losses.append(loss)
+            if (i + 1) % 10 == 0 and i + 1 < n:
+                float(loss)  # bound in-flight buffers
+        if grads_acc is not None:
+            state = apply_fn(state, grads_acc, jnp.float32(1.0))
         return float(sum(losses))  # ONE pull
 
     run(2)  # compile + warm
     t0 = time.perf_counter()
     run(n_steps)
     el = (time.perf_counter() - t0) / n_steps
-    print(f"scheduled-sampling step B={batch} img {h}x{w} lmx {lmx_len}: "
-          f"{el * 1e3:.1f} ms/step -> {batch / el:.1f} img/s "
+    label = f" (accum {accum})" if accum > 1 else ""
+    print(f"scheduled-sampling step B={batch} img {h}x{w} lmx {lmx_len}{label}: "
+          f"{el * 1e3:.1f} ms/microbatch -> {batch / el:.1f} img/s "
           f"({n_steps} chained steps, one sync)", flush=True)
 
 
@@ -125,8 +141,10 @@ if __name__ == "__main__":
     ap.add_argument("mode", choices=["ss", "mae"], nargs="?", default="ss")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--accum", type=int, default=1,
+                    help="microbatches per optimizer step (reference: 8)")
     args = ap.parse_args()
     if args.mode == "ss":
-        bench_ss(args.batch or 8, args.steps)
+        bench_ss(args.batch or 8, args.steps, accum=args.accum)
     else:
         bench_mae(args.batch or 64, args.steps)

@@ -71,7 +71,8 @@ def forward(params: Params, cfg: DecoderConfig, input_seqs: jnp.ndarray,
             img_latent: jnp.ndarray, lmx_valid: jnp.ndarray | None,
             latent_valid: jnp.ndarray | None, *, token_idxs_input: bool = True,
             compute_dtype=jnp.float32, rng=None, deterministic: bool = True,
-            remat=False, mem_kv: jnp.ndarray | None = None) -> jnp.ndarray:
+            remat=False, mem_kv: jnp.ndarray | None = None,
+            cross_group: int = 1) -> jnp.ndarray:
     """Teacher-forced forward -> (B, T, V) logits.
 
     input_seqs: (B, T) int32 right-shifted token ids, or (B, T, E) mixed
@@ -81,6 +82,10 @@ def forward(params: Params, cfg: DecoderConfig, input_seqs: jnp.ndarray,
     ``mem_kv``: optional (L, B, Tm, 2E) precomputed cross K/V
     (transformer.precompute_memory_kv) — scheduled sampling computes it once
     and shares it across its two decoder passes.
+    ``cross_group``: G > 1 for GRPO's group-expanded rollouts — input_seqs
+    has B rows but img_latent/latent_valid/mem_kv carry only the B/G unique
+    memory rows (rollouts of one image are contiguous); cross-attention
+    folds the group into the query axis (transformer.decoder_layer).
     """
     if input_seqs.ndim == 2 and input_seqs.shape[1] > cfg.max_lmx_seq_len:
         raise ValueError(
@@ -101,7 +106,7 @@ def forward(params: Params, cfg: DecoderConfig, input_seqs: jnp.ndarray,
     mem = img_latent.astype(compute_dtype)
     x = transformer.decoder_stack(params["blocks"], x, mem, self_bias, cross_bias,
                                   cfg.num_heads, cfg.dropout, rng, deterministic,
-                                  remat, mem_kv=mem_kv)
+                                  remat, mem_kv=mem_kv, cross_group=cross_group)
     x = nn.layernorm(params["final_norm"], x, eps=1e-6)
     logits = nn.dense(params["unembed"], x)
     return logits.astype(jnp.float32)

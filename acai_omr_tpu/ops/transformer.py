@@ -94,11 +94,18 @@ def decoder_layer(params: Params, x: jnp.ndarray, memory: jnp.ndarray,
                   self_bias, cross_bias, num_heads: int,
                   dropout_rate: float = 0.0, rng=None,
                   deterministic: bool = True,
-                  mem_kv: jnp.ndarray | None = None) -> jnp.ndarray:
+                  mem_kv: jnp.ndarray | None = None,
+                  cross_group: int = 1) -> jnp.ndarray:
     """Post-norm decoder layer: SA -> norm1, CA -> norm2, FF -> norm3.
 
     ``mem_kv``: optional (B, Tm, 2E) precomputed cross K/V for this layer
     (see :func:`precompute_memory_kv`); skips the in-layer memory projection.
+
+    ``cross_group``: G > 1 declares that ``x``'s rows are G contiguous
+    rollouts per unique memory row (GRPO's ``jnp.repeat`` latent expansion,
+    reference models.py:883-891): ``memory``/``mem_kv``/``cross_bias`` carry
+    only the B/G unique rows and the G rollouts fold into the cross
+    query axis — identical attention output, 1/G the K/V projection work.
     """
     if rng is None:
         rngs = (None,) * 4
@@ -107,8 +114,14 @@ def decoder_layer(params: Params, x: jnp.ndarray, memory: jnp.ndarray,
     sa = nn.mha(params["self_attn"], x, x, num_heads, self_bias)
     sa = nn.dropout(rngs[0], sa, dropout_rate, deterministic)
     x = nn.layernorm(params["norm1"], x + sa, eps=1e-5)
-    ca = nn.mha(params["cross_attn"], x, memory, num_heads, cross_bias,
-                precomputed_kv=mem_kv)
+    if cross_group > 1:
+        r, t, e = x.shape
+        xq = x.reshape(r // cross_group, cross_group * t, e)
+        ca = nn.mha(params["cross_attn"], xq, memory, num_heads, cross_bias,
+                    precomputed_kv=mem_kv).reshape(r, t, e)
+    else:
+        ca = nn.mha(params["cross_attn"], x, memory, num_heads, cross_bias,
+                    precomputed_kv=mem_kv)
     ca = nn.dropout(rngs[1], ca, dropout_rate, deterministic)
     x = nn.layernorm(params["norm2"], x + ca, eps=1e-5)
     h = nn.gelu(nn.dense(params["linear1"], x))
@@ -185,7 +198,8 @@ def decoder_stack(stacked: Params, x: jnp.ndarray, memory: jnp.ndarray,
                   self_bias, cross_bias, num_heads: int,
                   dropout_rate: float = 0.0, rng=None,
                   deterministic: bool = True, remat=False,
-                  mem_kv: jnp.ndarray | None = None) -> jnp.ndarray:
+                  mem_kv: jnp.ndarray | None = None,
+                  cross_group: int = 1) -> jnp.ndarray:
     """Run a stack of decoder layers with lax.scan over the layer axis.
 
     ``remat=True`` recomputes each layer's activations in the backward pass —
@@ -204,7 +218,7 @@ def decoder_stack(stacked: Params, x: jnp.ndarray, memory: jnp.ndarray,
     def run_layer(layer_params, carry, layer_rng, mem_kv_l):
         return decoder_layer(layer_params, carry, memory, self_bias, cross_bias,
                              num_heads, dropout_rate, layer_rng, deterministic,
-                             mem_kv=mem_kv_l)
+                             mem_kv=mem_kv_l, cross_group=cross_group)
 
     run_layer = _remat_wrap(run_layer, remat)
 

@@ -195,15 +195,26 @@ def make_grpo_update_step(cfg: ViTOMRConfig, tx, num_groups: int,
     lax.scan (each chunk remat'd per layer), then the CE-anchor gradient is
     added and one optimizer step applied. Exactly the reference objective
     (omr_grpo_train.py:345-370), restructured for memory.
+
+    ``batch["img_latent"]``/``latent_valid`` may be UNEXPANDED (B unique
+    rows with rollouts of one image contiguous — the rollout group size G is
+    inferred from rollouts/memory row counts): the per-layer cross K/V are
+    then projected once per update step for the unique rows (1/G the
+    projection work — rollouts replicate memories, reference
+    models.py:883-891) and cross-attention folds the group into the query
+    axis (ops/transformer.decoder_layer cross_group). Expanded latents
+    (G=1 per row) remain supported.
     """
     vocab_size = cfg.decoder.vocab_size
 
     def rollout_loss(params, mb, total_rollouts, entropy_beta, rng):
+        # static shapes at trace time: G = rollout rows per unique memory row
+        cg = mb["rollout_inputs"].shape[0] // mb["img_latent"].shape[0]
         theta_logits = omr_decoder.forward(
             params["decoder"], cfg.decoder, mb["rollout_inputs"],
             mb["img_latent"], mb["rollout_input_valid"], mb["latent_valid"],
             compute_dtype=compute_dtype, rng=rng, deterministic=True,
-            remat=True)
+            remat=True, mem_kv=mb.get("mem_kv"), cross_group=cg)
         obj_sum = calc_grpo_objective_sum(
             theta_logits, mb["rollouts"], mb["rollout_input_valid"],
             mb["old_log_probs"], mb["advantages"], epsilon)
@@ -226,9 +237,26 @@ def make_grpo_update_step(cfg: ViTOMRConfig, tx, num_groups: int,
 
     def step(state, batch, rng):
         r_total = batch["rollouts"].shape[0]
-        m = rollout_microbatches if r_total % rollout_microbatches == 0 else 1
-        micro = {k: batch[k].reshape((m, r_total // m) + batch[k].shape[1:])
-                 for k in rollout_keys}
+        b_mem = batch["img_latent"].shape[0]
+        if r_total % b_mem:
+            raise ValueError(f"rollout rows {r_total} not a multiple of "
+                             f"memory rows {b_mem}")
+        m = rollout_microbatches
+        if r_total % m or b_mem % m:
+            m = 1
+        micro = {}
+        for k in rollout_keys:
+            lead = batch[k].shape[0]
+            micro[k] = batch[k].reshape((m, lead // m) + batch[k].shape[1:])
+        from ..ops import transformer
+        # one batched projection of the unique memory rows per update step
+        # (each is shared by all G of its rollouts); sliced per chunk
+        mem_kv = transformer.precompute_memory_kv(
+            state.params["decoder"]["blocks"],
+            batch["img_latent"].astype(compute_dtype))  # (L, B, M, 2E)
+        l, _, mlen, k2 = mem_kv.shape
+        micro["mem_kv"] = jnp.moveaxis(
+            mem_kv.reshape(l, m, b_mem // m, mlen, k2), 1, 0)
         rngs = jax.random.split(rng, m)
 
         def body(carry, xs):
@@ -313,8 +341,11 @@ def grpo_update(old_params, state, update_step, cfg: ViTOMRConfig,
         "rollout_input_valid": jnp.asarray(input_valid),
         "old_log_probs": jnp.asarray(old_lp),
         "advantages": jnp.asarray(advantages, dtype=jnp.float32),
-        "img_latent": latent,
-        "latent_valid": latent_valid,
+        # UNEXPANDED memory rows: the update step projects cross K/V once
+        # per unique image and folds the G rollouts into the cross query
+        # axis (make_grpo_update_step group_size)
+        "img_latent": unexp_latent,
+        "latent_valid": unexp_valid,
         "entropy_beta": jnp.float32(lc.entropy_beta),
         "lambda_ce": jnp.float32(lc.lambda_ce),
     }

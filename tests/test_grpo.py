@@ -229,3 +229,34 @@ def test_mini_validate_smoke(rng):
                           compute_dtype=jnp.float32, reward_workers=2)
     assert np.isfinite(out["reward"]) and np.isfinite(out["ce_loss"])
     assert out["components"] is not None
+
+
+def test_grouped_cross_attention_matches_expanded(rng):
+    """cross_group=G with unique memory rows == expanded (repeat) memories:
+    the GRPO update's grouped cross-attention is output-identical while
+    projecting 1/G the K/V (reference latent expansion: models.py:883-891)."""
+    from acai_omr_tpu.ops import transformer as T
+    from acai_omr_tpu.models import omr_decoder
+    from acai_omr_tpu.models.omr_decoder import DecoderConfig
+
+    cfg = DecoderConfig(max_lmx_seq_len=16, vocab_size=11, num_layers=2,
+                        hidden_dim=16, num_heads=2, mlp_dim=24, dropout=0.0,
+                        pad_idx=1, bos_idx=0, eos_idx=2)
+    params = omr_decoder.init_decoder_params(jax.random.PRNGKey(5), cfg)
+    u, g, t, m = 2, 3, 8, 12
+    seqs = jnp.asarray(rng.integers(3, 11, (u * g, t)), jnp.int32)
+    uniq_mem = jnp.asarray(rng.standard_normal((u, m, 16)), jnp.float32)
+    uniq_valid = jnp.asarray(rng.random((u, m)) > 0.2)
+    lmx_valid = jnp.asarray(rng.random((u * g, t)) > 0.2)
+
+    base = omr_decoder.forward(params, cfg, seqs, jnp.repeat(uniq_mem, g, 0),
+                               lmx_valid, jnp.repeat(uniq_valid, g, 0))
+    grouped = omr_decoder.forward(params, cfg, seqs, uniq_mem, lmx_valid,
+                                  uniq_valid, cross_group=g)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(grouped),
+                               atol=1e-6, rtol=1e-6)
+    mkv = T.precompute_memory_kv(params["blocks"], uniq_mem)
+    g2 = omr_decoder.forward(params, cfg, seqs, uniq_mem, lmx_valid,
+                             uniq_valid, cross_group=g, mem_kv=mkv, remat=True)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(g2),
+                               atol=2e-5, rtol=1e-5)

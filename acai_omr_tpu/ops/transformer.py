@@ -13,12 +13,23 @@ sharding a single PartitionSpec per leaf.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from . import nn
 
 Params = dict
+
+# lax.scan cannot overlap one layer's weight DMA with the previous layer's
+# compute across iterations; unrolling gives XLA that freedom at the cost of
+# program size. A/B'd via ACAI_SCAN_UNROLL (read at trace time).
+def _scan_unroll() -> int:
+    try:
+        return max(1, int(os.environ.get("ACAI_SCAN_UNROLL", "1")))
+    except ValueError:
+        return 1
 
 
 # ---------------------------------------------------------------------------
@@ -167,12 +178,13 @@ def encoder_stack(stacked: Params, x: jnp.ndarray, bias, num_heads: int,
     if layer_rngs is None:
         def body(carry, layer_params):
             return run_layer(layer_params, carry, None), None
-        out, _ = jax.lax.scan(body, x, stacked)
+        out, _ = jax.lax.scan(body, x, stacked, unroll=_scan_unroll())
     else:
         def body(carry, xs):
             layer_params, layer_rng = xs
             return run_layer(layer_params, carry, layer_rng), None
-        out, _ = jax.lax.scan(body, x, (stacked, layer_rngs))
+        out, _ = jax.lax.scan(body, x, (stacked, layer_rngs),
+                              unroll=_scan_unroll())
     return out
 
 
@@ -232,5 +244,7 @@ def decoder_stack(stacked: Params, x: jnp.ndarray, memory: jnp.ndarray,
         mem_kv_l = next(it) if present[2] else None
         return run_layer(layer_params, carry, layer_rng, mem_kv_l), None
 
-    out, _ = jax.lax.scan(body, x, tuple(x_ for x_ in xs if x_ is not None))
+    out, _ = jax.lax.scan(body, x,
+                          tuple(x_ for x_ in xs if x_ is not None),
+                          unroll=_scan_unroll())
     return out

@@ -1,0 +1,894 @@
+"""Fused training-time decoder-layer stack: forward + backward Pallas kernels.
+
+The scheduled-sampling training step spends ~195 of 233 ms inside six
+``lax.scan`` layer stacks (docs/PERF.md per-op profile); the decoder's four
+scans (two forward passes + their backwards) run 2048-row GEMMs at ~38 % MXU
+because every layer iteration round-trips activations through HBM, pays the
+scan's serialization, and re-materializes attention biases. This module runs
+the *whole decoder stack* as one Pallas grid per pass, the training-path
+analogue of the decode monolith (``pallas_monolith.py``):
+
+* **grid = (num_layers, batch_tiles)** — layer weights (~29 MB bf16) are
+  fetched once per layer and overlap the previous layer's compute; the
+  hidden-state carry lives in a persistent VMEM scratch, so activations
+  never touch HBM between layers.
+* **Attention from the fused qkv GEMM** — one (rows, 3E) projection, then
+  per-(image, head) 64-lane slices feed plain MXU dots
+  (A·Bᵀ for logits, Aᵀ·B for the backward's dK/dW — all three dot forms
+  lower on v5e, tools/mosaic_dot_forms_probe.py). Masks are built in-kernel
+  from (B, 1, T) validity planes; no (B, H, T, T) bias is ever materialized.
+* **Remat-in-kernel backward** — the forward saves only the layer inputs
+  and the three pre-norm residuals (x, z1, z2, z3); the backward kernel
+  re-derives qkv/probs/FFN internals in VMEM and emits dx, d(weights),
+  d(mem_kv) in a single reverse sweep. Weight and weight-grad buffers are
+  hand-DMA'd (single-buffered) to fit ~128 MB VMEM.
+* **Hardware-PRNG dropout** — per-(layer, tile, site) seeded
+  ``pltpu.prng_random_bits`` masks, regenerated bit-identically in the
+  backward; no mask tensors are stored or streamed.
+
+Semantics match :func:`acai_omr_tpu.ops.transformer.decoder_stack` with
+``mem_kv`` precomputed (reference: the per-layer cross-attention projections
+of acai_omr/models/kv_caching.py:227-256 and the post-norm layer order of
+acai_omr/models/models.py:412-426), up to dropout stream identity.
+
+Opt-in via ``ACAI_FUSED_TRAIN_LAYER=1`` (flagship decoder shapes only).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_monolith import _erf
+
+Params = dict
+
+NEG = -1e9
+_SQRT2 = math.sqrt(2.0)
+_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+_ENABLED = os.environ.get("ACAI_FUSED_TRAIN_LAYER", "0") == "1"
+_FORCE = False
+_INTERPRET = False
+
+# VMEM planning: v5e capacity is 128 MB (the compiler's OOM report); ask for
+# essentially all of it — this kernel is the only resident program.
+_VMEM_LIMIT = int(127 * 1024 * 1024)
+
+
+_ABLATE = "full"  # tools/bwd_vmem_probe.py: stub backward stages to localize VMEM
+
+
+def set_ablate(mode: str) -> None:
+    global _ABLATE
+    _ABLATE = mode
+
+
+def set_test_mode(force: bool, interpret: bool) -> None:
+    global _FORCE, _INTERPRET
+    _FORCE = force
+    _INTERPRET = interpret
+
+
+def set_enabled(flag: bool) -> None:
+    global _ENABLED
+    _ENABLED = flag
+
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def enabled_for(b: int, t: int, m: int, e: int, h: int) -> bool:
+    """Fused path is gated to shapes the kernel's tiling supports."""
+    if not (_ENABLED or _FORCE):
+        return False
+    if not (_on_tpu() or _FORCE):
+        return False
+    dh = e // h
+    return (e % 128 == 0 and dh % 8 == 0 and t % 8 == 0 and m % 128 == 0
+            and t >= 8 and h % 2 == 0 and 2 * dh % 128 == 0)
+
+
+# ---------------------------------------------------------------------------
+# weight packing
+#
+# Per-layer 1-D params are packed into one (L, 8, W) fp32 plane so every
+# kernel input block keeps (sublane, lane) dims tile-aligned:
+#   row 0: bqkv  (3E)          row 1: b1 (F)
+#   row 2: [bo | boc | bqc | b2]  (4E)
+#   row 3: [g1 | beta1 | g2 | beta2] (4E)    row 4: [g3 | beta3] (2E)
+# ---------------------------------------------------------------------------
+
+def _vec_width(e: int, f: int) -> int:
+    w = max(3 * e, f, 4 * e)
+    return ((w + 127) // 128) * 128
+
+
+def _pad_to(v: jnp.ndarray, w: int) -> jnp.ndarray:
+    return jnp.pad(v, ((0, 0), (0, w - v.shape[1])))
+
+
+def pack_weights(stacked: Params, dt) -> tuple:
+    """Stacked layer pytree -> flat kernel operands (cast to compute dtype).
+
+    The cross-attention in_proj contributes only its q columns; the k/v
+    columns act through the precomputed ``mem_kv``
+    (transformer.precompute_memory_kv).
+    """
+    sa, ca = stacked["self_attn"], stacked["cross_attn"]
+    e = sa["out"]["kernel"].shape[1]
+    f = stacked["linear1"]["kernel"].shape[2]
+    w = _vec_width(e, f)
+    f32 = jnp.float32
+    vecs = jnp.stack([
+        _pad_to(sa["in_bias"].astype(f32), w),
+        _pad_to(stacked["linear1"]["bias"].astype(f32), w),
+        _pad_to(jnp.concatenate([
+            sa["out"]["bias"], ca["out"]["bias"], ca["in_bias"][:, :e],
+            stacked["linear2"]["bias"]], axis=1).astype(f32), w),
+        _pad_to(jnp.concatenate([
+            stacked["norm1"]["scale"], stacked["norm1"]["bias"],
+            stacked["norm2"]["scale"], stacked["norm2"]["bias"]],
+            axis=1).astype(f32), w),
+        _pad_to(jnp.concatenate([
+            stacked["norm3"]["scale"], stacked["norm3"]["bias"]],
+            axis=1).astype(f32), w),
+        _pad_to(jnp.zeros_like(sa["in_bias"], f32), w),
+        _pad_to(jnp.zeros_like(sa["in_bias"], f32), w),
+        _pad_to(jnp.zeros_like(sa["in_bias"], f32), w),
+    ], axis=1)
+    return (sa["in_kernel"].astype(dt), sa["out"]["kernel"].astype(dt),
+            ca["in_kernel"][:, :, :e].astype(dt), ca["out"]["kernel"].astype(dt),
+            stacked["linear1"]["kernel"].astype(dt),
+            stacked["linear2"]["kernel"].astype(dt), vecs)
+
+
+# ---------------------------------------------------------------------------
+# in-kernel math helpers (fp32 internals, matching ops/nn.py numerics)
+# ---------------------------------------------------------------------------
+
+def _ln_fwd(z, scale_row, bias_row, eps=1e-5):
+    """z (R, E) any dtype -> (out32, zhat32, inv32); LN in fp32 like nn.layernorm."""
+    z32 = z.astype(jnp.float32)
+    mu = jnp.mean(z32, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(z32 - mu), axis=1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    zh = (z32 - mu) * inv
+    return zh * scale_row + bias_row, zh, inv
+
+
+def _ln_bwd(g, z, scale_row, eps=1e-5):
+    """Backward of y = LN(z)*scale + bias. Returns (dz32, dscale, dbias)."""
+    z32 = z.astype(jnp.float32)
+    mu = jnp.mean(z32, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(z32 - mu), axis=1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    zh = (z32 - mu) * inv
+    g32 = g.astype(jnp.float32)
+    dscale = jnp.sum(g32 * zh, axis=0, keepdims=True)
+    dbias = jnp.sum(g32, axis=0, keepdims=True)
+    gg = g32 * scale_row
+    dz = inv * (gg - jnp.mean(gg, axis=1, keepdims=True)
+                - zh * jnp.mean(gg * zh, axis=1, keepdims=True))
+    return dz, dscale, dbias
+
+
+def _gelu_fwd(u32):
+    return 0.5 * u32 * (1.0 + _erf(u32 / _SQRT2))
+
+
+def _gelu_grad(u32):
+    phi = jnp.exp(-0.5 * u32 * u32) * _INV_SQRT_2PI
+    return 0.5 * (1.0 + _erf(u32 / _SQRT2)) + u32 * phi
+
+
+def _drop_mask(shape, rate: float, seeds) -> jnp.ndarray:
+    """Deterministic keep-mask from the hardware PRNG; regenerated
+    bit-identically in the backward pass from the same (layer, tile, site)
+    seed tuple."""
+    pltpu.prng_seed(*seeds)
+    bits = pltpu.prng_random_bits(shape)
+    thresh = jnp.uint32(min(int(rate * 2.0 ** 32), 2 ** 32 - 1))
+    return bits.astype(jnp.uint32) >= thresh
+
+
+def _apply_drop(v, rate: float, seeds, deterministic: bool):
+    if deterministic or rate <= 0.0:
+        return v
+    keep = _drop_mask(v.shape, rate, seeds)
+    return jnp.where(keep, v / (1.0 - rate), jnp.zeros_like(v))
+
+
+def _attend(q, k, v, bias32, dt):
+    """One head's attention: q (T, Dh), k/v (S, Dh), bias (T, S) fp32.
+
+    Returns (out (T, Dh) dt, probs (T, S) fp32)."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    lg = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    lg = lg * scale + bias32
+    mx = jnp.max(lg, axis=1, keepdims=True)
+    ex = jnp.exp(lg - mx)
+    p = ex / jnp.sum(ex, axis=1, keepdims=True)
+    out = jax.lax.dot_general(p.astype(dt), v, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out.astype(dt), p
+
+
+def _attend_bwd(dout, q, k, v, p, dt):
+    """Backward of one head's attention given saved probs ``p`` (fp32).
+
+    dout (T, Dh) -> (dq, dk, dv) in dt. Bias is a constant mask; no grad."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    dp = jax.lax.dot_general(dout, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dv = jax.lax.dot_general(p.astype(dt), dout, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32).astype(dt)
+    ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+    ds = (ds * scale).astype(dt)
+    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32).astype(dt)
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32).astype(dt)
+    return dq, dk, dv
+
+
+def _chain(v, dep):
+    """Make ``v`` data-depend on ``dep`` without changing its value.
+
+    Mosaic has no optimization_barrier lowering; this gates ``v`` on
+    ``min(|dep|, 0.0)`` — exactly +0.0 for finite inputs (NaNs would
+    already poison the gradients) and not constant-foldable, so the
+    scheduler must finish ``dep`` before starting consumers of ``v``.
+    Used to serialize unrolled per-head attention-backward iterations,
+    whose concurrent scheduling spilled ~56 MB of VMEM."""
+    gate = jnp.minimum(jnp.min(jnp.abs(dep.astype(jnp.float32))), 0.0)
+    return v + gate.astype(v.dtype)
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_bt(a, b):
+    """A @ B^T."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _dot_tb(a, b, odt=jnp.float32):
+    """A^T @ B. ``odt`` is the MXU OUTPUT dtype (accumulation is fp32
+    internally either way); the weight-grad accumulation dots emit compute
+    dtype directly — a separate fp32 dot output + cast pair costs 6 MB of
+    vreg spill per (1024, 1024) chunk and the backward has 14 such chunks."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=odt)
+
+
+def _causal32(t: int) -> jnp.ndarray:
+    ri = jax.lax.broadcasted_iota(jnp.int32, (t, t), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (t, t), 1)
+    return jnp.where(ri >= ci, 0.0, NEG).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(seed_ref, x_in, mem_kv, sbias, mbias,
+                wqkv, wo, wqc, woc, w1, w2, vecs,
+                out, sx, sz1, sz2, sz3, sh1, sgp, xc,
+                *, nl, nt, bt, t, m, e, f, h, dt, rate, det, causal):
+    l = pl.program_id(0)
+    j = pl.program_id(1)
+    btt = bt * t
+    dh = e // h
+    s0 = seed_ref[0]
+    s1 = seed_ref[1]
+
+    @pl.when(l == 0)
+    def _():
+        xc[pl.dslice(j * btt, btt), :] = x_in[...]
+
+    x = xc[pl.dslice(j * btt, btt), :]
+    sx[0] = x
+
+    bqkv = vecs[0, 0:1, :3 * e]
+    bo = vecs[0, 2:3, :e]
+    boc = vecs[0, 2:3, e:2 * e]
+    bqc = vecs[0, 2:3, 2 * e:3 * e]
+    b2 = vecs[0, 2:3, 3 * e:4 * e]
+    b1 = vecs[0, 1:2, :f]
+    g1 = vecs[0, 3:4, :e]
+    be1 = vecs[0, 3:4, e:2 * e]
+    g2 = vecs[0, 3:4, 2 * e:3 * e]
+    be2 = vecs[0, 3:4, 3 * e:4 * e]
+    g3 = vecs[0, 4:5, :e]
+    be3 = vecs[0, 4:5, e:2 * e]
+
+    # --- self attention ---------------------------------------------------
+    qkv = (_dot(x, wqkv[0]) + bqkv).astype(dt)
+    cb = _causal32(t) if causal else jnp.zeros((t, t), jnp.float32)
+    img_rows = []
+    for i in range(bt):
+        qkv_i = qkv[i * t:(i + 1) * t, :]
+        bias_i = cb + sbias[i, 0:1, :]
+        heads = []
+        for hh in range(h):
+            o, _ = _attend(qkv_i[:, hh * dh:(hh + 1) * dh],
+                           qkv_i[:, e + hh * dh:e + (hh + 1) * dh],
+                           qkv_i[:, 2 * e + hh * dh:2 * e + (hh + 1) * dh],
+                           bias_i, dt)
+            heads.append(o)
+        img_rows.append(jnp.concatenate(heads, axis=1))
+    a_s = jnp.concatenate(img_rows, axis=0)
+    sa = (_dot(a_s, wo[0]) + bo).astype(dt)
+    sa = _apply_drop(sa, rate, (s0, s1, l, j, 0), det)
+    z1 = x + sa
+    sz1[0] = z1
+    x1_32, _, _ = _ln_fwd(z1, g1, be1)
+    x1 = x1_32.astype(dt)
+
+    # --- cross attention --------------------------------------------------
+    qc = (_dot(x1, wqc[0]) + bqc).astype(dt)
+    img_rows = []
+    for i in range(bt):
+        mk = mem_kv[0, i]
+        bias_i = mbias[i, 0:1, :] + jnp.zeros((t, m), jnp.float32)
+        heads = []
+        for hh in range(h):
+            o, _ = _attend(qc[i * t:(i + 1) * t, hh * dh:(hh + 1) * dh],
+                           mk[:, hh * dh:(hh + 1) * dh],
+                           mk[:, e + hh * dh:e + (hh + 1) * dh],
+                           bias_i, dt)
+            heads.append(o)
+        img_rows.append(jnp.concatenate(heads, axis=1))
+    a_c = jnp.concatenate(img_rows, axis=0)
+    ca = (_dot(a_c, woc[0]) + boc).astype(dt)
+    ca = _apply_drop(ca, rate, (s0, s1, l, j, 1), det)
+    z2 = x1 + ca
+    sz2[0] = z2
+    x2_32, _, _ = _ln_fwd(z2, g2, be2)
+    x2 = x2_32.astype(dt)
+
+    # --- feed-forward (F-chunked). The post-dropout hidden h1 and the GELU
+    # derivative are SAVED for the backward: recomputing them there (the
+    # erf rational approximation expands to ~21 MB of fp32 vreg spill at
+    # F=4096) was what kept the backward kernel over the 128 MB VMEM
+    # budget. Chunking fwd+bwd identically keeps the per-chunk site-2
+    # dropout streams consistent between the passes. ------------------------
+    ff32 = jnp.zeros((btt, e), jnp.float32)
+    for c0 in range(0, f, 1024):
+        cw = min(1024, f - c0)
+        u_c = _dot(x2, w1[0][:, c0:c0 + cw]) + b1[:, c0:c0 + cw]
+        erf_c = _erf(u_c / _SQRT2)
+        h1_c = (0.5 * u_c * (1.0 + erf_c)).astype(dt)
+        h1_c = _apply_drop(h1_c, rate, (s0, s1, l, j, 2, c0 // 1024), det)
+        phi_c = jnp.exp(-0.5 * u_c * u_c) * _INV_SQRT_2PI
+        sgp[0, :, c0:c0 + cw] = \
+            (0.5 * (1.0 + erf_c) + u_c * phi_c).astype(dt)
+        sh1[0, :, c0:c0 + cw] = h1_c
+        ff32 = ff32 + _dot(h1_c, w2[0][c0:c0 + cw, :])
+    ff = (ff32 + b2).astype(dt)
+    ff = _apply_drop(ff, rate, (s0, s1, l, j, 3), det)
+    z3 = x2 + ff
+    sz3[0] = z3
+    xo_32, _, _ = _ln_fwd(z3, g3, be3)
+    xo = xo_32.astype(dt)
+
+    xc[pl.dslice(j * btt, btt), :] = xo
+
+    @pl.when(l == nl - 1)
+    def _():
+        out[...] = xo
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
+                wqkv_h, wo_h, wqc_h, woc_h, w1_h, w2_h, vecs,
+                sx, sz1, sz2, sz3, sh1, sgp, g_in,
+                dx_out, dmem_kv, dwqkv_h, dwo_h, dwqc_h, dwoc_h, dw1_h,
+                dw2_h, dvecs,
+                dxc, wqkv, wo, wqc, woc, w1, w2,
+                dwqkv, dwo, dwqc, dwoc, dw1, dw2, mkv, dmkv,
+                sems, osems, mk_sem, dmk_sem,
+                *, nl, nt, bt, t, m, e, f, h, dt, rate, det, causal):
+    l = pl.program_id(0)
+    j = pl.program_id(1)
+    lr = nl - 1 - l
+    btt = bt * t
+    dh = e // h
+    s0 = seed_ref[0]
+    s1 = seed_ref[1]
+
+    # mem_kv is SINGLE-buffered by hand (Pallas windows are always
+    # double-buffered; at (M, 2E) per image that is 16 MB of VMEM for the
+    # in+out pair): start the fetch now, consume it in the cross stage.
+    mk_cp = pltpu.make_async_copy(
+        mem_kv.at[lr, pl.dslice(j * bt, bt)], mkv, mk_sem)
+    mk_cp.start()
+
+    def _acc(vm, a, b):
+        # Fold the weight-grad contribution aᵀ·b into its resident VMEM
+        # accumulator in ≤(1024, 1024) chunks, UNCONDITIONALLY — the
+        # buffers are zeroed in the j==0 prologue below. Predicated
+        # (`pl.when(j==0)` init / `when(j>0)` add) accumulation kept every
+        # chunk alive until the merged conditional regions executed:
+        # 14 chunks × 4 MB ≈ the observed 63 MB of register-allocator
+        # spill slots that blew the 128 MB VMEM budget.
+        k, n = vm.shape
+        if n >= k:
+            for c0 in range(0, n, 1024):
+                vm[:, c0:c0 + 1024] += _dot_tb(a, b[:, c0:c0 + 1024],
+                                               vm.dtype)
+        else:
+            for r0 in range(0, k, 1024):
+                vm[r0:r0 + 1024, :] += _dot_tb(a[:, r0:r0 + 1024], b,
+                                               vm.dtype)
+
+    # ---- manual single-buffered weight DMA (HBM -> VMEM at each new layer)
+    w_pairs = ((wqkv_h, wqkv), (wo_h, wo), (wqc_h, wqc), (woc_h, woc),
+               (w1_h, w1), (w2_h, w2))
+
+    @pl.when(j == 0)
+    def _():
+        for idx, (hbm, vm) in enumerate(w_pairs):
+            pltpu.make_async_copy(hbm.at[lr], vm, sems.at[idx]).start()
+        for idx, (hbm, vm) in enumerate(w_pairs):
+            pltpu.make_async_copy(hbm.at[lr], vm, sems.at[idx]).wait()
+
+    wqkv_v, wo_v, wqc_v, woc_v, w1_v, w2_v = (
+        r[...] for r in (wqkv, wo, wqc, woc, w1, w2))
+
+    @pl.when(j == 0)
+    def _():
+        # zero this layer's weight-grad accumulators up front so the tile
+        # accumulation below can be unconditional (see _acc)
+        for vm in (dwqkv, dwo, dwqc, dwoc, dw1, dw2):
+            vm[...] = jnp.zeros(vm.shape, vm.dtype)
+        dvecs[0] = jnp.zeros((8, vecs.shape[2]), jnp.float32)
+
+    @pl.when(l == 0)
+    def _():
+        dxc[pl.dslice(j * btt, btt), :] = g_in[...]
+
+    x = sx[0]
+    z1 = sz1[0]
+    z2 = sz2[0]
+    z3 = sz3[0]
+    g = dxc[pl.dslice(j * btt, btt), :]
+
+    bqkv = vecs[0, 0:1, :3 * e]
+    bqc = vecs[0, 2:3, 2 * e:3 * e]
+    b1 = vecs[0, 1:2, :f]
+    g1 = vecs[0, 3:4, :e]
+    be1 = vecs[0, 3:4, e:2 * e]
+    g2 = vecs[0, 3:4, 2 * e:3 * e]
+    be2 = vecs[0, 3:4, 3 * e:4 * e]
+    g3 = vecs[0, 4:5, :e]
+
+    # NOTE on `_chain`: every recompute below (LN statistics, qkv/qc
+    # projections, FFN internals) depends only on *saved refs*, so without
+    # explicit ordering Mosaic's list scheduler hoists all of it to the
+    # kernel entry and keeps ~60 MB of fp32 temporaries live at once
+    # (measured via tools/bwd_vmem_probe.py ablations). Each stage's
+    # recompute is therefore gated on the previous stage's product.
+
+    # ---- LN3 + FFN backward ----------------------------------------------
+    dz3, dg3, db3 = _ln_bwd(g, z3, g3)
+    dz3 = dz3.astype(dt)
+    x2_32, _, _ = _ln_fwd(_chain(z2, dz3), g2, be2)
+    x2 = x2_32.astype(dt)
+    if _ABLATE == "noffn":
+        dx2 = dz3
+        db1 = jnp.zeros((1, f), jnp.float32)
+        db2 = jnp.zeros((1, e), jnp.float32)
+    else:
+        # F-chunked FFN backward from the forward's saved post-dropout h1
+        # and GELU derivative — no erf recompute in this kernel (its
+        # rational-approx temporaries were ~21 MB of vreg spill)
+        dff = _apply_drop(dz3, rate, (s0, s1, lr, j, 3), det)
+        db2 = jnp.sum(dff.astype(jnp.float32), axis=0, keepdims=True)
+        dx2f = jnp.zeros((btt, e), jnp.float32)
+        db1_parts = []
+        dep = dff
+        for c0 in range(0, f, 1024):
+            cw = min(1024, f - c0)
+            h1_c = _chain(sh1[0, :, c0:c0 + cw], dep)
+            dw2[c0:c0 + cw, :] += _dot_tb(h1_c, dff, dw2.dtype)
+            dh1_c = _dot_bt(dff, w2_v[c0:c0 + cw, :]).astype(dt)
+            dh1_c = _apply_drop(dh1_c, rate, (s0, s1, lr, j, 2, c0 // 1024),
+                                det)
+            du_c = (dh1_c.astype(jnp.float32)
+                    * sgp[0, :, c0:c0 + cw].astype(jnp.float32)).astype(dt)
+            dx2f = dx2f + _dot_bt(du_c, w1_v[:, c0:c0 + cw])
+            dw1[:, c0:c0 + cw] += _dot_tb(x2, du_c, dw1.dtype)
+            db1_parts.append(
+                jnp.sum(du_c.astype(jnp.float32), axis=0, keepdims=True))
+            dep = du_c
+        dx2 = dz3 + dx2f.astype(dt)
+        db1 = jnp.concatenate(db1_parts, axis=1)
+
+    # ---- LN2 + cross-attention backward ----------------------------------
+    dz2, dg2, db2n = _ln_bwd(dx2, _chain(z2, dx2), g2)
+    dz2 = dz2.astype(dt)
+    dca = _apply_drop(dz2, rate, (s0, s1, lr, j, 1), det)
+    x1_32, _, _ = _ln_fwd(_chain(z1, dca), g1, be1)
+    x1 = x1_32.astype(dt)
+    qc = (_dot(x1, wqc_v) + bqc).astype(dt)
+    da_c = _dot_bt(dca, woc_v).astype(dt)
+    dboc = jnp.sum(dca.astype(jnp.float32), axis=0, keepdims=True)
+    mk_cp.wait()
+    if _ABLATE == "nocross":
+        dqc = jnp.zeros((btt, e), dt)
+        a_c = jnp.zeros((btt, e), dt)
+        for i in range(bt):
+            dmkv[i] = jnp.zeros((m, 2 * e), dt)
+    else:
+        dqc_rows = []
+        ac_rows = []
+        for i in range(bt):
+            mk = mkv[i]
+            bias_i = mbias[i, 0:1, :] + jnp.zeros((t, m), jnp.float32)
+            dq_heads, o_heads = [], []
+            pend = None  # (dk, dv) of the even head, written pairwise below
+            dep = None
+            for hh in range(h):
+                q_h = qc[i * t:(i + 1) * t, hh * dh:(hh + 1) * dh]
+                if dep is not None:
+                    q_h = _chain(q_h, dep)
+                k_h = mk[:, hh * dh:(hh + 1) * dh]
+                v_h = mk[:, e + hh * dh:e + (hh + 1) * dh]
+                o, p = _attend(q_h, k_h, v_h, bias_i, dt)
+                o_heads.append(o)
+                dq_h, dk_h, dv_h = _attend_bwd(
+                    da_c[i * t:(i + 1) * t, hh * dh:(hh + 1) * dh],
+                    q_h, k_h, v_h, p, dt)
+                dq_heads.append(dq_h)
+                if pend is None:
+                    pend = (dk_h, dv_h)
+                else:
+                    # write the (M, 2·dh) head pair at a 128-lane-aligned
+                    # offset NOW: holding all 16 heads' dk/dv for one big
+                    # concat kept ~8 MB live through the whole loop
+                    lo = (hh - 1) * dh
+                    dmkv[i, :, lo:lo + 2 * dh] = jnp.concatenate(
+                        [pend[0], dk_h], axis=1)
+                    dmkv[i, :, e + lo:e + lo + 2 * dh] = \
+                        jnp.concatenate([pend[1], dv_h], axis=1)
+                    pend = None
+                dep = dv_h
+            dqc_rows.append(jnp.concatenate(dq_heads, axis=1))
+            ac_rows.append(jnp.concatenate(o_heads, axis=1))
+        dqc = jnp.concatenate(dqc_rows, axis=0)
+        a_c = jnp.concatenate(ac_rows, axis=0)
+    dmk_cp = pltpu.make_async_copy(
+        dmkv, dmem_kv.at[lr, pl.dslice(j * bt, bt)], dmk_sem)
+    dmk_cp.start()
+    _acc(dwoc, a_c, dca)
+    dx1 = dz2 + _dot_bt(dqc, wqc_v).astype(dt)
+    _acc(dwqc, x1, dqc)
+    dbqc = jnp.sum(dqc.astype(jnp.float32), axis=0, keepdims=True)
+
+    # ---- LN1 + self-attention backward -----------------------------------
+    dz1, dg1, db1n = _ln_bwd(dx1, _chain(z1, dx1), g1)
+    dz1 = dz1.astype(dt)
+    dsa = _apply_drop(dz1, rate, (s0, s1, lr, j, 0), det)
+    qkv = (_dot(_chain(x, dsa), wqkv_v) + bqkv).astype(dt)
+    da_s = _dot_bt(dsa, wo_v).astype(dt)
+    dbo = jnp.sum(dsa.astype(jnp.float32), axis=0, keepdims=True)
+    cb = _causal32(t) if causal else jnp.zeros((t, t), jnp.float32)
+    if _ABLATE == "noself":
+        dqkv = jnp.zeros((btt, 3 * e), dt)
+        a_s = jnp.zeros((btt, e), dt)
+        dqkv_rows, as_rows = None, None
+    else:
+        dqkv_rows = []
+        as_rows = []
+    for i in range(bt) if _ABLATE != "noself" else []:
+        qkv_i = qkv[i * t:(i + 1) * t, :]
+        bias_i = cb + sbias[i, 0:1, :]
+        dq_heads, dk_heads, dv_heads, o_heads = [], [], [], []
+        dep = None
+        for hh in range(h):
+            q_h = qkv_i[:, hh * dh:(hh + 1) * dh]
+            if dep is not None:
+                q_h = _chain(q_h, dep)
+            k_h = qkv_i[:, e + hh * dh:e + (hh + 1) * dh]
+            v_h = qkv_i[:, 2 * e + hh * dh:2 * e + (hh + 1) * dh]
+            o, p = _attend(q_h, k_h, v_h, bias_i, dt)
+            o_heads.append(o)
+            dq_h, dk_h, dv_h = _attend_bwd(
+                da_s[i * t:(i + 1) * t, hh * dh:(hh + 1) * dh],
+                q_h, k_h, v_h, p, dt)
+            dq_heads.append(dq_h)
+            dk_heads.append(dk_h)
+            dv_heads.append(dv_h)
+            dep = dv_h
+        as_rows.append(jnp.concatenate(o_heads, axis=1))
+        dqkv_rows.append(jnp.concatenate(
+            dq_heads + dk_heads + dv_heads, axis=1))
+    if _ABLATE != "noself":
+        dqkv = jnp.concatenate(dqkv_rows, axis=0)
+        a_s = jnp.concatenate(as_rows, axis=0)
+    _acc(dwo, a_s, dsa)
+    dx = dz1 + _dot_bt(dqkv, wqkv_v).astype(dt)
+    _acc(dwqkv, x, dqkv)
+    dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
+
+    dxc[pl.dslice(j * btt, btt), :] = dx
+
+    # ---- bias/LN-grad accumulation (weight grads were folded in above) ----
+    dvecs[0, 0:1, :3 * e] += dbqkv
+    dvecs[0, 1:2, :f] += db1
+    dvecs[0, 2:3, :e] += dbo
+    dvecs[0, 2:3, e:2 * e] += dboc
+    dvecs[0, 2:3, 2 * e:3 * e] += dbqc
+    dvecs[0, 2:3, 3 * e:4 * e] += db2
+    dvecs[0, 3:4, :e] += dg1
+    dvecs[0, 3:4, e:2 * e] += db1n
+    dvecs[0, 3:4, 2 * e:3 * e] += dg2
+    dvecs[0, 3:4, 3 * e:4 * e] += db2n
+    dvecs[0, 4:5, :e] += dg3
+    dvecs[0, 4:5, e:2 * e] += db3
+
+    @pl.when(j == nt - 1)
+    def _():
+        d_pairs = ((dwqkv, dwqkv_h), (dwo, dwo_h), (dwqc, dwqc_h),
+                   (dwoc, dwoc_h), (dw1, dw1_h), (dw2, dw2_h))
+        for idx, (vm, hbm) in enumerate(d_pairs):
+            pltpu.make_async_copy(vm, hbm.at[lr], osems.at[idx]).start()
+        for idx, (vm, hbm) in enumerate(d_pairs):
+            pltpu.make_async_copy(vm, hbm.at[lr], osems.at[idx]).wait()
+
+    dmk_cp.wait()
+
+    @pl.when(l == nl - 1)
+    def _():
+        dx_out[...] = dx
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+def _pick_row_tile(b: int, t: int, m: int, e: int, f: int, itemsize: int) -> int:
+    """Images per grid step: largest divisor of b fitting the VMEM plan."""
+    bt = b
+    while bt > 1:
+        # double-buffered mem_kv + activation working set (~8 arrays of
+        # (bt*t, max(3e, f)) plus fp32 attention probs) + the 2-buffered
+        # h1/GELU' save windows (2 × (bt·t, f))
+        act = bt * t * (3 * e + f + e * 4) * itemsize + bt * t * m * 4
+        act += 4 * bt * t * f * itemsize
+        memkv = 2 * bt * m * 2 * e * itemsize
+        if b % bt == 0 and act + memkv < 48 * 1024 * 1024:
+            break
+        bt -= 1
+    while b % bt:
+        bt -= 1
+    return bt
+
+
+def _fwd_call(x, mem_kv, sbias, mbias, flat_w, seeds, *, num_heads, rate,
+              det, causal, bt, bt_bwd, interpret):
+    del bt_bwd
+    nl, b, m, _ = mem_kv.shape
+    bt_rows, e = x.shape
+    t = sbias.shape[2]
+    btot = bt_rows // t
+    f = flat_w[4].shape[2]
+    nt = btot // bt
+    dt = x.dtype
+    btt = bt * t
+    kern = functools.partial(
+        _fwd_kernel, nl=nl, nt=nt, bt=bt, t=t, m=m, e=e, f=f, h=num_heads,
+        dt=dt, rate=rate, det=det, causal=causal)
+    w = flat_w[6].shape[2]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nl, nt),
+        in_specs=[
+            pl.BlockSpec((btt, e), lambda l, j, *_: (j, 0)),
+            pl.BlockSpec((1, bt, m, 2 * e), lambda l, j, *_: (l, j, 0, 0)),
+            pl.BlockSpec((bt, 1, t), lambda l, j, *_: (j, 0, 0)),
+            pl.BlockSpec((bt, 1, m), lambda l, j, *_: (j, 0, 0)),
+            pl.BlockSpec((1, e, 3 * e), lambda l, j, *_: (l, 0, 0)),
+            pl.BlockSpec((1, e, e), lambda l, j, *_: (l, 0, 0)),
+            pl.BlockSpec((1, e, e), lambda l, j, *_: (l, 0, 0)),
+            pl.BlockSpec((1, e, e), lambda l, j, *_: (l, 0, 0)),
+            pl.BlockSpec((1, e, f), lambda l, j, *_: (l, 0, 0)),
+            pl.BlockSpec((1, f, e), lambda l, j, *_: (l, 0, 0)),
+            pl.BlockSpec((1, 8, w), lambda l, j, *_: (l, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((btt, e), lambda l, j, *_: (j, 0)),
+            pl.BlockSpec((1, btt, e), lambda l, j, *_: (l, j, 0)),
+            pl.BlockSpec((1, btt, e), lambda l, j, *_: (l, j, 0)),
+            pl.BlockSpec((1, btt, e), lambda l, j, *_: (l, j, 0)),
+            pl.BlockSpec((1, btt, e), lambda l, j, *_: (l, j, 0)),
+            pl.BlockSpec((1, btt, f), lambda l, j, *_: (l, j, 0)),
+            pl.BlockSpec((1, btt, f), lambda l, j, *_: (l, j, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((btot * t, e), dt)],
+    )
+    shp = jax.ShapeDtypeStruct
+    out_shapes = [
+        shp((btot * t, e), dt),
+        shp((nl, btot * t, e), dt),
+        shp((nl, btot * t, e), dt),
+        shp((nl, btot * t, e), dt),
+        shp((nl, btot * t, e), dt),
+        shp((nl, btot * t, f), dt),
+        shp((nl, btot * t, f), dt),
+    ]
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(seeds, x, mem_kv, sbias, mbias, *flat_w)
+
+
+def _bwd_call(x, mem_kv, sbias, mbias, flat_w, saved, g, seeds, *, num_heads,
+              rate, det, causal, bt, bt_bwd, interpret):
+    bt = bt_bwd
+    nl, b, m, _ = mem_kv.shape
+    bt_rows, e = x.shape
+    t = sbias.shape[2]
+    btot = bt_rows // t
+    f = flat_w[4].shape[2]
+    nt = btot // bt
+    dt = x.dtype
+    btt = bt * t
+    w = flat_w[6].shape[2]
+    kern = functools.partial(
+        _bwd_kernel, nl=nl, nt=nt, bt=bt, t=t, m=m, e=e, f=f, h=num_heads,
+        dt=dt, rate=rate, det=det, causal=causal)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nl, nt),
+        in_specs=[
+            any_spec,  # mem_kv: hand-DMA'd, single-buffered
+            pl.BlockSpec((bt, 1, t), lambda l, j, *_: (j, 0, 0)),
+            pl.BlockSpec((bt, 1, m), lambda l, j, *_: (j, 0, 0)),
+            any_spec, any_spec, any_spec, any_spec, any_spec, any_spec,
+            pl.BlockSpec((1, 8, w), lambda l, j, *_: (nl - 1 - l, 0, 0)),
+            pl.BlockSpec((1, btt, e), lambda l, j, *_: (nl - 1 - l, j, 0)),
+            pl.BlockSpec((1, btt, e), lambda l, j, *_: (nl - 1 - l, j, 0)),
+            pl.BlockSpec((1, btt, e), lambda l, j, *_: (nl - 1 - l, j, 0)),
+            pl.BlockSpec((1, btt, e), lambda l, j, *_: (nl - 1 - l, j, 0)),
+            pl.BlockSpec((1, btt, f), lambda l, j, *_: (nl - 1 - l, j, 0)),
+            pl.BlockSpec((1, btt, f), lambda l, j, *_: (nl - 1 - l, j, 0)),
+            pl.BlockSpec((btt, e), lambda l, j, *_: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((btt, e), lambda l, j, *_: (j, 0)),
+            any_spec,  # dmem_kv: hand-DMA'd, single-buffered
+            any_spec, any_spec, any_spec, any_spec, any_spec, any_spec,
+            pl.BlockSpec((1, 8, w), lambda l, j, *_: (nl - 1 - l, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((btot * t, e), dt),
+            pltpu.VMEM((e, 3 * e), dt), pltpu.VMEM((e, e), dt),
+            pltpu.VMEM((e, e), dt), pltpu.VMEM((e, e), dt),
+            pltpu.VMEM((e, f), dt), pltpu.VMEM((f, e), dt),
+            # grad accumulators in compute dtype: fp32 accumulators' RMW
+            # loads through vreg spill slots were the VMEM breaker
+            pltpu.VMEM((e, 3 * e), dt), pltpu.VMEM((e, e), dt),
+            pltpu.VMEM((e, e), dt), pltpu.VMEM((e, e), dt),
+            pltpu.VMEM((e, f), dt), pltpu.VMEM((f, e), dt),
+            pltpu.VMEM((bt, m, 2 * e), dt), pltpu.VMEM((bt, m, 2 * e), dt),
+            pltpu.SemaphoreType.DMA((6,)), pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+        ],
+    )
+    shp = jax.ShapeDtypeStruct
+    out_shapes = [
+        shp((btot * t, e), dt),
+        shp((nl, b, m, 2 * e), dt),
+        shp((nl, e, 3 * e), dt),
+        shp((nl, e, e), dt),
+        shp((nl, e, e), dt),
+        shp((nl, e, e), dt),
+        shp((nl, e, f), dt),
+        shp((nl, f, e), dt),
+        shp((nl, 8, w), jnp.float32),
+    ]
+    sx, sz1, sz2, sz3, sh1, sgp = saved
+    return pl.pallas_call(
+        kern, grid_spec=grid_spec, out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(seeds, mem_kv, sbias, mbias, *flat_w, sx, sz1, sz2, sz3, sh1, sgp, g)
+
+
+# ---------------------------------------------------------------------------
+# public API: custom-vjp fused decoder stack
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def _make_fused(num_heads: int, rate: float, det: bool, causal: bool,
+                bt: int, bt_bwd: int, interpret: bool):
+    cfg = dict(num_heads=num_heads, rate=rate, det=det, causal=causal,
+               bt=bt, bt_bwd=bt_bwd, interpret=interpret)
+
+    @jax.custom_vjp
+    def fused(flat_w, x, mem_kv, sbias, mbias, seeds):
+        out, *_ = _fwd_call(x, mem_kv, sbias, mbias, flat_w, seeds, **cfg)
+        return out
+
+    def fwd(flat_w, x, mem_kv, sbias, mbias, seeds):
+        out, sx, sz1, sz2, sz3, sh1, sgp = _fwd_call(
+            x, mem_kv, sbias, mbias, flat_w, seeds, **cfg)
+        return out, (flat_w, x, mem_kv, sbias, mbias, seeds,
+                     (sx, sz1, sz2, sz3, sh1, sgp))
+
+    def bwd(res, g):
+        flat_w, x, mem_kv, sbias, mbias, seeds, saved = res
+        (dx, dmkv, dwqkv, dwo, dwqc, dwoc, dw1, dw2, dvecs) = _bwd_call(
+            x, mem_kv, sbias, mbias, flat_w, saved, g, seeds, **cfg)
+        dflat = (dwqkv.astype(flat_w[0].dtype), dwo.astype(flat_w[1].dtype),
+                 dwqc.astype(flat_w[2].dtype), dwoc.astype(flat_w[3].dtype),
+                 dw1.astype(flat_w[4].dtype), dw2.astype(flat_w[5].dtype),
+                 dvecs)
+        return (dflat, dx, dmkv, jnp.zeros_like(sbias),
+                jnp.zeros_like(mbias), jnp.zeros_like(seeds))
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def decoder_stack_fused(stacked: Params, x: jnp.ndarray, mem_kv: jnp.ndarray,
+                        self_valid: jnp.ndarray, mem_valid: jnp.ndarray,
+                        num_heads: int, dropout_rate: float = 0.0,
+                        rng=None, deterministic: bool = True,
+                        row_tile: int | None = None) -> jnp.ndarray:
+    """Fused-kernel equivalent of ``transformer.decoder_stack`` (causal
+    self-attention + precomputed cross K/V), differentiable via the
+    hand-written backward kernel.
+
+    x: (B, T, E); mem_kv: (L, B, M, 2E); self_valid: (B, T) bool;
+    mem_valid: (B, M) bool.
+    """
+    b, t, e = x.shape
+    nl, _, m, _ = mem_kv.shape
+    dt = x.dtype
+    flat_w = pack_weights(stacked, dt)
+    f = flat_w[4].shape[2]
+    sbias = jnp.where(self_valid, 0.0, NEG).astype(jnp.float32)[:, None, :]
+    mbias = jnp.where(mem_valid, 0.0, NEG).astype(jnp.float32)[:, None, :]
+    det = deterministic or dropout_rate <= 0.0
+    if det:
+        seeds = jnp.zeros((2,), jnp.int32)
+    else:
+        data = rng if jnp.issubdtype(rng.dtype, jnp.uint32) \
+            else jax.random.key_data(rng)
+        seeds = data.reshape(-1)[:2].astype(jnp.int32)
+    bt = row_tile or _pick_row_tile(b, t, m, e, f, jnp.dtype(dt).itemsize)
+    # the backward holds weights + fp32 weight-grad accumulators resident in
+    # VMEM; it runs narrow (one-image) tiles to leave room for the streams
+    bt_bwd = row_tile or 1
+    fused = _make_fused(num_heads, float(dropout_rate), bool(det), True,
+                        int(bt), int(bt_bwd), _INTERPRET)
+    out = fused(flat_w, x.reshape(b * t, e), mem_kv, sbias, mbias, seeds)
+    return out.reshape(b, t, e)

@@ -223,7 +223,28 @@ def decoder_stack(stacked: Params, x: jnp.ndarray, memory: jnp.ndarray,
     (:func:`precompute_memory_kv`); each layer consumes its slice instead of
     projecting ``memory`` in-layer. The remat wrapper treats the slice as a
     layer input, so it is saved (not recomputed) in the backward pass.
+
+    With ``ACAI_FUSED_TRAIN_LAYER=1`` and qualifying shapes the stack runs
+    as one fused Pallas grid per pass (ops/pallas_train_layer.py) — its
+    backward kernel subsumes ``remat`` (activations are re-derived in VMEM).
     """
+    if (mem_kv is not None and cross_group == 1
+            and isinstance(self_bias, nn.MaskSpec) and self_bias.causal
+            and (cross_bias is None or isinstance(cross_bias, nn.MaskSpec))):
+        from . import pallas_train_layer as ptl
+        b, t, e = x.shape
+        m = mem_kv.shape[2]
+        if ptl.enabled_for(b, t, m, e, num_heads):
+            self_valid = (self_bias.key_valid if self_bias.key_valid is not None
+                          else jnp.ones((b, t), bool))
+            mem_valid = (cross_bias.key_valid
+                         if cross_bias is not None
+                         and cross_bias.key_valid is not None
+                         else jnp.ones((b, m), bool))
+            return ptl.decoder_stack_fused(
+                stacked, x, mem_kv, self_valid, mem_valid, num_heads,
+                dropout_rate, rng, deterministic)
+
     n = num_stacked_layers(stacked)
     layer_rngs = None if rng is None else jax.random.split(rng, n)
 

@@ -1,0 +1,118 @@
+"""Parity tests for the fused training-layer kernel (forward + backward).
+
+Mirrors the reference's cached-vs-uncached equivalence strategy (reference:
+tests/test_kv_caching.py): the fused Pallas decoder stack, run in the Pallas
+interpreter on CPU in fp32, must reproduce the per-op XLA
+``transformer.decoder_stack`` — outputs AND gradients (the backward kernel is
+hand-written, so grad parity against ``jax.grad`` of the XLA path is the
+load-bearing check).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from acai_omr_tpu.ops import nn, transformer
+from acai_omr_tpu.ops import pallas_train_layer as ptl
+
+L, B, T, M, E, H, F = 2, 4, 32, 128, 256, 4, 512
+
+
+@pytest.fixture(autouse=True)
+def _test_mode():
+    ptl.set_test_mode(force=True, interpret=True)
+    yield
+    ptl.set_test_mode(force=False, interpret=False)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    stacked = transformer.stack_init(transformer.decoder_layer_init, key, L,
+                                     E, F)
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(ks[0], (B, T, E), jnp.float32)
+    memory = jax.random.normal(ks[1], (B, M, E), jnp.float32)
+    self_valid = jnp.arange(T)[None, :] < jnp.asarray([T, T - 7, 9, T])[:, None]
+    mem_valid = jnp.arange(M)[None, :] < jnp.asarray([M, 40, M - 1, 33])[:, None]
+    mem_kv = transformer.precompute_memory_kv(stacked, memory)
+    return stacked, x, memory, self_valid, mem_valid, mem_kv
+
+
+def xla_ref(stacked, x, memory, self_valid, mem_valid, mem_kv):
+    return transformer.decoder_stack(
+        stacked, x, memory,
+        nn.MaskSpec(key_valid=self_valid, causal=True),
+        nn.MaskSpec(key_valid=mem_valid),
+        H, 0.0, None, True, mem_kv=mem_kv)
+
+
+@pytest.mark.parametrize("row_tile", [B, 2])
+def test_forward_parity(setup, row_tile):
+    stacked, x, memory, self_valid, mem_valid, mem_kv = setup
+    ref = xla_ref(stacked, x, memory, self_valid, mem_valid, mem_kv)
+    out = ptl.decoder_stack_fused(stacked, x, mem_kv, self_valid, mem_valid,
+                                  H, row_tile=row_tile)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("row_tile", [B, 2])
+def test_gradient_parity(setup, row_tile):
+    """d(loss)/d(params, x, mem_kv) from the hand-written backward kernel
+    matches jax.grad of the XLA stack."""
+    stacked, x, memory, self_valid, mem_valid, mem_kv = setup
+    w = jax.random.normal(jax.random.PRNGKey(7), (B, T, E), jnp.float32)
+
+    def loss_ref(stacked_, x_, mem_kv_):
+        out = xla_ref(stacked_, x_, memory, self_valid, mem_valid, mem_kv_)
+        return jnp.sum(out * w)
+
+    def loss_fused(stacked_, x_, mem_kv_):
+        out = ptl.decoder_stack_fused(stacked_, x_, mem_kv_, self_valid,
+                                      mem_valid, H, row_tile=row_tile)
+        return jnp.sum(out * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(stacked, x, mem_kv)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(stacked, x, mem_kv)
+
+    flat_ref, tree_ref = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_fused = jax.tree_util.tree_leaves(g_fused)
+    assert len(flat_ref) == len(flat_fused)
+    for (path, a), bb in zip(flat_ref, flat_fused):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(bb), np.asarray(a), atol=3e-4 * max(scale, 1.0),
+            rtol=2e-3, err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="pltpu.prng_seed has no CPU-interpreter rule; "
+                           "covered on-chip by tools/fused_train_ab.py")
+def test_dropout_forward_backward_consistency(setup):
+    """With dropout on, the same rng reproduces the same output (PRNG is
+    deterministic) and gradients are finite; masks differ across seeds."""
+    stacked, x, memory, self_valid, mem_valid, mem_kv = setup
+    rng = jax.random.PRNGKey(3)
+
+    def run(r):
+        return ptl.decoder_stack_fused(stacked, x, mem_kv, self_valid,
+                                       mem_valid, H, dropout_rate=0.5,
+                                       rng=r, deterministic=False,
+                                       row_tile=B)
+
+    o1, o2 = run(rng), run(rng)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    o3 = run(jax.random.PRNGKey(4))
+    assert not np.allclose(np.asarray(o1), np.asarray(o3))
+
+    def loss(x_):
+        out = ptl.decoder_stack_fused(stacked, x_, mem_kv, self_valid,
+                                      mem_valid, H, dropout_rate=0.3,
+                                      rng=rng, deterministic=False,
+                                      row_tile=B)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(x)
+    assert np.isfinite(np.asarray(g)).all()

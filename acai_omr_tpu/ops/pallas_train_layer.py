@@ -31,7 +31,9 @@ Semantics match :func:`acai_omr_tpu.ops.transformer.decoder_stack` with
 of acai_omr/models/kv_caching.py:227-256 and the post-norm layer order of
 acai_omr/models/models.py:412-426), up to dropout stream identity.
 
-Opt-in via ``ACAI_FUSED_TRAIN_LAYER=1`` (flagship decoder shapes only).
+Default-on for qualifying decoder shapes on TPU (measured 36.4 vs 55.5 ms
+per flagship decoder-stack grad pass, scheduled-sampling step 235 -> 200 ms);
+``ACAI_FUSED_TRAIN_LAYER=0`` opts out.
 """
 
 from __future__ import annotations
@@ -53,7 +55,7 @@ NEG = -1e9
 _SQRT2 = math.sqrt(2.0)
 _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
-_ENABLED = os.environ.get("ACAI_FUSED_TRAIN_LAYER", "0") == "1"
+_ENABLED = os.environ.get("ACAI_FUSED_TRAIN_LAYER", "1") == "1"
 _FORCE = False
 _INTERPRET = False
 
@@ -196,8 +198,14 @@ def _gelu_grad(u32):
 def _drop_mask(shape, rate: float, seeds) -> jnp.ndarray:
     """Deterministic keep-mask from the hardware PRNG; regenerated
     bit-identically in the backward pass from the same (layer, tile, site)
-    seed tuple."""
-    pltpu.prng_seed(*seeds)
+    seed tuple. Mosaic's prng_seed takes at most TWO i32 words, so the
+    tuple is folded into (seed0, polynomial-hash of the rest) — the fwd and
+    bwd kernels compute the same fold, which is all determinism needs."""
+    s0 = jnp.asarray(seeds[0], jnp.int32)
+    mix = jnp.int32(0)
+    for s in seeds[1:]:
+        mix = mix * jnp.int32(1000003) + jnp.asarray(s, jnp.int32)
+    pltpu.prng_seed(s0, mix)
     bits = pltpu.prng_random_bits(shape)
     thresh = jnp.uint32(min(int(rate * 2.0 ** 32), 2 ** 32 - 1))
     return bits.astype(jnp.uint32) >= thresh
@@ -269,12 +277,13 @@ def _dot_bt(a, b):
 
 
 def _dot_tb(a, b, odt=jnp.float32):
-    """A^T @ B. ``odt`` is the MXU OUTPUT dtype (accumulation is fp32
-    internally either way); the weight-grad accumulation dots emit compute
-    dtype directly — a separate fp32 dot output + cast pair costs 6 MB of
-    vreg spill per (1024, 1024) chunk and the backward has 14 such chunks."""
-    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=odt)
+    """A^T @ B, emitted at ``odt``. Mosaic requires the matmul accumulator
+    itself to be 32-bit ('Expected matmul acc to be 32-bit'), so non-fp32
+    outputs are produced as an fp32 dot + cast; callers that care about the
+    cast temporary's liveness serialize their chunks with ``_chain``."""
+    out = jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out if odt == jnp.float32 else out.astype(odt)
 
 
 def _causal32(t: int) -> jnp.ndarray:
@@ -402,11 +411,12 @@ def _fwd_kernel(seed_ref, x_in, mem_kv, sbias, mbias,
 def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
                 wqkv_h, wo_h, wqc_h, woc_h, w1_h, w2_h, vecs,
                 sx, sz1, sz2, sz3, sh1, sgp, g_in,
-                dx_out, dmem_kv, dwqkv_h, dwo_h, dwqc_h, dwoc_h, dw1_h,
+                dxc, dmem_kv, dwqkv_h, dwo_h, dwqc_h, dwoc_h, dw1_h,
                 dw2_h, dvecs,
-                dxc, wqkv, wo, wqc, woc, w1, w2,
+                wqkv, wo, wqc, woc, w1c, w2c,
                 dwqkv, dwo, dwqc, dwoc, dw1, dw2, mkv, dmkv,
                 sems, osems, mk_sem, dmk_sem,
+                vx, vz1, vz2, vz3, vh1, vgp, ssems, vdx, wsems, dx_sems,
                 *, nl, nt, bt, t, m, e, f, h, dt, rate, det, causal):
     l = pl.program_id(0)
     j = pl.program_id(1)
@@ -423,27 +433,88 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
         mem_kv.at[lr, pl.dslice(j * bt, bt)], mkv, mk_sem)
     mk_cp.start()
 
-    def _acc(vm, a, b):
+    # The saved activations are single-buffered by hand too: their default
+    # double-buffered windows cost 12 MB of VMEM against ~6 MB single, and
+    # the ~6 MB/step of fetches are trivially hidden behind ~1 ms of
+    # compute. Fetches start here; each stage waits for its input at first
+    # use.
+    sv_cps = []
+    for idx, (hbm, vm) in enumerate(
+            ((sx, vx), (sz1, vz1), (sz2, vz2), (sz3, vz3),
+             (sh1, vh1), (sgp, vgp))):
+        cp = pltpu.make_async_copy(
+            hbm.at[lr, pl.dslice(j * btt, btt)], vm, ssems.at[idx])
+        cp.start()
+        sv_cps.append(cp)
+    cp_x, cp_z1, cp_z2, cp_z3, cp_h1, cp_gp = sv_cps
+
+    # dx layer-carry lives in HBM (the dxc output buffer doubles as the
+    # carry; its last write, at l == nl-1, IS the final dx): staged through
+    # the small vdx buffer instead of keeping a (B·T, E) VMEM resident.
+    dx_in_cp = pltpu.make_async_copy(
+        dxc.at[pl.dslice(j * btt, btt)], vdx, dx_sems.at[0])
+
+    @pl.when(l > 0)
+    def _():
+        dx_in_cp.start()
+
+    # w1/w2 are streamed per 1024-wide F-chunk with a 2-deep pipeline
+    # instead of held resident (16 MB -> 8 MB of VMEM): the FFN stage is
+    # their only consumer and the refetch per tile (~16 MB against ~1 ms of
+    # tile compute) hides behind the MXU.
+    cw_chunks = [(c0, min(1024, f - c0)) for c0 in range(0, f, 1024)]
+    ncw = len(cw_chunks)
+    w_cps = {}
+
+    def _w_start(ci):
+        bi = ci % 2
+        c0, cw = cw_chunks[ci]
+        c1 = pltpu.make_async_copy(
+            w1_h.at[lr, :, pl.dslice(c0, cw)], w1c.at[bi, :, pl.dslice(0, cw)],
+            wsems.at[2 * bi])
+        c2 = pltpu.make_async_copy(
+            w2_h.at[lr, pl.dslice(c0, cw), :], w2c.at[bi, pl.dslice(0, cw), :],
+            wsems.at[2 * bi + 1])
+        c1.start()
+        c2.start()
+        w_cps[ci] = (c1, c2)
+
+    if _ABLATE != "noffn":
+        for ci in range(min(2, ncw)):
+            _w_start(ci)
+
+    def _acc(vm, a, b, dep=None):
         # Fold the weight-grad contribution aᵀ·b into its resident VMEM
         # accumulator in ≤(1024, 1024) chunks, UNCONDITIONALLY — the
         # buffers are zeroed in the j==0 prologue below. Predicated
         # (`pl.when(j==0)` init / `when(j>0)` add) accumulation kept every
         # chunk alive until the merged conditional regions executed:
         # 14 chunks × 4 MB ≈ the observed 63 MB of register-allocator
-        # spill slots that blew the 128 MB VMEM budget.
+        # spill slots that blew the 128 MB VMEM budget. Chunks are chained
+        # on one another (and on the caller-provided ``dep``) so at most
+        # one 4 MB fp32 dot output is live at a time; the returned dep
+        # lets callers serialize across _acc calls too.
         k, n = vm.shape
         if n >= k:
             for c0 in range(0, n, 1024):
-                vm[:, c0:c0 + 1024] += _dot_tb(a, b[:, c0:c0 + 1024],
-                                               vm.dtype)
+                b_c = b[:, c0:c0 + 1024]
+                if dep is not None:
+                    b_c = _chain(b_c, dep)
+                d = _dot_tb(a, b_c, vm.dtype)
+                vm[:, c0:c0 + 1024] += d
+                dep = d
         else:
             for r0 in range(0, k, 1024):
-                vm[r0:r0 + 1024, :] += _dot_tb(a[:, r0:r0 + 1024], b,
-                                               vm.dtype)
+                a_c = a[:, r0:r0 + 1024]
+                if dep is not None:
+                    a_c = _chain(a_c, dep)
+                d = _dot_tb(a_c, b, vm.dtype)
+                vm[r0:r0 + 1024, :] += d
+                dep = d
+        return dep
 
     # ---- manual single-buffered weight DMA (HBM -> VMEM at each new layer)
-    w_pairs = ((wqkv_h, wqkv), (wo_h, wo), (wqc_h, wqc), (woc_h, woc),
-               (w1_h, w1), (w2_h, w2))
+    w_pairs = ((wqkv_h, wqkv), (wo_h, wo), (wqc_h, wqc), (woc_h, woc))
 
     @pl.when(j == 0)
     def _():
@@ -452,8 +523,8 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
         for idx, (hbm, vm) in enumerate(w_pairs):
             pltpu.make_async_copy(hbm.at[lr], vm, sems.at[idx]).wait()
 
-    wqkv_v, wo_v, wqc_v, woc_v, w1_v, w2_v = (
-        r[...] for r in (wqkv, wo, wqc, woc, w1, w2))
+    wqkv_v, wo_v, wqc_v, woc_v = (
+        r[...] for r in (wqkv, wo, wqc, woc))
 
     @pl.when(j == 0)
     def _():
@@ -463,15 +534,11 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
             vm[...] = jnp.zeros(vm.shape, vm.dtype)
         dvecs[0] = jnp.zeros((8, vecs.shape[2]), jnp.float32)
 
-    @pl.when(l == 0)
+    @pl.when(l > 0)
     def _():
-        dxc[pl.dslice(j * btt, btt), :] = g_in[...]
+        dx_in_cp.wait()
 
-    x = sx[0]
-    z1 = sz1[0]
-    z2 = sz2[0]
-    z3 = sz3[0]
-    g = dxc[pl.dslice(j * btt, btt), :]
+    g = jnp.where(l == 0, g_in[...], vdx[...])
 
     bqkv = vecs[0, 0:1, :3 * e]
     bqc = vecs[0, 2:3, 2 * e:3 * e]
@@ -490,10 +557,15 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
     # recompute is therefore gated on the previous stage's product.
 
     # ---- LN3 + FFN backward ----------------------------------------------
+    cp_z3.wait()
+    z3 = vz3[...]
     dz3, dg3, db3 = _ln_bwd(g, z3, g3)
     dz3 = dz3.astype(dt)
+    cp_z2.wait()
+    z2 = vz2[...]
     x2_32, _, _ = _ln_fwd(_chain(z2, dz3), g2, be2)
     x2 = x2_32.astype(dt)
+    wdep = None  # serializes every weight-grad fold across all three stages
     if _ABLATE == "noffn":
         dx2 = dz3
         db1 = jnp.zeros((1, f), jnp.float32)
@@ -504,30 +576,45 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
         # rational-approx temporaries were ~21 MB of vreg spill)
         dff = _apply_drop(dz3, rate, (s0, s1, lr, j, 3), det)
         db2 = jnp.sum(dff.astype(jnp.float32), axis=0, keepdims=True)
+        cp_h1.wait()
+        cp_gp.wait()
         dx2f = jnp.zeros((btt, e), jnp.float32)
         db1_parts = []
         dep = dff
-        for c0 in range(0, f, 1024):
-            cw = min(1024, f - c0)
-            h1_c = _chain(sh1[0, :, c0:c0 + cw], dep)
-            dw2[c0:c0 + cw, :] += _dot_tb(h1_c, dff, dw2.dtype)
-            dh1_c = _dot_bt(dff, w2_v[c0:c0 + cw, :]).astype(dt)
-            dh1_c = _apply_drop(dh1_c, rate, (s0, s1, lr, j, 2, c0 // 1024),
-                                det)
+        for ci in range(ncw):
+            c0, cw = cw_chunks[ci]
+            bi = ci % 2
+            for cp in w_cps.pop(ci):
+                cp.wait()
+            # strict chunk pipeline: dw2-dot -> dh1 -> du -> dw1-dot -> next
+            # chunk. The dw dots' 4 MB fp32 outputs would otherwise all
+            # defer to the loop end and stay live together (the FFN stage
+            # was the largest spill contributor, tools/bwd_vmem_probe.py).
+            h1_c = _chain(vh1[:, c0:c0 + cw], dep)
+            d2 = _dot_tb(h1_c, dff, dw2.dtype)
+            dw2[c0:c0 + cw, :] += d2
+            dh1_c = _chain(_dot_bt(dff, w2c[bi, :cw, :]).astype(dt), d2)
+            dh1_c = _apply_drop(dh1_c, rate, (s0, s1, lr, j, 2, ci), det)
             du_c = (dh1_c.astype(jnp.float32)
-                    * sgp[0, :, c0:c0 + cw].astype(jnp.float32)).astype(dt)
-            dx2f = dx2f + _dot_bt(du_c, w1_v[:, c0:c0 + cw])
-            dw1[:, c0:c0 + cw] += _dot_tb(x2, du_c, dw1.dtype)
+                    * vgp[:, c0:c0 + cw].astype(jnp.float32)).astype(dt)
+            dx2f = dx2f + _dot_bt(du_c, w1c[bi, :, :cw])
+            d1 = _dot_tb(x2, du_c, dw1.dtype)
+            dw1[:, c0:c0 + cw] += d1
             db1_parts.append(
                 jnp.sum(du_c.astype(jnp.float32), axis=0, keepdims=True))
-            dep = du_c
+            dep = _chain(du_c, d1)
+            if ci + 2 < ncw:
+                _w_start(ci + 2)
         dx2 = dz3 + dx2f.astype(dt)
         db1 = jnp.concatenate(db1_parts, axis=1)
+        wdep = dep
 
     # ---- LN2 + cross-attention backward ----------------------------------
     dz2, dg2, db2n = _ln_bwd(dx2, _chain(z2, dx2), g2)
     dz2 = dz2.astype(dt)
     dca = _apply_drop(dz2, rate, (s0, s1, lr, j, 1), det)
+    cp_z1.wait()
+    z1 = vz1[...]
     x1_32, _, _ = _ln_fwd(_chain(z1, dca), g1, be1)
     x1 = x1_32.astype(dt)
     qc = (_dot(x1, wqc_v) + bqc).astype(dt)
@@ -580,15 +667,17 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
     dmk_cp = pltpu.make_async_copy(
         dmkv, dmem_kv.at[lr, pl.dslice(j * bt, bt)], dmk_sem)
     dmk_cp.start()
-    _acc(dwoc, a_c, dca)
+    wdep = _acc(dwoc, a_c, dca, dep=wdep)
     dx1 = dz2 + _dot_bt(dqc, wqc_v).astype(dt)
-    _acc(dwqc, x1, dqc)
+    wdep = _acc(dwqc, x1, dqc, dep=wdep)
     dbqc = jnp.sum(dqc.astype(jnp.float32), axis=0, keepdims=True)
 
     # ---- LN1 + self-attention backward -----------------------------------
     dz1, dg1, db1n = _ln_bwd(dx1, _chain(z1, dx1), g1)
     dz1 = dz1.astype(dt)
     dsa = _apply_drop(dz1, rate, (s0, s1, lr, j, 0), det)
+    cp_x.wait()
+    x = vx[...]
     qkv = (_dot(_chain(x, dsa), wqkv_v) + bqkv).astype(dt)
     da_s = _dot_bt(dsa, wo_v).astype(dt)
     dbo = jnp.sum(dsa.astype(jnp.float32), axis=0, keepdims=True)
@@ -626,12 +715,15 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
     if _ABLATE != "noself":
         dqkv = jnp.concatenate(dqkv_rows, axis=0)
         a_s = jnp.concatenate(as_rows, axis=0)
-    _acc(dwo, a_s, dsa)
+    wdep = _acc(dwo, a_s, dsa, dep=wdep)
     dx = dz1 + _dot_bt(dqkv, wqkv_v).astype(dt)
-    _acc(dwqkv, x, dqkv)
+    _acc(dwqkv, x, dqkv, dep=wdep)
     dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
 
-    dxc[pl.dslice(j * btt, btt), :] = dx
+    vdx[...] = dx
+    dx_out_cp = pltpu.make_async_copy(
+        vdx, dxc.at[pl.dslice(j * btt, btt)], dx_sems.at[1])
+    dx_out_cp.start()
 
     # ---- bias/LN-grad accumulation (weight grads were folded in above) ----
     dvecs[0, 0:1, :3 * e] += dbqkv
@@ -657,10 +749,7 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
             pltpu.make_async_copy(vm, hbm.at[lr], osems.at[idx]).wait()
 
     dmk_cp.wait()
-
-    @pl.when(l == nl - 1)
-    def _():
-        dx_out[...] = dx
+    dx_out_cp.wait()
 
 
 # ---------------------------------------------------------------------------
@@ -771,33 +860,38 @@ def _bwd_call(x, mem_kv, sbias, mbias, flat_w, saved, g, seeds, *, num_heads,
             pl.BlockSpec((bt, 1, m), lambda l, j, *_: (j, 0, 0)),
             any_spec, any_spec, any_spec, any_spec, any_spec, any_spec,
             pl.BlockSpec((1, 8, w), lambda l, j, *_: (nl - 1 - l, 0, 0)),
-            pl.BlockSpec((1, btt, e), lambda l, j, *_: (nl - 1 - l, j, 0)),
-            pl.BlockSpec((1, btt, e), lambda l, j, *_: (nl - 1 - l, j, 0)),
-            pl.BlockSpec((1, btt, e), lambda l, j, *_: (nl - 1 - l, j, 0)),
-            pl.BlockSpec((1, btt, e), lambda l, j, *_: (nl - 1 - l, j, 0)),
-            pl.BlockSpec((1, btt, f), lambda l, j, *_: (nl - 1 - l, j, 0)),
-            pl.BlockSpec((1, btt, f), lambda l, j, *_: (nl - 1 - l, j, 0)),
+            # saved activations: hand-DMA'd, single-buffered (see kernel)
+            any_spec, any_spec, any_spec, any_spec, any_spec, any_spec,
             pl.BlockSpec((btt, e), lambda l, j, *_: (j, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((btt, e), lambda l, j, *_: (j, 0)),
+            any_spec,  # dxc: HBM dx layer-carry, last write is the result
             any_spec,  # dmem_kv: hand-DMA'd, single-buffered
             any_spec, any_spec, any_spec, any_spec, any_spec, any_spec,
             pl.BlockSpec((1, 8, w), lambda l, j, *_: (nl - 1 - l, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((btot * t, e), dt),
             pltpu.VMEM((e, 3 * e), dt), pltpu.VMEM((e, e), dt),
             pltpu.VMEM((e, e), dt), pltpu.VMEM((e, e), dt),
-            pltpu.VMEM((e, f), dt), pltpu.VMEM((f, e), dt),
+            # w1/w2 F-chunk staging (2-deep pipeline; see kernel)
+            pltpu.VMEM((2, e, min(1024, f)), dt),
+            pltpu.VMEM((2, min(1024, f), e), dt),
             # grad accumulators in compute dtype: fp32 accumulators' RMW
             # loads through vreg spill slots were the VMEM breaker
             pltpu.VMEM((e, 3 * e), dt), pltpu.VMEM((e, e), dt),
             pltpu.VMEM((e, e), dt), pltpu.VMEM((e, e), dt),
             pltpu.VMEM((e, f), dt), pltpu.VMEM((f, e), dt),
             pltpu.VMEM((bt, m, 2 * e), dt), pltpu.VMEM((bt, m, 2 * e), dt),
-            pltpu.SemaphoreType.DMA((6,)), pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA((4,)), pltpu.SemaphoreType.DMA((6,)),
             pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+            # single-buffered saved-activation buffers (x, z1, z2, z3, h1, gp)
+            pltpu.VMEM((btt, e), dt), pltpu.VMEM((btt, e), dt),
+            pltpu.VMEM((btt, e), dt), pltpu.VMEM((btt, e), dt),
+            pltpu.VMEM((btt, f), dt), pltpu.VMEM((btt, f), dt),
+            pltpu.SemaphoreType.DMA((6,)),
+            # dx staging + its in/out DMA sems + w-chunk sems
+            pltpu.VMEM((btt, e), dt), pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     shp = jax.ShapeDtypeStruct

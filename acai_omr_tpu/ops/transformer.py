@@ -224,9 +224,10 @@ def decoder_stack(stacked: Params, x: jnp.ndarray, memory: jnp.ndarray,
     projecting ``memory`` in-layer. The remat wrapper treats the slice as a
     layer input, so it is saved (not recomputed) in the backward pass.
 
-    With ``ACAI_FUSED_TRAIN_LAYER=1`` and qualifying shapes the stack runs
-    as one fused Pallas grid per pass (ops/pallas_train_layer.py) — its
-    backward kernel subsumes ``remat`` (activations are re-derived in VMEM).
+    On TPU with qualifying shapes the stack runs as one fused Pallas grid
+    per pass (ops/pallas_train_layer.py, default-on;
+    ``ACAI_FUSED_TRAIN_LAYER=0`` opts out) — its backward kernel subsumes
+    ``remat`` (activations are re-derived in VMEM).
     """
     if (mem_kv is not None and cross_group == 1
             and isinstance(self_bias, nn.MaskSpec) and self_bias.causal

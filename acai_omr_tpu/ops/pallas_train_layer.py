@@ -156,6 +156,39 @@ def pack_weights(stacked: Params, dt) -> tuple:
             stacked["linear2"]["kernel"].astype(dt), vecs)
 
 
+def pack_weights_enc(stacked: Params, dt) -> tuple:
+    """Encoder-layer pytree -> flat kernel operands (no cross stage).
+
+    Same 8-row ``vecs`` plane as :func:`pack_weights` with the cross slots
+    zeroed; the encoder's final ``norm2`` occupies the decoder's ``norm3``
+    slot (the kernel's FFN-residual LayerNorm)."""
+    sa = stacked["self_attn"]
+    e = sa["out"]["kernel"].shape[1]
+    f = stacked["linear1"]["kernel"].shape[2]
+    w = _vec_width(e, f)
+    f32 = jnp.float32
+    zero_e = jnp.zeros_like(stacked["norm1"]["scale"], f32)
+    vecs = jnp.stack([
+        _pad_to(sa["in_bias"].astype(f32), w),
+        _pad_to(stacked["linear1"]["bias"].astype(f32), w),
+        _pad_to(jnp.concatenate([
+            sa["out"]["bias"].astype(f32), zero_e, zero_e,
+            stacked["linear2"]["bias"].astype(f32)], axis=1), w),
+        _pad_to(jnp.concatenate([
+            stacked["norm1"]["scale"].astype(f32),
+            stacked["norm1"]["bias"].astype(f32), zero_e, zero_e], axis=1), w),
+        _pad_to(jnp.concatenate([
+            stacked["norm2"]["scale"], stacked["norm2"]["bias"]],
+            axis=1).astype(f32), w),
+        _pad_to(jnp.zeros_like(sa["in_bias"], f32), w),
+        _pad_to(jnp.zeros_like(sa["in_bias"], f32), w),
+        _pad_to(jnp.zeros_like(sa["in_bias"], f32), w),
+    ], axis=1)
+    return (sa["in_kernel"].astype(dt), sa["out"]["kernel"].astype(dt),
+            stacked["linear1"]["kernel"].astype(dt),
+            stacked["linear2"]["kernel"].astype(dt), vecs)
+
+
 # ---------------------------------------------------------------------------
 # in-kernel math helpers (fp32 internals, matching ops/nn.py numerics)
 # ---------------------------------------------------------------------------
@@ -299,7 +332,8 @@ def _causal32(t: int) -> jnp.ndarray:
 def _fwd_kernel(seed_ref, x_in, mem_kv, sbias, mbias,
                 wqkv, wo, wqc, woc, w1, w2, vecs,
                 out, sx, sz1, sz2, sz3, sh1, sgp, xc,
-                *, nl, nt, bt, t, m, e, f, h, dt, rate, det, causal):
+                *, nl, nt, bt, t, m, e, f, h, dt, rate, det, causal,
+                cross=True, save=True):
     l = pl.program_id(0)
     j = pl.program_id(1)
     btt = bt * t
@@ -312,7 +346,8 @@ def _fwd_kernel(seed_ref, x_in, mem_kv, sbias, mbias,
         xc[pl.dslice(j * btt, btt), :] = x_in[...]
 
     x = xc[pl.dslice(j * btt, btt), :]
-    sx[0] = x
+    if save:
+        sx[0] = x
 
     bqkv = vecs[0, 0:1, :3 * e]
     bo = vecs[0, 2:3, :e]
@@ -346,31 +381,36 @@ def _fwd_kernel(seed_ref, x_in, mem_kv, sbias, mbias,
     sa = (_dot(a_s, wo[0]) + bo).astype(dt)
     sa = _apply_drop(sa, rate, (s0, s1, l, j, 0), det)
     z1 = x + sa
-    sz1[0] = z1
+    if save:
+        sz1[0] = z1
     x1_32, _, _ = _ln_fwd(z1, g1, be1)
     x1 = x1_32.astype(dt)
 
-    # --- cross attention --------------------------------------------------
-    qc = (_dot(x1, wqc[0]) + bqc).astype(dt)
-    img_rows = []
-    for i in range(bt):
-        mk = mem_kv[0, i]
-        bias_i = mbias[i, 0:1, :] + jnp.zeros((t, m), jnp.float32)
-        heads = []
-        for hh in range(h):
-            o, _ = _attend(qc[i * t:(i + 1) * t, hh * dh:(hh + 1) * dh],
-                           mk[:, hh * dh:(hh + 1) * dh],
-                           mk[:, e + hh * dh:e + (hh + 1) * dh],
-                           bias_i, dt)
-            heads.append(o)
-        img_rows.append(jnp.concatenate(heads, axis=1))
-    a_c = jnp.concatenate(img_rows, axis=0)
-    ca = (_dot(a_c, woc[0]) + boc).astype(dt)
-    ca = _apply_drop(ca, rate, (s0, s1, l, j, 1), det)
-    z2 = x1 + ca
-    sz2[0] = z2
-    x2_32, _, _ = _ln_fwd(z2, g2, be2)
-    x2 = x2_32.astype(dt)
+    # --- cross attention (decoder only) -------------------------------------
+    if cross:
+        qc = (_dot(x1, wqc[0]) + bqc).astype(dt)
+        img_rows = []
+        for i in range(bt):
+            mk = mem_kv[0, i]
+            bias_i = mbias[i, 0:1, :] + jnp.zeros((t, m), jnp.float32)
+            heads = []
+            for hh in range(h):
+                o, _ = _attend(qc[i * t:(i + 1) * t, hh * dh:(hh + 1) * dh],
+                               mk[:, hh * dh:(hh + 1) * dh],
+                               mk[:, e + hh * dh:e + (hh + 1) * dh],
+                               bias_i, dt)
+                heads.append(o)
+            img_rows.append(jnp.concatenate(heads, axis=1))
+        a_c = jnp.concatenate(img_rows, axis=0)
+        ca = (_dot(a_c, woc[0]) + boc).astype(dt)
+        ca = _apply_drop(ca, rate, (s0, s1, l, j, 1), det)
+        z2 = x1 + ca
+        if save:
+            sz2[0] = z2
+        x2_32, _, _ = _ln_fwd(z2, g2, be2)
+        x2 = x2_32.astype(dt)
+    else:
+        x2 = x1
 
     # --- feed-forward (F-chunked). The post-dropout hidden h1 and the GELU
     # derivative are SAVED for the backward: recomputing them there (the
@@ -385,15 +425,17 @@ def _fwd_kernel(seed_ref, x_in, mem_kv, sbias, mbias,
         erf_c = _erf(u_c / _SQRT2)
         h1_c = (0.5 * u_c * (1.0 + erf_c)).astype(dt)
         h1_c = _apply_drop(h1_c, rate, (s0, s1, l, j, 2, c0 // 1024), det)
-        phi_c = jnp.exp(-0.5 * u_c * u_c) * _INV_SQRT_2PI
-        sgp[0, :, c0:c0 + cw] = \
-            (0.5 * (1.0 + erf_c) + u_c * phi_c).astype(dt)
-        sh1[0, :, c0:c0 + cw] = h1_c
+        if save:
+            phi_c = jnp.exp(-0.5 * u_c * u_c) * _INV_SQRT_2PI
+            sgp[0, :, c0:c0 + cw] = \
+                (0.5 * (1.0 + erf_c) + u_c * phi_c).astype(dt)
+            sh1[0, :, c0:c0 + cw] = h1_c
         ff32 = ff32 + _dot(h1_c, w2[0][c0:c0 + cw, :])
     ff = (ff32 + b2).astype(dt)
     ff = _apply_drop(ff, rate, (s0, s1, l, j, 3), det)
     z3 = x2 + ff
-    sz3[0] = z3
+    if save:
+        sz3[0] = z3
     xo_32, _, _ = _ln_fwd(z3, g3, be3)
     xo = xo_32.astype(dt)
 
@@ -417,7 +459,8 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
                 dwqkv, dwo, dwqc, dwoc, dw1, dw2, mkv, dmkv,
                 sems, osems, mk_sem, dmk_sem,
                 vx, vz1, vz2, vz3, vh1, vgp, ssems, vdx, wsems, dx_sems,
-                *, nl, nt, bt, t, m, e, f, h, dt, rate, det, causal):
+                *, nl, nt, bt, t, m, e, f, h, dt, rate, det, causal,
+                cross=True):
     l = pl.program_id(0)
     j = pl.program_id(1)
     lr = nl - 1 - l
@@ -429,24 +472,31 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
     # mem_kv is SINGLE-buffered by hand (Pallas windows are always
     # double-buffered; at (M, 2E) per image that is 16 MB of VMEM for the
     # in+out pair): start the fetch now, consume it in the cross stage.
-    mk_cp = pltpu.make_async_copy(
-        mem_kv.at[lr, pl.dslice(j * bt, bt)], mkv, mk_sem)
-    mk_cp.start()
+    if cross:
+        mk_cp = pltpu.make_async_copy(
+            mem_kv.at[lr, pl.dslice(j * bt, bt)], mkv, mk_sem)
+        mk_cp.start()
 
     # The saved activations are single-buffered by hand too: their default
     # double-buffered windows cost 12 MB of VMEM against ~6 MB single, and
     # the ~6 MB/step of fetches are trivially hidden behind ~1 ms of
     # compute. Fetches start here; each stage waits for its input at first
     # use.
+    sv_pairs = [(sx, vx), (sz1, vz1)]
+    if cross:
+        sv_pairs.append((sz2, vz2))
+    sv_pairs += [(sz3, vz3), (sh1, vh1), (sgp, vgp)]
     sv_cps = []
-    for idx, (hbm, vm) in enumerate(
-            ((sx, vx), (sz1, vz1), (sz2, vz2), (sz3, vz3),
-             (sh1, vh1), (sgp, vgp))):
+    for idx, (hbm, vm) in enumerate(sv_pairs):
         cp = pltpu.make_async_copy(
             hbm.at[lr, pl.dslice(j * btt, btt)], vm, ssems.at[idx])
         cp.start()
         sv_cps.append(cp)
-    cp_x, cp_z1, cp_z2, cp_z3, cp_h1, cp_gp = sv_cps
+    if cross:
+        cp_x, cp_z1, cp_z2, cp_z3, cp_h1, cp_gp = sv_cps
+    else:
+        cp_x, cp_z1, cp_z3, cp_h1, cp_gp = sv_cps
+        cp_z2 = None
 
     # dx layer-carry lives in HBM (the dxc output buffer doubles as the
     # carry; its last write, at l == nl-1, IS the final dx): staged through
@@ -514,7 +564,9 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
         return dep
 
     # ---- manual single-buffered weight DMA (HBM -> VMEM at each new layer)
-    w_pairs = ((wqkv_h, wqkv), (wo_h, wo), (wqc_h, wqc), (woc_h, woc))
+    w_pairs = ((wqkv_h, wqkv), (wo_h, wo)) + \
+        (((wqc_h, wqc), (woc_h, woc)) if cross else ())
+    acc_bufs = (dwqkv, dwo, dw1, dw2) + ((dwqc, dwoc) if cross else ())
 
     @pl.when(j == 0)
     def _():
@@ -523,14 +575,14 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
         for idx, (hbm, vm) in enumerate(w_pairs):
             pltpu.make_async_copy(hbm.at[lr], vm, sems.at[idx]).wait()
 
-    wqkv_v, wo_v, wqc_v, woc_v = (
-        r[...] for r in (wqkv, wo, wqc, woc))
+    wqkv_v, wo_v = wqkv[...], wo[...]
+    wqc_v, woc_v = (wqc[...], woc[...]) if cross else (None, None)
 
     @pl.when(j == 0)
     def _():
         # zero this layer's weight-grad accumulators up front so the tile
         # accumulation below can be unconditional (see _acc)
-        for vm in (dwqkv, dwo, dwqc, dwoc, dw1, dw2):
+        for vm in acc_bufs:
             vm[...] = jnp.zeros(vm.shape, vm.dtype)
         dvecs[0] = jnp.zeros((8, vecs.shape[2]), jnp.float32)
 
@@ -561,9 +613,15 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
     z3 = vz3[...]
     dz3, dg3, db3 = _ln_bwd(g, z3, g3)
     dz3 = dz3.astype(dt)
-    cp_z2.wait()
-    z2 = vz2[...]
-    x2_32, _, _ = _ln_fwd(_chain(z2, dz3), g2, be2)
+    if cross:
+        cp_z2.wait()
+        z2 = vz2[...]
+        x2_32, _, _ = _ln_fwd(_chain(z2, dz3), g2, be2)
+    else:
+        # encoder: the FFN sits directly on x1 = LN1(z1)
+        cp_z1.wait()
+        z1 = vz1[...]
+        x2_32, _, _ = _ln_fwd(_chain(z1, dz3), g1, be1)
     x2 = x2_32.astype(dt)
     wdep = None  # serializes every weight-grad fold across all three stages
     if _ABLATE == "noffn":
@@ -609,68 +667,71 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
         db1 = jnp.concatenate(db1_parts, axis=1)
         wdep = dep
 
-    # ---- LN2 + cross-attention backward ----------------------------------
-    dz2, dg2, db2n = _ln_bwd(dx2, _chain(z2, dx2), g2)
-    dz2 = dz2.astype(dt)
-    dca = _apply_drop(dz2, rate, (s0, s1, lr, j, 1), det)
-    cp_z1.wait()
-    z1 = vz1[...]
-    x1_32, _, _ = _ln_fwd(_chain(z1, dca), g1, be1)
-    x1 = x1_32.astype(dt)
-    qc = (_dot(x1, wqc_v) + bqc).astype(dt)
-    da_c = _dot_bt(dca, woc_v).astype(dt)
-    dboc = jnp.sum(dca.astype(jnp.float32), axis=0, keepdims=True)
-    mk_cp.wait()
-    if _ABLATE == "nocross":
-        dqc = jnp.zeros((btt, e), dt)
-        a_c = jnp.zeros((btt, e), dt)
-        for i in range(bt):
-            dmkv[i] = jnp.zeros((m, 2 * e), dt)
+    # ---- LN2 + cross-attention backward (decoder only) --------------------
+    if cross:
+        dz2, dg2, db2n = _ln_bwd(dx2, _chain(z2, dx2), g2)
+        dz2 = dz2.astype(dt)
+        dca = _apply_drop(dz2, rate, (s0, s1, lr, j, 1), det)
+        cp_z1.wait()
+        z1 = vz1[...]
+        x1_32, _, _ = _ln_fwd(_chain(z1, dca), g1, be1)
+        x1 = x1_32.astype(dt)
+        qc = (_dot(x1, wqc_v) + bqc).astype(dt)
+        da_c = _dot_bt(dca, woc_v).astype(dt)
+        dboc = jnp.sum(dca.astype(jnp.float32), axis=0, keepdims=True)
+        mk_cp.wait()
+        if _ABLATE == "nocross":
+            dqc = jnp.zeros((btt, e), dt)
+            a_c = jnp.zeros((btt, e), dt)
+            for i in range(bt):
+                dmkv[i] = jnp.zeros((m, 2 * e), dt)
+        else:
+            dqc_rows = []
+            ac_rows = []
+            for i in range(bt):
+                mk = mkv[i]
+                bias_i = mbias[i, 0:1, :] + jnp.zeros((t, m), jnp.float32)
+                dq_heads, o_heads = [], []
+                pend = None  # (dk, dv) of the even head, written pairwise
+                dep = None
+                for hh in range(h):
+                    q_h = qc[i * t:(i + 1) * t, hh * dh:(hh + 1) * dh]
+                    if dep is not None:
+                        q_h = _chain(q_h, dep)
+                    k_h = mk[:, hh * dh:(hh + 1) * dh]
+                    v_h = mk[:, e + hh * dh:e + (hh + 1) * dh]
+                    o, p = _attend(q_h, k_h, v_h, bias_i, dt)
+                    o_heads.append(o)
+                    dq_h, dk_h, dv_h = _attend_bwd(
+                        da_c[i * t:(i + 1) * t, hh * dh:(hh + 1) * dh],
+                        q_h, k_h, v_h, p, dt)
+                    dq_heads.append(dq_h)
+                    if pend is None:
+                        pend = (dk_h, dv_h)
+                    else:
+                        # write the (M, 2·dh) head pair at a 128-lane-aligned
+                        # offset NOW: holding all 16 heads' dk/dv for one big
+                        # concat kept ~8 MB live through the whole loop
+                        lo = (hh - 1) * dh
+                        dmkv[i, :, lo:lo + 2 * dh] = jnp.concatenate(
+                            [pend[0], dk_h], axis=1)
+                        dmkv[i, :, e + lo:e + lo + 2 * dh] = \
+                            jnp.concatenate([pend[1], dv_h], axis=1)
+                        pend = None
+                    dep = dv_h
+                dqc_rows.append(jnp.concatenate(dq_heads, axis=1))
+                ac_rows.append(jnp.concatenate(o_heads, axis=1))
+            dqc = jnp.concatenate(dqc_rows, axis=0)
+            a_c = jnp.concatenate(ac_rows, axis=0)
+        dmk_cp = pltpu.make_async_copy(
+            dmkv, dmem_kv.at[lr, pl.dslice(j * bt, bt)], dmk_sem)
+        dmk_cp.start()
+        wdep = _acc(dwoc, a_c, dca, dep=wdep)
+        dx1 = dz2 + _dot_bt(dqc, wqc_v).astype(dt)
+        wdep = _acc(dwqc, x1, dqc, dep=wdep)
+        dbqc = jnp.sum(dqc.astype(jnp.float32), axis=0, keepdims=True)
     else:
-        dqc_rows = []
-        ac_rows = []
-        for i in range(bt):
-            mk = mkv[i]
-            bias_i = mbias[i, 0:1, :] + jnp.zeros((t, m), jnp.float32)
-            dq_heads, o_heads = [], []
-            pend = None  # (dk, dv) of the even head, written pairwise below
-            dep = None
-            for hh in range(h):
-                q_h = qc[i * t:(i + 1) * t, hh * dh:(hh + 1) * dh]
-                if dep is not None:
-                    q_h = _chain(q_h, dep)
-                k_h = mk[:, hh * dh:(hh + 1) * dh]
-                v_h = mk[:, e + hh * dh:e + (hh + 1) * dh]
-                o, p = _attend(q_h, k_h, v_h, bias_i, dt)
-                o_heads.append(o)
-                dq_h, dk_h, dv_h = _attend_bwd(
-                    da_c[i * t:(i + 1) * t, hh * dh:(hh + 1) * dh],
-                    q_h, k_h, v_h, p, dt)
-                dq_heads.append(dq_h)
-                if pend is None:
-                    pend = (dk_h, dv_h)
-                else:
-                    # write the (M, 2·dh) head pair at a 128-lane-aligned
-                    # offset NOW: holding all 16 heads' dk/dv for one big
-                    # concat kept ~8 MB live through the whole loop
-                    lo = (hh - 1) * dh
-                    dmkv[i, :, lo:lo + 2 * dh] = jnp.concatenate(
-                        [pend[0], dk_h], axis=1)
-                    dmkv[i, :, e + lo:e + lo + 2 * dh] = \
-                        jnp.concatenate([pend[1], dv_h], axis=1)
-                    pend = None
-                dep = dv_h
-            dqc_rows.append(jnp.concatenate(dq_heads, axis=1))
-            ac_rows.append(jnp.concatenate(o_heads, axis=1))
-        dqc = jnp.concatenate(dqc_rows, axis=0)
-        a_c = jnp.concatenate(ac_rows, axis=0)
-    dmk_cp = pltpu.make_async_copy(
-        dmkv, dmem_kv.at[lr, pl.dslice(j * bt, bt)], dmk_sem)
-    dmk_cp.start()
-    wdep = _acc(dwoc, a_c, dca, dep=wdep)
-    dx1 = dz2 + _dot_bt(dqc, wqc_v).astype(dt)
-    wdep = _acc(dwqc, x1, dqc, dep=wdep)
-    dbqc = jnp.sum(dqc.astype(jnp.float32), axis=0, keepdims=True)
+        dx1 = dx2  # z1 was already loaded for the FFN's x2 recompute
 
     # ---- LN1 + self-attention backward -----------------------------------
     dz1, dg1, db1n = _ln_bwd(dx1, _chain(z1, dx1), g1)
@@ -729,26 +790,29 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
     dvecs[0, 0:1, :3 * e] += dbqkv
     dvecs[0, 1:2, :f] += db1
     dvecs[0, 2:3, :e] += dbo
-    dvecs[0, 2:3, e:2 * e] += dboc
-    dvecs[0, 2:3, 2 * e:3 * e] += dbqc
     dvecs[0, 2:3, 3 * e:4 * e] += db2
     dvecs[0, 3:4, :e] += dg1
     dvecs[0, 3:4, e:2 * e] += db1n
-    dvecs[0, 3:4, 2 * e:3 * e] += dg2
-    dvecs[0, 3:4, 3 * e:4 * e] += db2n
     dvecs[0, 4:5, :e] += dg3
     dvecs[0, 4:5, e:2 * e] += db3
+    if cross:
+        dvecs[0, 2:3, e:2 * e] += dboc
+        dvecs[0, 2:3, 2 * e:3 * e] += dbqc
+        dvecs[0, 3:4, 2 * e:3 * e] += dg2
+        dvecs[0, 3:4, 3 * e:4 * e] += db2n
 
     @pl.when(j == nt - 1)
     def _():
-        d_pairs = ((dwqkv, dwqkv_h), (dwo, dwo_h), (dwqc, dwqc_h),
-                   (dwoc, dwoc_h), (dw1, dw1_h), (dw2, dw2_h))
+        d_pairs = ((dwqkv, dwqkv_h), (dwo, dwo_h), (dw1, dw1_h),
+                   (dw2, dw2_h)) + \
+            (((dwqc, dwqc_h), (dwoc, dwoc_h)) if cross else ())
         for idx, (vm, hbm) in enumerate(d_pairs):
             pltpu.make_async_copy(vm, hbm.at[lr], osems.at[idx]).start()
         for idx, (vm, hbm) in enumerate(d_pairs):
             pltpu.make_async_copy(vm, hbm.at[lr], osems.at[idx]).wait()
 
-    dmk_cp.wait()
+    if cross:
+        dmk_cp.wait()
     dx_out_cp.wait()
 
 
@@ -775,56 +839,80 @@ def _pick_row_tile(b: int, t: int, m: int, e: int, f: int, itemsize: int) -> int
 
 
 def _fwd_call(x, mem_kv, sbias, mbias, flat_w, seeds, *, num_heads, rate,
-              det, causal, bt, bt_bwd, interpret):
+              det, causal, bt, bt_bwd, interpret, cross=True,
+              want_saves=True):
     del bt_bwd
-    nl, b, m, _ = mem_kv.shape
     bt_rows, e = x.shape
     t = sbias.shape[2]
     btot = bt_rows // t
-    f = flat_w[4].shape[2]
-    nt = btot // bt
     dt = x.dtype
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    if cross:
+        nl, b, m, _ = mem_kv.shape
+        wqkv_w, wo_w, wqc_w, woc_w, w1_w, w2_w, vecs = flat_w
+    else:
+        wqkv_w, wo_w, w1_w, w2_w, vecs = flat_w
+        nl = wqkv_w.shape[0]
+        m = 128
+        dummy = jnp.zeros((1, 8, 128), dt)
+        wqc_w = woc_w = dummy
+        mem_kv = jnp.zeros((1, 1, 8, 128), dt)
+        mbias = jnp.zeros((1, 1, 128), jnp.float32)
+    f = w1_w.shape[2]
+    nt = btot // bt
     btt = bt * t
     kern = functools.partial(
         _fwd_kernel, nl=nl, nt=nt, bt=bt, t=t, m=m, e=e, f=f, h=num_heads,
-        dt=dt, rate=rate, det=det, causal=causal)
-    w = flat_w[6].shape[2]
+        dt=dt, rate=rate, det=det, causal=causal, cross=cross,
+        save=want_saves)
+    w = vecs.shape[2]
+    sv = want_saves
+    lspec = lambda shape: pl.BlockSpec(shape, lambda l, j, *_: (l, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nl, nt),
         in_specs=[
             pl.BlockSpec((btt, e), lambda l, j, *_: (j, 0)),
-            pl.BlockSpec((1, bt, m, 2 * e), lambda l, j, *_: (l, j, 0, 0)),
+            pl.BlockSpec((1, bt, m, 2 * e), lambda l, j, *_: (l, j, 0, 0))
+            if cross else any_spec,
             pl.BlockSpec((bt, 1, t), lambda l, j, *_: (j, 0, 0)),
-            pl.BlockSpec((bt, 1, m), lambda l, j, *_: (j, 0, 0)),
-            pl.BlockSpec((1, e, 3 * e), lambda l, j, *_: (l, 0, 0)),
-            pl.BlockSpec((1, e, e), lambda l, j, *_: (l, 0, 0)),
-            pl.BlockSpec((1, e, e), lambda l, j, *_: (l, 0, 0)),
-            pl.BlockSpec((1, e, e), lambda l, j, *_: (l, 0, 0)),
-            pl.BlockSpec((1, e, f), lambda l, j, *_: (l, 0, 0)),
-            pl.BlockSpec((1, f, e), lambda l, j, *_: (l, 0, 0)),
-            pl.BlockSpec((1, 8, w), lambda l, j, *_: (l, 0, 0)),
+            pl.BlockSpec((bt, 1, m), lambda l, j, *_: (j, 0, 0))
+            if cross else any_spec,
+            lspec((1, e, 3 * e)),
+            lspec((1, e, e)),
+            lspec((1, e, e)) if cross else any_spec,
+            lspec((1, e, e)) if cross else any_spec,
+            lspec((1, e, f)),
+            lspec((1, f, e)),
+            lspec((1, 8, w)),
         ],
         out_specs=[
             pl.BlockSpec((btt, e), lambda l, j, *_: (j, 0)),
-            pl.BlockSpec((1, btt, e), lambda l, j, *_: (l, j, 0)),
-            pl.BlockSpec((1, btt, e), lambda l, j, *_: (l, j, 0)),
-            pl.BlockSpec((1, btt, e), lambda l, j, *_: (l, j, 0)),
-            pl.BlockSpec((1, btt, e), lambda l, j, *_: (l, j, 0)),
-            pl.BlockSpec((1, btt, f), lambda l, j, *_: (l, j, 0)),
-            pl.BlockSpec((1, btt, f), lambda l, j, *_: (l, j, 0)),
+            pl.BlockSpec((1, btt, e), lambda l, j, *_: (l, j, 0))
+            if sv else any_spec,
+            pl.BlockSpec((1, btt, e), lambda l, j, *_: (l, j, 0))
+            if sv else any_spec,
+            pl.BlockSpec((1, btt, e), lambda l, j, *_: (l, j, 0))
+            if (cross and sv) else any_spec,
+            pl.BlockSpec((1, btt, e), lambda l, j, *_: (l, j, 0))
+            if sv else any_spec,
+            pl.BlockSpec((1, btt, f), lambda l, j, *_: (l, j, 0))
+            if sv else any_spec,
+            pl.BlockSpec((1, btt, f), lambda l, j, *_: (l, j, 0))
+            if sv else any_spec,
         ],
         scratch_shapes=[pltpu.VMEM((btot * t, e), dt)],
     )
     shp = jax.ShapeDtypeStruct
+    dsh = shp((1, 8, 128), dt)
     out_shapes = [
         shp((btot * t, e), dt),
-        shp((nl, btot * t, e), dt),
-        shp((nl, btot * t, e), dt),
-        shp((nl, btot * t, e), dt),
-        shp((nl, btot * t, e), dt),
-        shp((nl, btot * t, f), dt),
-        shp((nl, btot * t, f), dt),
+        shp((nl, btot * t, e), dt) if sv else dsh,
+        shp((nl, btot * t, e), dt) if sv else dsh,
+        shp((nl, btot * t, e), dt) if (cross and sv) else dsh,
+        shp((nl, btot * t, e), dt) if sv else dsh,
+        shp((nl, btot * t, f), dt) if sv else dsh,
+        shp((nl, btot * t, f), dt) if sv else dsh,
     ]
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shapes,
@@ -832,32 +920,74 @@ def _fwd_call(x, mem_kv, sbias, mbias, flat_w, seeds, *, num_heads, rate,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(seeds, x, mem_kv, sbias, mbias, *flat_w)
+    )(seeds, x, mem_kv, sbias, mbias, wqkv_w, wo_w, wqc_w, woc_w,
+      w1_w, w2_w, vecs)
 
 
 def _bwd_call(x, mem_kv, sbias, mbias, flat_w, saved, g, seeds, *, num_heads,
-              rate, det, causal, bt, bt_bwd, interpret):
+              rate, det, causal, bt, bt_bwd, interpret, cross=True):
     bt = bt_bwd
-    nl, b, m, _ = mem_kv.shape
     bt_rows, e = x.shape
     t = sbias.shape[2]
     btot = bt_rows // t
-    f = flat_w[4].shape[2]
-    nt = btot // bt
     dt = x.dtype
+    if cross:
+        nl, b, m, _ = mem_kv.shape
+        wqkv_w, wo_w, wqc_w, woc_w, w1_w, w2_w, vecs = flat_w
+        sx, sz1, sz2, sz3, sh1, sgp = saved
+    else:
+        wqkv_w, wo_w, w1_w, w2_w, vecs = flat_w
+        sx, sz1, sz3, sh1, sgp = saved
+        nl = wqkv_w.shape[0]
+        b, m = 1, 128
+        dummy = jnp.zeros((1, 8, 128), dt)
+        wqc_w = woc_w = sz2 = dummy
+        mem_kv = jnp.zeros((1, 1, 8, 128), dt)
+        mbias = jnp.zeros((1, 1, 128), jnp.float32)
+    f = w1_w.shape[2]
+    nt = btot // bt
     btt = bt * t
-    w = flat_w[6].shape[2]
+    w = vecs.shape[2]
     kern = functools.partial(
         _bwd_kernel, nl=nl, nt=nt, bt=bt, t=t, m=m, e=e, f=f, h=num_heads,
-        dt=dt, rate=rate, det=det, causal=causal)
+        dt=dt, rate=rate, det=det, causal=causal, cross=cross)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    dvm = pltpu.VMEM((8, 128), dt)  # dummy scratch when the stage is absent
+    scratch_shapes = [
+        pltpu.VMEM((e, 3 * e), dt), pltpu.VMEM((e, e), dt),
+        pltpu.VMEM((e, e), dt) if cross else dvm,
+        pltpu.VMEM((e, e), dt) if cross else dvm,
+        # w1/w2 F-chunk staging (2-deep pipeline; see kernel)
+        pltpu.VMEM((2, e, min(1024, f)), dt),
+        pltpu.VMEM((2, min(1024, f), e), dt),
+        # grad accumulators in compute dtype: fp32 accumulators' RMW
+        # loads through vreg spill slots were the VMEM breaker
+        pltpu.VMEM((e, 3 * e), dt), pltpu.VMEM((e, e), dt),
+        pltpu.VMEM((e, e), dt) if cross else dvm,
+        pltpu.VMEM((e, e), dt) if cross else dvm,
+        pltpu.VMEM((e, f), dt), pltpu.VMEM((f, e), dt),
+        pltpu.VMEM((bt, m, 2 * e), dt) if cross else pltpu.VMEM((1, 8, 128), dt),
+        pltpu.VMEM((bt, m, 2 * e), dt) if cross else pltpu.VMEM((1, 8, 128), dt),
+        pltpu.SemaphoreType.DMA((4,)), pltpu.SemaphoreType.DMA((6,)),
+        pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
+        # single-buffered saved-activation buffers (x, z1, z2, z3, h1, gp)
+        pltpu.VMEM((btt, e), dt), pltpu.VMEM((btt, e), dt),
+        pltpu.VMEM((btt, e), dt) if cross else dvm,
+        pltpu.VMEM((btt, e), dt),
+        pltpu.VMEM((btt, f), dt), pltpu.VMEM((btt, f), dt),
+        pltpu.SemaphoreType.DMA((6,)),
+        # dx staging + its in/out DMA sems + w-chunk sems
+        pltpu.VMEM((btt, e), dt), pltpu.SemaphoreType.DMA((4,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nl, nt),
         in_specs=[
             any_spec,  # mem_kv: hand-DMA'd, single-buffered
             pl.BlockSpec((bt, 1, t), lambda l, j, *_: (j, 0, 0)),
-            pl.BlockSpec((bt, 1, m), lambda l, j, *_: (j, 0, 0)),
+            pl.BlockSpec((bt, 1, m), lambda l, j, *_: (j, 0, 0))
+            if cross else any_spec,
             any_spec, any_spec, any_spec, any_spec, any_spec, any_spec,
             pl.BlockSpec((1, 8, w), lambda l, j, *_: (nl - 1 - l, 0, 0)),
             # saved activations: hand-DMA'd, single-buffered (see kernel)
@@ -870,50 +1000,29 @@ def _bwd_call(x, mem_kv, sbias, mbias, flat_w, saved, g, seeds, *, num_heads,
             any_spec, any_spec, any_spec, any_spec, any_spec, any_spec,
             pl.BlockSpec((1, 8, w), lambda l, j, *_: (nl - 1 - l, 0, 0)),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((e, 3 * e), dt), pltpu.VMEM((e, e), dt),
-            pltpu.VMEM((e, e), dt), pltpu.VMEM((e, e), dt),
-            # w1/w2 F-chunk staging (2-deep pipeline; see kernel)
-            pltpu.VMEM((2, e, min(1024, f)), dt),
-            pltpu.VMEM((2, min(1024, f), e), dt),
-            # grad accumulators in compute dtype: fp32 accumulators' RMW
-            # loads through vreg spill slots were the VMEM breaker
-            pltpu.VMEM((e, 3 * e), dt), pltpu.VMEM((e, e), dt),
-            pltpu.VMEM((e, e), dt), pltpu.VMEM((e, e), dt),
-            pltpu.VMEM((e, f), dt), pltpu.VMEM((f, e), dt),
-            pltpu.VMEM((bt, m, 2 * e), dt), pltpu.VMEM((bt, m, 2 * e), dt),
-            pltpu.SemaphoreType.DMA((4,)), pltpu.SemaphoreType.DMA((6,)),
-            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA,
-            # single-buffered saved-activation buffers (x, z1, z2, z3, h1, gp)
-            pltpu.VMEM((btt, e), dt), pltpu.VMEM((btt, e), dt),
-            pltpu.VMEM((btt, e), dt), pltpu.VMEM((btt, e), dt),
-            pltpu.VMEM((btt, f), dt), pltpu.VMEM((btt, f), dt),
-            pltpu.SemaphoreType.DMA((6,)),
-            # dx staging + its in/out DMA sems + w-chunk sems
-            pltpu.VMEM((btt, e), dt), pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     shp = jax.ShapeDtypeStruct
+    dsh = shp((1, 8, 128), dt)
     out_shapes = [
         shp((btot * t, e), dt),
-        shp((nl, b, m, 2 * e), dt),
+        shp((nl, b, m, 2 * e), dt) if cross else dsh,
         shp((nl, e, 3 * e), dt),
         shp((nl, e, e), dt),
-        shp((nl, e, e), dt),
-        shp((nl, e, e), dt),
+        shp((nl, e, e), dt) if cross else dsh,
+        shp((nl, e, e), dt) if cross else dsh,
         shp((nl, e, f), dt),
         shp((nl, f, e), dt),
         shp((nl, 8, w), jnp.float32),
     ]
-    sx, sz1, sz2, sz3, sh1, sgp = saved
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(seeds, mem_kv, sbias, mbias, *flat_w, sx, sz1, sz2, sz3, sh1, sgp, g)
+    )(seeds, mem_kv, sbias, mbias, wqkv_w, wo_w, wqc_w, woc_w, w1_w, w2_w,
+      vecs, sx, sz1, sz2, sz3, sh1, sgp, g)
 
 
 # ---------------------------------------------------------------------------
@@ -928,7 +1037,10 @@ def _make_fused(num_heads: int, rate: float, det: bool, causal: bool,
 
     @jax.custom_vjp
     def fused(flat_w, x, mem_kv, sbias, mbias, seeds):
-        out, *_ = _fwd_call(x, mem_kv, sbias, mbias, flat_w, seeds, **cfg)
+        # primal (not differentiated, e.g. eval/inference): skip the
+        # saved-activation outputs and the GELU'-for-backward VPU work
+        out, *_ = _fwd_call(x, mem_kv, sbias, mbias, flat_w, seeds,
+                            want_saves=False, **cfg)
         return out
 
     def fwd(flat_w, x, mem_kv, sbias, mbias, seeds):
@@ -947,6 +1059,36 @@ def _make_fused(num_heads: int, rate: float, det: bool, causal: bool,
                  dvecs)
         return (dflat, dx, dmkv, jnp.zeros_like(sbias),
                 jnp.zeros_like(mbias), jnp.zeros_like(seeds))
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+@functools.lru_cache(maxsize=8)
+def _make_fused_enc(num_heads: int, rate: float, det: bool, causal: bool,
+                    bt: int, bt_bwd: int, interpret: bool):
+    cfg = dict(num_heads=num_heads, rate=rate, det=det, causal=causal,
+               bt=bt, bt_bwd=bt_bwd, interpret=interpret, cross=False)
+
+    @jax.custom_vjp
+    def fused(flat_w, x, sbias, seeds):
+        out, *_ = _fwd_call(x, None, sbias, None, flat_w, seeds,
+                            want_saves=False, **cfg)
+        return out
+
+    def fwd(flat_w, x, sbias, seeds):
+        out, sx, sz1, _, sz3, sh1, sgp = _fwd_call(
+            x, None, sbias, None, flat_w, seeds, **cfg)
+        return out, (flat_w, x, sbias, seeds, (sx, sz1, sz3, sh1, sgp))
+
+    def bwd(res, g):
+        flat_w, x, sbias, seeds, saved = res
+        (dx, _, dwqkv, dwo, _, _, dw1, dw2, dvecs) = _bwd_call(
+            x, None, sbias, None, flat_w, saved, g, seeds, **cfg)
+        dflat = (dwqkv.astype(flat_w[0].dtype), dwo.astype(flat_w[1].dtype),
+                 dw1.astype(flat_w[2].dtype), dw2.astype(flat_w[3].dtype),
+                 dvecs)
+        return (dflat, dx, jnp.zeros_like(sbias), jnp.zeros_like(seeds))
 
     fused.defvjp(fwd, bwd)
     return fused
@@ -985,4 +1127,51 @@ def decoder_stack_fused(stacked: Params, x: jnp.ndarray, mem_kv: jnp.ndarray,
     fused = _make_fused(num_heads, float(dropout_rate), bool(det), True,
                         int(bt), int(bt_bwd), _INTERPRET)
     out = fused(flat_w, x.reshape(b * t, e), mem_kv, sbias, mbias, seeds)
+    return out.reshape(b, t, e)
+
+
+def enabled_for_enc(b: int, t: int, e: int, h: int) -> bool:
+    """Encoder fused path gate (no cross stage; same tiling rules)."""
+    if not (_ENABLED or _FORCE):
+        return False
+    if not (_on_tpu() or _FORCE):
+        return False
+    dh = e // h
+    return (e % 128 == 0 and dh % 8 == 0 and t % 8 == 0 and t >= 8
+            and h % 2 == 0 and 2 * dh % 128 == 0)
+
+
+def _fold_seeds(rng, det):
+    if det:
+        return jnp.zeros((2,), jnp.int32)
+    data = rng if jnp.issubdtype(rng.dtype, jnp.uint32) \
+        else jax.random.key_data(rng)
+    return data.reshape(-1)[:2].astype(jnp.int32)
+
+
+def encoder_stack_fused(stacked: Params, x: jnp.ndarray,
+                        valid: jnp.ndarray, num_heads: int,
+                        dropout_rate: float = 0.0, rng=None,
+                        deterministic: bool = True,
+                        row_tile: int | None = None) -> jnp.ndarray:
+    """Fused-kernel equivalent of ``transformer.encoder_stack`` (bidirectional
+    self-attention + FFN, post-norm; reference: the nn.TransformerEncoder
+    layers of acai_omr/models/models.py:25-34).
+
+    x: (B, T, E); valid: (B, T) bool (True = attend).
+    """
+    b, t, e = x.shape
+    dt = x.dtype
+    flat_w = pack_weights_enc(stacked, dt)
+    f = flat_w[2].shape[2]
+    sbias = jnp.where(valid, 0.0, NEG).astype(jnp.float32)[:, None, :]
+    det = deterministic or dropout_rate <= 0.0
+    seeds = _fold_seeds(rng, det)
+    bt = row_tile or _pick_row_tile(b, t, 0, e, f, jnp.dtype(dt).itemsize)
+    bt_bwd = row_tile or max(1, 256 // t if t < 256 else 1)
+    while b % bt_bwd:
+        bt_bwd -= 1
+    fused = _make_fused_enc(num_heads, float(dropout_rate), bool(det), False,
+                            int(bt), int(bt_bwd), _INTERPRET)
+    out = fused(flat_w, x.reshape(b * t, e), sbias, seeds)
     return out.reshape(b, t, e)

@@ -165,7 +165,22 @@ def _remat_wrap(run_layer, remat):
 def encoder_stack(stacked: Params, x: jnp.ndarray, bias, num_heads: int,
                   dropout_rate: float = 0.0, rng=None,
                   deterministic: bool = True, remat=False) -> jnp.ndarray:
-    """Run a stack of encoder layers with lax.scan over the layer axis."""
+    """Run a stack of encoder layers with lax.scan over the layer axis.
+
+    On TPU with qualifying shapes the stack runs as one fused Pallas grid
+    per pass (ops/pallas_train_layer.py, default-on;
+    ``ACAI_FUSED_TRAIN_LAYER=0`` opts out), like the decoder stack below.
+    """
+    if isinstance(bias, nn.MaskSpec) and not bias.causal:
+        from . import pallas_train_layer as ptl
+        b, t, e = x.shape
+        if ptl.enabled_for_enc(b, t, e, num_heads):
+            valid = (bias.key_valid if bias.key_valid is not None
+                     else jnp.ones((b, t), bool))
+            return ptl.encoder_stack_fused(
+                stacked, x, valid, num_heads, dropout_rate, rng,
+                deterministic)
+
     n = num_stacked_layers(stacked)
     layer_rngs = None if rng is None else jax.random.split(rng, n)
 

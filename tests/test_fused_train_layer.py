@@ -41,11 +41,18 @@ def setup():
 
 
 def xla_ref(stacked, x, memory, self_valid, mem_valid, mem_kv):
-    return transformer.decoder_stack(
-        stacked, x, memory,
-        nn.MaskSpec(key_valid=self_valid, causal=True),
-        nn.MaskSpec(key_valid=mem_valid),
-        H, 0.0, None, True, mem_kv=mem_kv)
+    # force=False while tracing the reference: otherwise decoder_stack's
+    # dispatch would route the "reference" through the fused kernel too and
+    # the parity assertions would compare the kernel against itself.
+    ptl.set_test_mode(force=False, interpret=True)
+    try:
+        return transformer.decoder_stack(
+            stacked, x, memory,
+            nn.MaskSpec(key_valid=self_valid, causal=True),
+            nn.MaskSpec(key_valid=mem_valid),
+            H, 0.0, None, True, mem_kv=mem_kv)
+    finally:
+        ptl.set_test_mode(force=True, interpret=True)
 
 
 @pytest.mark.parametrize("row_tile", [B, 2])
@@ -78,6 +85,65 @@ def test_gradient_parity(setup, row_tile):
     g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(stacked, x, mem_kv)
 
     flat_ref, tree_ref = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_fused = jax.tree_util.tree_leaves(g_fused)
+    assert len(flat_ref) == len(flat_fused)
+    for (path, a), bb in zip(flat_ref, flat_fused):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(bb), np.asarray(a), atol=3e-4 * max(scale, 1.0),
+            rtol=2e-3, err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+# ---------------------------------------------------------------------------
+# encoder variant (cross=False)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def enc_setup():
+    key = jax.random.PRNGKey(5)
+    stacked = transformer.stack_init(transformer.encoder_layer_init, key, L,
+                                     E, F)
+    ks = jax.random.split(jax.random.PRNGKey(6), 2)
+    x = jax.random.normal(ks[0], (B, T, E), jnp.float32)
+    valid = jnp.arange(T)[None, :] < jnp.asarray([T, T - 7, 9, T])[:, None]
+    return stacked, x, valid
+
+
+def xla_enc_ref(stacked, x, valid):
+    ptl.set_test_mode(force=False, interpret=True)  # see xla_ref
+    try:
+        return transformer.encoder_stack(
+            stacked, x, nn.MaskSpec(key_valid=valid), H, 0.0, None, True)
+    finally:
+        ptl.set_test_mode(force=True, interpret=True)
+
+
+@pytest.mark.parametrize("row_tile", [B, 2])
+def test_encoder_forward_parity(enc_setup, row_tile):
+    stacked, x, valid = enc_setup
+    ref = xla_enc_ref(stacked, x, valid)
+    out = ptl.encoder_stack_fused(stacked, x, valid, H, row_tile=row_tile)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("row_tile", [B, 1])
+def test_encoder_gradient_parity(enc_setup, row_tile):
+    stacked, x, valid = enc_setup
+    w = jax.random.normal(jax.random.PRNGKey(8), (B, T, E), jnp.float32)
+
+    def loss_ref(stacked_, x_):
+        return jnp.sum(xla_enc_ref(stacked_, x_, valid) * w)
+
+    def loss_fused(stacked_, x_):
+        out = ptl.encoder_stack_fused(stacked_, x_, valid, H,
+                                      row_tile=row_tile)
+        return jnp.sum(out * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(stacked, x)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(stacked, x)
+
+    flat_ref, _ = jax.tree_util.tree_flatten_with_path(g_ref)
     flat_fused = jax.tree_util.tree_leaves(g_fused)
     assert len(flat_ref) == len(flat_fused)
     for (path, a), bb in zip(flat_ref, flat_fused):

@@ -251,11 +251,14 @@ def _apply_drop(v, rate: float, seeds, deterministic: bool):
     return jnp.where(keep, v / (1.0 - rate), jnp.zeros_like(v))
 
 
-def _attend(q, k, v, bias32, dt):
+def _attend(q, k, v, bias32, dt, scale=None):
     """One head's attention: q (T, Dh), k/v (S, Dh), bias (T, S) fp32.
 
-    Returns (out (T, Dh) dt, probs (T, S) fp32)."""
-    scale = 1.0 / math.sqrt(q.shape[-1])
+    Returns (out (T, Dh) dt, probs (T, S) fp32). ``scale`` overrides the
+    1/sqrt(Dh) default — the grouped path passes full-lane (T, 128)
+    operands whose true head dim is smaller."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
     lg = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     lg = lg * scale + bias32
@@ -267,11 +270,15 @@ def _attend(q, k, v, bias32, dt):
     return out.astype(dt), p
 
 
-def _attend_bwd(dout, q, k, v, p, dt):
+def _attend_bwd(dout, q, k, v, p, dt, scale=None):
     """Backward of one head's attention given saved probs ``p`` (fp32).
 
-    dout (T, Dh) -> (dq, dk, dv) in dt. Bias is a constant mask; no grad."""
-    scale = 1.0 / math.sqrt(q.shape[-1])
+    dout (T, Dh) -> (dq, dk, dv) in dt. Bias is a constant mask; no grad.
+    For the grouped (masked full-lane) path, ``q``/``k``/``v``/``dout``
+    must each be column-masked to the head's lanes so every output grad
+    lands only in those lanes."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
     dp = jax.lax.dot_general(dout, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dv = jax.lax.dot_general(p.astype(dt), dout, (((0,), (0,)), ((), ())),
@@ -283,6 +290,19 @@ def _attend_bwd(dout, q, k, v, p, dt):
     dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32).astype(dt)
     return dq, dk, dv
+
+
+def _head_col_mask(gs: int, hh: int, dh: int, dt):
+    """(1, gs*dh) 0/1 plane selecting head ``hh``'s lanes within a group.
+
+    Heads with dh < 64 cannot be column-sliced (Mosaic has no sub-64-lane
+    slicing); instead whole 128-lane head GROUPS feed full-lane MXU dots
+    with the non-head lanes zeroed — zeroed k/v lanes contribute nothing
+    to the contraction, so per-head logits/outputs are exact at gs× the
+    attention FLOPs (the training analogue of the decode monolith's
+    block-diagonal attention)."""
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, gs * dh), 1)
+    return (lanes // dh == hh).astype(dt)
 
 
 def _chain(v, dep):
@@ -365,17 +385,36 @@ def _fwd_kernel(seed_ref, x_in, mem_kv, sbias, mbias,
     # --- self attention ---------------------------------------------------
     qkv = (_dot(x, wqkv[0]) + bqkv).astype(dt)
     cb = _causal32(t) if causal else jnp.zeros((t, t), jnp.float32)
+    gs = 128 // dh if (2 * dh) % 128 != 0 else 1  # heads per lane group
+    gw = gs * dh
+    scl = 1.0 / math.sqrt(dh)
     img_rows = []
     for i in range(bt):
         qkv_i = qkv[i * t:(i + 1) * t, :]
         bias_i = cb + sbias[i, 0:1, :]
         heads = []
-        for hh in range(h):
-            o, _ = _attend(qkv_i[:, hh * dh:(hh + 1) * dh],
-                           qkv_i[:, e + hh * dh:e + (hh + 1) * dh],
-                           qkv_i[:, 2 * e + hh * dh:2 * e + (hh + 1) * dh],
-                           bias_i, dt)
-            heads.append(o)
+        for g in range(h // gs):
+            if gs == 1:
+                o, _ = _attend(qkv_i[:, g * dh:(g + 1) * dh],
+                               qkv_i[:, e + g * dh:e + (g + 1) * dh],
+                               qkv_i[:, 2 * e + g * dh:2 * e + (g + 1) * dh],
+                               bias_i, dt)
+                heads.append(o)
+                continue
+            q_g = qkv_i[:, g * gw:(g + 1) * gw]
+            k_g = qkv_i[:, e + g * gw:e + (g + 1) * gw]
+            v_g = qkv_i[:, 2 * e + g * gw:2 * e + (g + 1) * gw]
+            o_g = jnp.zeros((t, gw), jnp.float32)
+            dep = None
+            for hh in range(gs):
+                mrow = _head_col_mask(gs, hh, dh, dt)
+                k_m = k_g * mrow
+                if dep is not None:
+                    k_m = _chain(k_m, dep)
+                o, _ = _attend(q_g, k_m, v_g * mrow, bias_i, dt, scale=scl)
+                o_g = o_g + o.astype(jnp.float32)
+                dep = o
+            heads.append(o_g.astype(dt))
         img_rows.append(jnp.concatenate(heads, axis=1))
     a_s = jnp.concatenate(img_rows, axis=0)
     sa = (_dot(a_s, wo[0]) + bo).astype(dt)
@@ -750,26 +789,61 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
     else:
         dqkv_rows = []
         as_rows = []
+    gs = 128 // dh if (2 * dh) % 128 != 0 else 1
+    gw = gs * dh
+    scl = 1.0 / math.sqrt(dh)
     for i in range(bt) if _ABLATE != "noself" else []:
         qkv_i = qkv[i * t:(i + 1) * t, :]
         bias_i = cb + sbias[i, 0:1, :]
         dq_heads, dk_heads, dv_heads, o_heads = [], [], [], []
         dep = None
-        for hh in range(h):
-            q_h = qkv_i[:, hh * dh:(hh + 1) * dh]
-            if dep is not None:
-                q_h = _chain(q_h, dep)
-            k_h = qkv_i[:, e + hh * dh:e + (hh + 1) * dh]
-            v_h = qkv_i[:, 2 * e + hh * dh:2 * e + (hh + 1) * dh]
-            o, p = _attend(q_h, k_h, v_h, bias_i, dt)
-            o_heads.append(o)
-            dq_h, dk_h, dv_h = _attend_bwd(
-                da_s[i * t:(i + 1) * t, hh * dh:(hh + 1) * dh],
-                q_h, k_h, v_h, p, dt)
-            dq_heads.append(dq_h)
-            dk_heads.append(dk_h)
-            dv_heads.append(dv_h)
-            dep = dv_h
+        for g in range(h // gs):
+            if gs == 1:
+                q_h = qkv_i[:, g * dh:(g + 1) * dh]
+                if dep is not None:
+                    q_h = _chain(q_h, dep)
+                k_h = qkv_i[:, e + g * dh:e + (g + 1) * dh]
+                v_h = qkv_i[:, 2 * e + g * dh:2 * e + (g + 1) * dh]
+                o, p = _attend(q_h, k_h, v_h, bias_i, dt)
+                o_heads.append(o)
+                dq_h, dk_h, dv_h = _attend_bwd(
+                    da_s[i * t:(i + 1) * t, g * dh:(g + 1) * dh],
+                    q_h, k_h, v_h, p, dt)
+                dq_heads.append(dq_h)
+                dk_heads.append(dk_h)
+                dv_heads.append(dv_h)
+                dep = dv_h
+                continue
+            # masked full-lane head groups (see _head_col_mask): per-head
+            # grads land only in that head's lanes, so group accumulation
+            # is an exact disjoint-support sum.
+            q_g = qkv_i[:, g * gw:(g + 1) * gw]
+            k_g = qkv_i[:, e + g * gw:e + (g + 1) * gw]
+            v_g = qkv_i[:, 2 * e + g * gw:2 * e + (g + 1) * gw]
+            do_g = da_s[i * t:(i + 1) * t, g * gw:(g + 1) * gw]
+            o_acc = jnp.zeros((t, gw), jnp.float32)
+            dq_acc = jnp.zeros((t, gw), jnp.float32)
+            dk_acc = jnp.zeros((t, gw), jnp.float32)
+            dv_acc = jnp.zeros((t, gw), jnp.float32)
+            for hh in range(gs):
+                mrow = _head_col_mask(gs, hh, dh, dt)
+                k_m = k_g * mrow
+                if dep is not None:
+                    k_m = _chain(k_m, dep)
+                q_m = q_g * mrow
+                v_m = v_g * mrow
+                o, p = _attend(q_g, k_m, v_m, bias_i, dt, scale=scl)
+                o_acc = o_acc + o.astype(jnp.float32)
+                dq_h, dk_h, dv_h = _attend_bwd(
+                    do_g * mrow, q_m, k_m, v_m, p, dt, scale=scl)
+                dq_acc = dq_acc + dq_h.astype(jnp.float32)
+                dk_acc = dk_acc + dk_h.astype(jnp.float32)
+                dv_acc = dv_acc + dv_h.astype(jnp.float32)
+                dep = dv_h
+            o_heads.append(o_acc.astype(dt))
+            dq_heads.append(dq_acc.astype(dt))
+            dk_heads.append(dk_acc.astype(dt))
+            dv_heads.append(dv_acc.astype(dt))
         as_rows.append(jnp.concatenate(o_heads, axis=1))
         dqkv_rows.append(jnp.concatenate(
             dq_heads + dk_heads + dv_heads, axis=1))
@@ -1131,14 +1205,22 @@ def decoder_stack_fused(stacked: Params, x: jnp.ndarray, mem_kv: jnp.ndarray,
 
 
 def enabled_for_enc(b: int, t: int, e: int, h: int) -> bool:
-    """Encoder fused path gate (no cross stage; same tiling rules)."""
+    """Encoder fused path gate (no cross stage; same tiling rules).
+
+    Unlike the decoder gate, head dims below 64 are allowed when whole
+    128-lane head groups divide evenly (masked-group attention,
+    _head_col_mask) — the MAE decoder's dh=32 stack qualifies."""
     if not (_ENABLED or _FORCE):
         return False
     if not (_on_tpu() or _FORCE):
         return False
     dh = e // h
+    if 2 * dh % 128 == 0:
+        lanes_ok = True
+    else:
+        lanes_ok = dh >= 8 and 128 % dh == 0 and h % (128 // dh) == 0
     return (e % 128 == 0 and dh % 8 == 0 and t % 8 == 0 and t >= 8
-            and h % 2 == 0 and 2 * dh % 128 == 0)
+            and h % 2 == 0 and lanes_ok)
 
 
 def _fold_seeds(rng, det):

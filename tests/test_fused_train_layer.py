@@ -153,6 +153,45 @@ def test_encoder_gradient_parity(enc_setup, row_tile):
             rtol=2e-3, err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
+def test_encoder_grouped_heads_parity():
+    """dh=32 (MAE-decoder regime): masked full-lane head groups must match
+    the per-head XLA stack, forward and gradients."""
+    e, heads = 256, 8  # dh = 32 -> groups of 4 heads
+    key = jax.random.PRNGKey(11)
+    stacked = transformer.stack_init(transformer.encoder_layer_init, key, L,
+                                     e, F)
+    x = jax.random.normal(jax.random.PRNGKey(12), (B, T, e), jnp.float32)
+    valid = jnp.arange(T)[None, :] < jnp.asarray([T, T - 5, 11, T])[:, None]
+    w = jax.random.normal(jax.random.PRNGKey(13), (B, T, e), jnp.float32)
+
+    def loss_ref(stacked_, x_):
+        ptl.set_test_mode(force=False, interpret=True)
+        try:
+            out = transformer.encoder_stack(
+                stacked_, x_, nn.MaskSpec(key_valid=valid), heads,
+                0.0, None, True)
+        finally:
+            ptl.set_test_mode(force=True, interpret=True)
+        return jnp.sum(out * w)
+
+    def loss_fused(stacked_, x_):
+        out = ptl.encoder_stack_fused(stacked_, x_, valid, heads, row_tile=2)
+        return jnp.sum(out * w)
+
+    assert ptl.enabled_for_enc(B, T, e, heads)
+    g_ref = jax.value_and_grad(loss_ref, argnums=(0, 1))(stacked, x)
+    g_fused = jax.value_and_grad(loss_fused, argnums=(0, 1))(stacked, x)
+    np.testing.assert_allclose(float(g_fused[0]), float(g_ref[0]),
+                               rtol=1e-4)
+    flat_ref, _ = jax.tree_util.tree_flatten_with_path(g_ref[1])
+    flat_fused = jax.tree_util.tree_leaves(g_fused[1])
+    for (path, a), bb in zip(flat_ref, flat_fused):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(bb), np.asarray(a), atol=3e-4 * max(scale, 1.0),
+            rtol=2e-3, err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="pltpu.prng_seed has no CPU-interpreter rule; "
                            "covered on-chip by tools/fused_train_ab.py")

@@ -29,10 +29,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--mae", action="store_true")
+    ap.add_argument("--mae-dec", action="store_true",
+                    help="MAE decoder regime: dh=32 grouped heads")
     ap.add_argument("--row-tile", type=int, default=None)
     args = ap.parse_args()
     if args.mae:
         B, T, E, H, F, L = 64, 128, 768, 12, 3072, 12
+    elif args.mae_dec:
+        B, T, E, H, F, L = 64, 512, 512, 16, 2048, 8
     else:
         B, T, E, H, F, L = 8, 1024, 768, 12, 3072, 12
 

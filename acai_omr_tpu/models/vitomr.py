@@ -141,7 +141,8 @@ def sample_and_mix_seqs(params: Params, rng, tf_input_seqs: jnp.ndarray,
     sample_mask = jax.random.uniform(mix_rng, tf_input_seqs.shape) < sampling_ratio
 
     table = params["decoder"]["vocab_embedding"]["table"].astype(compute_dtype)
-    gold = jnp.take(table, tf_input_seqs, axis=0)                   # (B, T, E)
+    gold = nn.embed(params["decoder"]["vocab_embedding"], tf_input_seqs,
+                    dtype=compute_dtype)                            # (B, T, E)
 
     distr = gumbel_softmax(gumbel_rng, tf_pred_logits, sample_tau, use_hard_sampling)
     expected = jnp.einsum("btv,ve->bte", distr.astype(compute_dtype), table)

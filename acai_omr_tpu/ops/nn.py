@@ -114,6 +114,14 @@ def embed(params: Params, idxs: jnp.ndarray, dtype=None) -> jnp.ndarray:
     table = params["table"]
     if dtype is not None:
         table = table.astype(dtype)
+    v = table.shape[0]
+    # Small tables are gathered with a one-hot MXU matmul: a one-hot operand
+    # makes the product an exact row copy, and the VJP becomes a GEMM instead
+    # of an HBM-bound scatter-add (the gather+scatter pair measured ~6 ms/step
+    # for the (227, 1024) LMX table at flagship seq2seq shapes).
+    if v <= 4096 and idxs.ndim >= 1:
+        oh = jax.nn.one_hot(idxs, v, dtype=table.dtype)
+        return jnp.matmul(oh, table)
     return jnp.take(table, idxs, axis=0)
 
 

@@ -102,6 +102,38 @@ def enabled_for(b: int, t: int, m: int, e: int, h: int) -> bool:
             and t >= 8 and h % 2 == 0 and 2 * dh % 128 == 0)
 
 
+def fwd_vmem_fits(b: int, t: int, m: int, e: int, f: int,
+                  itemsize: int = 2, cross: bool = True) -> bool:
+    """Conservative VMEM model of the forward kernel: the WHOLE batch's
+    hidden-state carry is VMEM-resident (the ``xc`` scratch, b*t*e), plus
+    double-buffered per-layer weights and the bt-row working set
+    (_pick_row_tile's budget). Shapes whose total exceeds the ~120 MB plan
+    must fall back to the XLA stack — Mosaic rejected a 32-rollout GRPO
+    chunk at 134 MB. Validated against the known-good flagship shapes
+    (SS decoder ~107 MB, stage-2 encoder ~83 MB, MAE decoder ~75 MB,
+    8-rollout GRPO chunk ~103 MB)."""
+    bt = _pick_row_tile(b, t, m, e, f, itemsize)
+    act = bt * t * (3 * e + f + 4 * e) * itemsize + bt * t * m * 4
+    act += 4 * bt * t * f * itemsize
+    act += 2 * bt * m * 2 * e * itemsize
+    resident = b * t * e * itemsize
+    wpl = (4 * e * e + (2 * e * e if cross else 0) + 2 * e * f) * itemsize
+    return resident + 2 * wpl + act <= 120 * 1024 * 1024
+
+
+def saves_fit(b: int, t: int, e: int, f: int, nl: int,
+              itemsize: int = 2) -> bool:
+    """The forward saves (x, z1..z3, h1, GELU') per layer for the backward —
+    nl*b*t*(4e+2f) elements of HBM. Long-sequence batches (GRPO's rollout
+    updates at max_actions=1536) must stay under a budget or the fused
+    dispatch falls back to the rematerializing XLA stack."""
+    try:
+        budget_gb = float(os.environ.get("ACAI_FUSED_SAVES_GB", "6"))
+    except ValueError:
+        budget_gb = 6.0
+    return nl * b * t * (4 * e + 2 * f) * itemsize <= budget_gb * 2 ** 30
+
+
 # ---------------------------------------------------------------------------
 # weight packing
 #
@@ -292,6 +324,28 @@ def _attend_bwd(dout, q, k, v, p, dt, scale=None):
     return dq, dk, dv
 
 
+def _group_spec(dh: int) -> tuple[int, int]:
+    """(heads-per-group, group width) for the self-attention lane layout.
+
+    dh >= 64 heads column-slice directly. Below that, Mosaic's slicing
+    floor is 64-wide/64-aligned, so heads run as masked full-lane GROUPS
+    (_head_col_mask): 64-lane pairs for dh=32 (2x attention FLOPs) vs
+    128-lane quads (4x FLOPs) measured a WASH at MAE-decoder shapes
+    (80.3 vs 80.2 ms/grad pass — the K=64 dots' half-rate MXU occupancy
+    cancels the FLOP saving; tools/fused_enc_ab.py --mae-dec with
+    ACAI_HEAD_GROUP_WIDTH=64/128). Default 64: same time, fewer FLOPs."""
+    if (2 * dh) % 128 == 0:
+        return 1, dh
+    try:
+        w = int(os.environ.get("ACAI_HEAD_GROUP_WIDTH", "64"))
+    except ValueError:
+        w = 64
+    if w not in (64, 128):
+        w = 64
+    gs = max(1, w // dh)
+    return gs, gs * dh
+
+
 def _head_col_mask(gs: int, hh: int, dh: int, dt):
     """(1, gs*dh) 0/1 plane selecting head ``hh``'s lanes within a group.
 
@@ -385,8 +439,7 @@ def _fwd_kernel(seed_ref, x_in, mem_kv, sbias, mbias,
     # --- self attention ---------------------------------------------------
     qkv = (_dot(x, wqkv[0]) + bqkv).astype(dt)
     cb = _causal32(t) if causal else jnp.zeros((t, t), jnp.float32)
-    gs = 128 // dh if (2 * dh) % 128 != 0 else 1  # heads per lane group
-    gw = gs * dh
+    gs, gw = _group_spec(dh)  # heads per lane group, group width
     scl = 1.0 / math.sqrt(dh)
     img_rows = []
     for i in range(bt):
@@ -789,8 +842,7 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
     else:
         dqkv_rows = []
         as_rows = []
-    gs = 128 // dh if (2 * dh) % 128 != 0 else 1
-    gw = gs * dh
+    gs, gw = _group_spec(dh)
     scl = 1.0 / math.sqrt(dh)
     for i in range(bt) if _ABLATE != "noself" else []:
         qkv_i = qkv[i * t:(i + 1) * t, :]

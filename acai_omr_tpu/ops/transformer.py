@@ -174,7 +174,9 @@ def encoder_stack(stacked: Params, x: jnp.ndarray, bias, num_heads: int,
     if isinstance(bias, nn.MaskSpec) and not bias.causal:
         from . import pallas_train_layer as ptl
         b, t, e = x.shape
-        if ptl.enabled_for_enc(b, t, e, num_heads):
+        f = stacked["linear1"]["kernel"].shape[2]
+        if ptl.enabled_for_enc(b, t, e, num_heads) and ptl.fwd_vmem_fits(
+                b, t, 0, e, f, jnp.dtype(x.dtype).itemsize, cross=False):
             valid = (bias.key_valid if bias.key_valid is not None
                      else jnp.ones((b, t), bool))
             return ptl.encoder_stack_fused(
@@ -244,21 +246,37 @@ def decoder_stack(stacked: Params, x: jnp.ndarray, memory: jnp.ndarray,
     ``ACAI_FUSED_TRAIN_LAYER=0`` opts out) — its backward kernel subsumes
     ``remat`` (activations are re-derived in VMEM).
     """
-    if (mem_kv is not None and cross_group == 1
+    if (mem_kv is not None
             and isinstance(self_bias, nn.MaskSpec) and self_bias.causal
             and (cross_bias is None or isinstance(cross_bias, nn.MaskSpec))):
         from . import pallas_train_layer as ptl
         b, t, e = x.shape
         m = mem_kv.shape[2]
-        if ptl.enabled_for(b, t, m, e, num_heads):
+        f = stacked["linear1"]["kernel"].shape[2]
+        nl = num_stacked_layers(stacked)
+        itemsize = jnp.dtype(x.dtype).itemsize
+        if (ptl.enabled_for(b, t, m, e, num_heads)
+                and ptl.saves_fit(b, t, e, f, nl, itemsize)
+                and ptl.fwd_vmem_fits(b, t, m, e, f, itemsize)):
             self_valid = (self_bias.key_valid if self_bias.key_valid is not None
                           else jnp.ones((b, t), bool))
-            mem_valid = (cross_bias.key_valid
-                         if cross_bias is not None
-                         and cross_bias.key_valid is not None
-                         else jnp.ones((b, m), bool))
+            mkv = mem_kv
+            if cross_group > 1:
+                # G rollouts per unique memory row (GRPO updates): the K/V
+                # are already projected once per unique row; replicate only
+                # the projected rows so each rollout carries its group's
+                # K/V window (2.07x/rollout-row vs the grouped XLA stack,
+                # tools/fused_grpo_ab.py; d(mem_kv) segment-sums back
+                # through the repeat).
+                mkv = jnp.repeat(mem_kv, cross_group, axis=1)
+            if cross_bias is not None and cross_bias.key_valid is not None:
+                mem_valid = cross_bias.key_valid
+                if cross_group > 1:
+                    mem_valid = jnp.repeat(mem_valid, cross_group, axis=0)
+            else:
+                mem_valid = jnp.ones((b, m), bool)
             return ptl.decoder_stack_fused(
-                stacked, x, mem_kv, self_valid, mem_valid, num_heads,
+                stacked, x, mkv, self_valid, mem_valid, num_heads,
                 dropout_rate, rng, deterministic)
 
     n = num_stacked_layers(stacked)

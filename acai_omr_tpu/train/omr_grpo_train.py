@@ -29,6 +29,7 @@ import optax
 from ..data.tokenizer import LmxTokenizer
 from ..models import omr_decoder, vitomr as vitomr_lib
 from ..models.vitomr import ViTOMRConfig
+from ..ops import transformer
 from ..parallel import trainer
 from ..utils import checkpoint as ckpt_lib
 from ..utils.metrics import MetricsWriter
@@ -185,7 +186,7 @@ def calc_entropy_sum(theta_logits, input_valid):
 
 def make_grpo_update_step(cfg: ViTOMRConfig, tx, num_groups: int,
                           epsilon: float, compute_dtype=jnp.bfloat16,
-                          rollout_microbatches: int = 4):
+                          rollout_microbatches: int = 16):
     """One jitted GRPO inner update.
 
     The teacher-forced pass over all B*G rollouts with long cross-attention
@@ -199,22 +200,39 @@ def make_grpo_update_step(cfg: ViTOMRConfig, tx, num_groups: int,
     ``batch["img_latent"]``/``latent_valid`` may be UNEXPANDED (B unique
     rows with rollouts of one image contiguous — the rollout group size G is
     inferred from rollouts/memory row counts): the per-layer cross K/V are
-    then projected once per update step for the unique rows (1/G the
-    projection work — rollouts replicate memories, reference
-    models.py:883-891) and cross-attention folds the group into the query
-    axis (ops/transformer.decoder_layer cross_group). Expanded latents
-    (G=1 per row) remain supported.
+    projected once per UNIQUE row per chunk (1/G the projection work —
+    rollouts replicate memories, reference models.py:883-891) and
+    cross-attention folds the group into the query axis
+    (ops/transformer.decoder_layer cross_group). The projection happens
+    inside the differentiated chunk loss so the cross K/V weights train
+    under the GRPO objective like any other decoder weight. Expanded
+    latents (G=1 per row) remain supported.
+
+    ``rollout_microbatches`` defaults to 16 (8 rollouts/chunk at reference
+    scale) so each chunk's fused-training-kernel saved activations fit the
+    HBM budget even at max_actions=1536 (pallas_train_layer.saves_fit) —
+    the fused path measures 2.07x/rollout-row over the grouped XLA stack
+    (tools/fused_grpo_ab.py); chunk counts whose footprint exceeds the
+    budget silently fall back to the rematerializing XLA path.
     """
     vocab_size = cfg.decoder.vocab_size
 
     def rollout_loss(params, mb, total_rollouts, entropy_beta, rng):
         # static shapes at trace time: G = rollout rows per unique memory row
         cg = mb["rollout_inputs"].shape[0] // mb["img_latent"].shape[0]
+        # the chunk's UNIQUE memory rows are projected to cross K/V here,
+        # INSIDE the differentiated function: the projection must sit in the
+        # grad graph or the cross-attention K/V weights would only ever be
+        # trained by the CE anchor (they are ordinary trainable decoder
+        # params in the reference, models.py:840-1049)
+        mem_kv = transformer.precompute_memory_kv(
+            params["decoder"]["blocks"],
+            mb["img_latent"].astype(compute_dtype))
         theta_logits = omr_decoder.forward(
             params["decoder"], cfg.decoder, mb["rollout_inputs"],
             mb["img_latent"], mb["rollout_input_valid"], mb["latent_valid"],
             compute_dtype=compute_dtype, rng=rng, deterministic=True,
-            remat=True, mem_kv=mb.get("mem_kv"), cross_group=cg)
+            remat=True, mem_kv=mem_kv, cross_group=cg)
         obj_sum = calc_grpo_objective_sum(
             theta_logits, mb["rollouts"], mb["rollout_input_valid"],
             mb["old_log_probs"], mb["advantages"], epsilon)
@@ -224,11 +242,14 @@ def make_grpo_update_step(cfg: ViTOMRConfig, tx, num_groups: int,
         return -(obj + entropy_beta * ent_bonus), (obj, ent_bonus)
 
     def ce_loss(params, batch):
+        mem_kv = transformer.precompute_memory_kv(
+            params["decoder"]["blocks"],
+            batch["unexpanded_img_latent"].astype(compute_dtype))
         gold_logits = omr_decoder.forward(
             params["decoder"], cfg.decoder, batch["gold_inputs"],
             batch["unexpanded_img_latent"], batch["gold_input_valid"],
             batch["unexpanded_latent_valid"], compute_dtype=compute_dtype,
-            deterministic=True, remat=True)
+            deterministic=True, remat=True, mem_kv=mem_kv)
         return vitomr_lib.omr_ce_loss(gold_logits, batch["gold_targets"],
                                       cfg.decoder.pad_idx)
 
@@ -248,15 +269,6 @@ def make_grpo_update_step(cfg: ViTOMRConfig, tx, num_groups: int,
         for k in rollout_keys:
             lead = batch[k].shape[0]
             micro[k] = batch[k].reshape((m, lead // m) + batch[k].shape[1:])
-        from ..ops import transformer
-        # one batched projection of the unique memory rows per update step
-        # (each is shared by all G of its rollouts); sliced per chunk
-        mem_kv = transformer.precompute_memory_kv(
-            state.params["decoder"]["blocks"],
-            batch["img_latent"].astype(compute_dtype))  # (L, B, M, 2E)
-        l, _, mlen, k2 = mem_kv.shape
-        micro["mem_kv"] = jnp.moveaxis(
-            mem_kv.reshape(l, m, b_mem // m, mlen, k2), 1, 0)
         rngs = jax.random.split(rng, m)
 
         def body(carry, xs):

@@ -94,6 +94,44 @@ def test_gradient_parity(setup, row_tile):
             rtol=2e-3, err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
+def test_grouped_cross_dispatch_parity(setup):
+    """cross_group>1 (GRPO rollout updates, reference models.py:883-891)
+    dispatches to the fused kernel with per-rollout repeated mem_kv rows;
+    outputs and grads must match the grouped XLA path."""
+    stacked, x, memory, self_valid, mem_valid, _ = setup
+    g = 2
+    mem_u, mv_u = memory[::g], mem_valid[::g]
+    w = jax.random.normal(jax.random.PRNGKey(9), (B, T, E), jnp.float32)
+
+    def run(stacked_, x_):
+        mkv_u = transformer.precompute_memory_kv(stacked_, mem_u)
+        out = transformer.decoder_stack(
+            stacked_, x_, mem_u,
+            nn.MaskSpec(key_valid=self_valid, causal=True),
+            nn.MaskSpec(key_valid=mv_u),
+            H, 0.0, None, True, mem_kv=mkv_u, cross_group=g)
+        return jnp.sum(out * w)
+
+    def run_ref(stacked_, x_):
+        ptl.set_test_mode(force=False, interpret=True)
+        try:
+            return run(stacked_, x_)
+        finally:
+            ptl.set_test_mode(force=True, interpret=True)
+
+    lf, gf = jax.value_and_grad(run, argnums=(0, 1))(stacked, x)
+    lr, gr = jax.value_and_grad(run_ref, argnums=(0, 1))(stacked, x)
+    np.testing.assert_allclose(float(lf), float(lr), rtol=1e-4)
+    flat_ref, _ = jax.tree_util.tree_flatten_with_path(gr)
+    flat_fused = jax.tree_util.tree_leaves(gf)
+    assert len(flat_ref) == len(flat_fused)
+    for (path, a), bb in zip(flat_ref, flat_fused):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(bb), np.asarray(a), atol=3e-4 * max(scale, 1.0),
+            rtol=2e-3, err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
 # ---------------------------------------------------------------------------
 # encoder variant (cross=False)
 # ---------------------------------------------------------------------------

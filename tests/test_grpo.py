@@ -192,6 +192,59 @@ def test_grpo_update_smoke(rng):
                   np.asarray(params["decoder"]["unembed"]["kernel"])).max() > 0
 
 
+def test_grpo_update_trains_cross_kv_weights(rng):
+    """The cross-attention K/V projection weights must receive gradient from
+    the GRPO objective itself, not only from the CE anchor — the per-layer
+    K/V precompute has to sit INSIDE the differentiated chunk loss
+    (regression: a step-level precompute passed the K/V in as data, silently
+    zeroing their GRPO gradient; reference trains them like any decoder
+    weight, models.py:840-1049)."""
+    import optax
+    from acai_omr_tpu.data.tokenizer import LmxTokenizer
+    from acai_omr_tpu.models import vitomr as vitomr_lib
+    from acai_omr_tpu.models.omr_decoder import DecoderConfig
+    from acai_omr_tpu.models.vit_encoder import EncoderConfig
+    from acai_omr_tpu.models.vitomr import ViTOMRConfig
+    from acai_omr_tpu.parallel import trainer
+
+    tok = LmxTokenizer()
+    cfg = ViTOMRConfig(
+        encoder=EncoderConfig(patch_size=16, pe_max_height=6, pe_max_width=8,
+                              num_layers=2, hidden_dim=16, num_heads=2,
+                              mlp_dim=24, dropout=0.0),
+        decoder=DecoderConfig.from_tokenizer(tok, max_lmx_seq_len=64,
+                                             num_layers=2, hidden_dim=16,
+                                             num_heads=2, mlp_dim=24,
+                                             dropout=0.0),
+        transition_head_dim=24, transition_head_dropout=0.0)
+    params = vitomr_lib.init_vitomr_params(jax.random.PRNGKey(0), cfg)
+    tx = optax.adamw(1e-3, weight_decay=0.0)
+    state = trainer.create_train_state(params, tx)
+    step = G.make_grpo_update_step(cfg, tx, num_groups=2, epsilon=0.2,
+                                   compute_dtype=jnp.float32,
+                                   rollout_microbatches=2)
+    r, t, bu, m, e = 4, 8, 2, 4, cfg.decoder.hidden_dim
+    batch = {
+        "rollouts": jnp.asarray(rng.integers(3, 20, (r, t + 1)), jnp.int32),
+        "rollout_inputs": jnp.asarray(rng.integers(3, 20, (r, t)), jnp.int32),
+        "rollout_input_valid": jnp.ones((r, t), bool),
+        "old_log_probs": jnp.asarray(-rng.random((r, t + 1), np.float32)),
+        "advantages": jnp.asarray(rng.standard_normal(r), jnp.float32),
+        "img_latent": jnp.asarray(rng.standard_normal((bu, m, e)), jnp.float32),
+        "latent_valid": jnp.ones((bu, m), bool),
+        "entropy_beta": jnp.float32(0.0),
+        "lambda_ce": jnp.float32(0.0),
+        # NOTE: no gold_* keys -> no CE anchor; any K/V movement must come
+        # from the GRPO objective
+    }
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    old_kv = np.asarray(params["decoder"]["blocks"]["cross_attn"]["in_kernel"])[:, :, e:]
+    new_kv = np.asarray(
+        new_state.params["decoder"]["blocks"]["cross_attn"]["in_kernel"])[:, :, e:]
+    assert np.abs(new_kv - old_kv).max() > 0
+
+
 def test_mini_validate_smoke(rng):
     import copy
     from acai_omr_tpu.data.tokenizer import LmxTokenizer

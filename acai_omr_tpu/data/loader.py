@@ -50,14 +50,20 @@ def pack_mae_batch(examples, enc_cfg: EncoderConfig, bucket_multiple=128,
     pb = vit_encoder.batchify(inputs, enc_cfg, bucket_multiple)
     # target images may differ from inputs but share shapes (reference
     # guarantees equal sizes: datasets.py:34-37); patchify to the same bucket
-    tgt = np.zeros_like(pb.patches)
     from ..ops import patchify as patch_ops
-    for i, t in enumerate(targets):
-        t = np.asarray(t, dtype=np.float32)
-        if t.ndim == 2:
-            t = t[None]
-        tp = patch_ops.patchify(t, enc_cfg.patch_size)
-        tgt[i, :tp.shape[0]] = tp
+    if all(t is i_ for t, i_ in zip(targets, inputs)):
+        # un-augmented wrappers pass the input object straight through —
+        # reuse its patches instead of re-patchifying (ingest is host-CPU
+        # bound at ~200 img/s/core, tools/ingest_bench.py)
+        tgt = pb.patches
+    else:
+        tgt = np.zeros_like(pb.patches)
+        for i, t in enumerate(targets):
+            t = np.asarray(t, dtype=np.float32)
+            if t.ndim == 2:
+                t = t[None]
+            tp = patch_ops.patchify(t, enc_cfg.patch_size)
+            tgt[i, :tp.shape[0]] = tp
     arrays = dict(patches=pb.patches, pe_idx=pb.pe_idx, pe_w=pb.pe_w,
                   valid=pb.valid, lengths=pb.lengths, target_patches=tgt)
     return MaePackedBatch(_pad_batch_dim(arrays, pad_to_batch))

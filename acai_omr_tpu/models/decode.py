@@ -275,15 +275,45 @@ def decode_attention(q: jnp.ndarray, kT: jnp.ndarray, vT: jnp.ndarray,
     return out.astype(compute_dtype)
 
 
+def _grouped_cross_attention(qc: jnp.ndarray, mem: MemoryKV, i: int,
+                             group: int, compute_dtype=jnp.bfloat16):
+    """Cross-attention where G consecutive batch rows share one memory.
+
+    qc: (B, H, Dh) with B = B_unique * group; mem arrays carry only the
+    unique rows (L, B_u, H, Dh, M). Folding the group into the query axis
+    reads each memory once per group instead of once per row (GRPO rollouts
+    replicate each image's latent G times — models.py:883-891).
+    """
+    bu = mem.k.shape[1]
+    h, dh = qc.shape[1], qc.shape[2]
+    q = qc.reshape(bu, group, h, dh)
+    scale = 1.0 / math.sqrt(dh)
+    logits = jnp.einsum("bghd,bhdm->bghm", q.astype(compute_dtype),
+                        mem.k[i].astype(compute_dtype),
+                        preferred_element_type=jnp.float32) * scale
+    if mem.k_scale is not None:
+        logits = logits * mem.k_scale[i][:, None]
+    if mem.bias is not None:
+        logits = logits + mem.bias[:, None, None, :]
+    w = jax.nn.softmax(logits, axis=-1)
+    if mem.v_scale is not None:
+        w = w * mem.v_scale[i][:, None]
+    out = jnp.einsum("bghm,bhdm->bghd", w.astype(compute_dtype),
+                     mem.v[i].astype(compute_dtype),
+                     preferred_element_type=jnp.float32)
+    return out.reshape(bu * group, h, dh).astype(compute_dtype)
+
+
 def _decode_step_logits(params: Params, cfg: DecoderConfig, x: jnp.ndarray,
                         t: jnp.ndarray, caches: dict, mem: MemoryKV,
-                        compute_dtype=jnp.bfloat16):
+                        compute_dtype=jnp.bfloat16, mem_group: int = 1):
     """Advance one token: x (B, E) = embedded token at position t-1.
 
     ``caches``: {"k", "v"[, "ks", "vs"]} pytree of cache arrays (int8 mode
     carries the scale planes). Returns (logits (B, V) fp32, new caches). The
     12-layer loop is unrolled in Python so the cache writes stay simple
-    indexed updates on the loop carry (in-place under XLA).
+    indexed updates on the loop carry (in-place under XLA). ``mem_group=G``:
+    mem holds B/G unique rows shared by G consecutive batch rows each.
     """
     from ..ops import pallas_decode
 
@@ -297,8 +327,9 @@ def _decode_step_logits(params: Params, cfg: DecoderConfig, x: jnp.ndarray,
     # XLA DUS writes and per-layer operand slices cost more than int8 saves)
     fused_int8 = quantized and pallas_decode.use_pallas(
         jnp.zeros((b, h, dh), compute_dtype), caches["k"][0])
-    fused_mem = (mem.k_scale is not None and pallas_decode.use_pallas(
-        jnp.zeros((b, h, dh), compute_dtype), mem.k[0]))
+    fused_mem = (mem_group == 1 and mem.k_scale is not None
+                 and pallas_decode.use_pallas(
+                     jnp.zeros((b, h, dh), compute_dtype), mem.k[0]))
 
     # positions 0..pos are attendable
     pos_idx = jnp.arange(cache_len)
@@ -344,7 +375,10 @@ def _decode_step_logits(params: Params, cfg: DecoderConfig, x: jnp.ndarray,
         ca = lp["cross_attn"]
         qc = jnp.dot(x, ca["in_kernel"][:, :e].astype(compute_dtype)) + ca["in_bias"][:e].astype(compute_dtype)
         qc = qc.reshape(b, h, dh)
-        if fused_mem:
+        if mem_group > 1:
+            cattn = _grouped_cross_attention(qc, mem, i, mem_group,
+                                             compute_dtype)
+        elif fused_mem:
             cattn = pallas_decode.decode_attention_stacked(
                 qc, mem.k, mem.v, i, mem.bias, compute_dtype,
                 mem.k_scale, mem.v_scale)
@@ -381,18 +415,22 @@ def _embed_token(params: Params, tok: jnp.ndarray, pos: jnp.ndarray,
 # compiled decode segment
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("cfg", "num_steps", "sampling", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("cfg", "num_steps", "sampling",
+                                             "compute_dtype", "mem_group"))
 def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
                    mem: MemoryKV, num_steps: int,
                    sampling: SamplingConfig | None = None,
-                   compute_dtype=jnp.bfloat16) -> DecodeState:
+                   compute_dtype=jnp.bfloat16,
+                   mem_group: int = 1) -> DecodeState:
     """Run up to ``num_steps`` decode steps inside one lax.while_loop.
 
     Stops early when all sequences are finished or the segment budget, the
     cache length, or max_len is exhausted. Greedy when ``sampling`` is None,
     else top-k/temperature sampling with per-step PRNG splitting. Time-major
     (4-D) cache states run the monolithic Pallas layer-stack kernel; the
-    5-D layout runs the per-op XLA path.
+    5-D layout runs the per-op XLA path. ``mem_group=G``: mem carries only
+    B/G unique rows, shared by each G consecutive batch rows (grouped
+    rollouts/beams).
     """
     max_len = state.seqs.shape[1]
     cache_len = cache_len_of(state.k_cache)
@@ -431,12 +469,12 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
             else:
                 x_out, caches["k"], caches["v"] = pallas_monolith.decode_layers(
                     mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
-                    bias_col, num_heads=cfg.num_heads)
+                    bias_col, num_heads=cfg.num_heads, mem_group=mem_group)
             x_out = nn.layernorm(params["final_norm"], x_out, eps=1e-6)
             logits = nn.dense(params["unembed"], x_out).astype(jnp.float32)
         else:
             logits, caches = _decode_step_logits(
-                params, cfg, x, s.t, caches, mem, compute_dtype)
+                params, cfg, x, s.t, caches, mem, compute_dtype, mem_group)
 
         rng = s.rng
         if sampling is None:
@@ -493,18 +531,32 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
              *, max_len: int = 1536, sampling: SamplingConfig | None = None,
              rng=None, initial_segment: int = 256, segment_steps: int | None = None,
              compute_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16,
-             compact: bool = True):
+             compact: bool = True, mem_group: int = 1):
     """Batched KV-cached generation (greedy or sampled).
 
     Equivalent of ``ViTOMR.cached_greedy_generate`` /
     ``GRPOViTOMR.cached_forward_rollout_policy`` (models.py:600-615, 988-1049).
     Decodes in geometrically growing cache segments; returns
     (seqs, log_probs, seq_mask) trimmed to the longest live sequence.
+
+    ``mem_group=G > 1``: decode G sequences per row of ``img_latent`` (GRPO
+    rollout groups, models.py:883-891) WITHOUT replicating the memory — the
+    cross K/V are projected and streamed once per unique image; returns
+    G * img_latent.shape[0] rows, ordered group-major (row i*G+g is image i's
+    g-th rollout), identical to decoding a ``jnp.repeat``-expanded latent.
     """
     import numpy as np
     from ..ops import pallas_monolith
 
-    b = img_latent.shape[0]
+    if mem_group > 1 and cache_dtype == jnp.int8:
+        # int8 scale-plane packing is row-tiled; grouped memory is a bf16
+        # feature — fall back to the replicated layout for quantized decode
+        img_latent = jnp.repeat(img_latent, mem_group, axis=0)
+        if latent_valid is not None:
+            latent_valid = jnp.repeat(latent_valid, mem_group, axis=0)
+        mem_group = 1
+    g = mem_group
+    b = img_latent.shape[0] * g
     m_len = img_latent.shape[1]
     e, heads = cfg.hidden_dim, cfg.num_heads
     cache_len = min(initial_segment, max_len)
@@ -546,7 +598,8 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
     steps = segment_steps or max_len
     t_known = 1  # host-side mirror of state.t, refreshed by the status pull
     while True:
-        state = decode_segment(params, cfg, state, mem, steps, sampling, compute_dtype)
+        state = decode_segment(params, cfg, state, mem, steps, sampling,
+                               compute_dtype, mem_group=g)
         master_seqs, master_lps = write_back(master_seqs, master_lps, state, row_map)
         # Every device->host pull is a full round trip (~29 ms through the
         # axon tunnel — tools/sync probe); when this segment's stop bound
@@ -568,19 +621,41 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
             # (batch compaction — finished rows otherwise keep paying full
             # cache bandwidth until everyone is done; real batches complete
             # raggedly, so this is a large win on mixed-length workloads)
-            sel = None
+            sel = None     # row selection into the current state
+            sel_mem = None  # memory-row selection (groups when g > 1)
             if compact:
                 finished = finished_rows[: len(row_map)]
-                unfinished = np.flatnonzero(~finished)
-                target_b = max(1, 1 << (len(unfinished) - 1).bit_length()) \
-                    if len(unfinished) else 1
-                if len(unfinished) and target_b <= len(row_map) // 2:
-                    pad_rows = np.full(target_b - len(unfinished), unfinished[0])
-                    sel = jnp.asarray(np.concatenate([unfinished, pad_rows]))
-                    # duplicate pad rows are marked finished so they can't
-                    # block the all-finished early exit
-                    fin = jnp.zeros((target_b,), bool).at[len(unfinished):].set(True)
-                    row_map = row_map[unfinished]
+                if g == 1:
+                    unfinished = np.flatnonzero(~finished)
+                    target_b = max(1, 1 << (len(unfinished) - 1).bit_length()) \
+                        if len(unfinished) else 1
+                    if len(unfinished) and target_b <= len(row_map) // 2:
+                        pad_rows = np.full(target_b - len(unfinished),
+                                           unfinished[0])
+                        sel = jnp.asarray(np.concatenate([unfinished, pad_rows]))
+                        sel_mem = sel
+                        # duplicate pad rows are marked finished so they can't
+                        # block the all-finished early exit
+                        fin = jnp.zeros((target_b,), bool) \
+                            .at[len(unfinished):].set(True)
+                        row_map = row_map[unfinished]
+                else:
+                    # grouped memory: a group is droppable only once every
+                    # rollout in it finished (its rows share one mem row)
+                    alive_g = np.flatnonzero(~finished.reshape(-1, g).all(axis=1))
+                    n_g = len(alive_g)
+                    target_g = max(1, 1 << (n_g - 1).bit_length()) if n_g else 1
+                    if n_g and target_g <= (len(row_map) // g) // 2:
+                        pad_g = np.full(target_g - n_g, alive_g[0])
+                        sel_groups = np.concatenate([alive_g, pad_g])
+                        rows = (sel_groups[:, None] * g
+                                + np.arange(g)).reshape(-1)
+                        sel = jnp.asarray(rows)
+                        sel_mem = jnp.asarray(sel_groups)
+                        fin_np = finished[rows].copy()
+                        fin_np[n_g * g:] = True  # pad groups can't block exit
+                        fin = jnp.asarray(fin_np)
+                        row_map = row_map[rows[: n_g * g]]
             new_len = _next_segment(cache_len_of(state.k_cache), max_len)
             if monolith:
                 new_len = -(-new_len // tt) * tt
@@ -609,8 +684,8 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
                     state.k_cache[:, sel], state.v_cache[:, sel], state.rng,
                     move_scales(state.k_scale), move_scales(state.v_scale))
                 mem = MemoryKV(
-                    mem.k[:, sel], mem.v[:, sel],
-                    None if mem.bias is None else mem.bias[sel],
+                    mem.k[:, sel_mem], mem.v[:, sel_mem],
+                    None if mem.bias is None else mem.bias[sel_mem],
                     move_scales(mem.k_scale), move_scales(mem.v_scale))
             elif packed and new_group != group:
                 state = state._replace(k_scale=move_scales(state.k_scale),
@@ -661,10 +736,12 @@ def init_beam_state(cfg: DecoderConfig, batch_size: int, beam_size: int,
                      jnp.zeros(shape, cache_dtype), jnp.zeros(shape, cache_dtype))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "num_steps", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("cfg", "num_steps",
+                                             "compute_dtype", "mem_group"))
 def beam_decode_segment(params: Params, cfg: DecoderConfig, state: BeamState,
                         mem: MemoryKV, num_steps: int,
-                        compute_dtype=jnp.bfloat16) -> BeamState:
+                        compute_dtype=jnp.bfloat16,
+                        mem_group: int = 1) -> BeamState:
     """Run up to ``num_steps`` beam-search steps in one lax.while_loop.
 
     Standard batched beam search: each step scores all (K x V) continuations
@@ -682,11 +759,11 @@ def beam_decode_segment(params: Params, cfg: DecoderConfig, state: BeamState,
     if monolith:
         from ..ops import pallas_monolith
         mono = pallas_monolith.prepack(params, cfg, compute_dtype)
-        m_len = mem.k.shape[2]
+        bm, m_len = mem.k.shape[1], mem.k.shape[2]
         if mem.bias is None:
-            bias_col = jnp.zeros((b * k, m_len, 1), jnp.float32)
+            bias_col = jnp.zeros((bm, m_len, 1), jnp.float32)
         else:
-            bias_col = mem.bias.reshape(b * k, m_len, 1).astype(jnp.float32)
+            bias_col = mem.bias.reshape(bm, m_len, 1).astype(jnp.float32)
 
     def cond(s: BeamState):
         return (s.t < stop_t) & ~jnp.all(s.finished)
@@ -699,12 +776,12 @@ def beam_decode_segment(params: Params, cfg: DecoderConfig, state: BeamState,
         if monolith:
             x_out, caches["k"], caches["v"] = pallas_monolith.decode_layers(
                 mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
-                bias_col, num_heads=cfg.num_heads)
+                bias_col, num_heads=cfg.num_heads, mem_group=mem_group)
             x_out = nn.layernorm(params["final_norm"], x_out, eps=1e-6)
             logits = nn.dense(params["unembed"], x_out).astype(jnp.float32)
         else:
             logits, caches = _decode_step_logits(
-                params, cfg, x, s.t, caches, mem, compute_dtype)
+                params, cfg, x, s.t, caches, mem, compute_dtype, mem_group)
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         lp = lp.reshape(b, k, v)
 
@@ -762,26 +839,29 @@ def beam_generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
 
     b = img_latent.shape[0]
     k = beam_size
-    # beams share the image latent: expand rows B -> B*K adjacently
-    mem_lat = jnp.repeat(img_latent, k, axis=0)
-    mem_valid = None if latent_valid is None else jnp.repeat(latent_valid, k, axis=0)
     if cache_dtype == jnp.int8:
         raise NotImplementedError("beam search supports bf16/f32 caches only")
     cache_len = min(initial_segment, max_len)
     monolith = pallas_monolith.use_monolith(
-        cfg, b * k, cache_len, mem_lat.shape[1], compute_dtype, cache_dtype)
+        cfg, b * k, cache_len, img_latent.shape[1], compute_dtype, cache_dtype)
     tt = pallas_monolith.time_tile(cache_dtype)
     if monolith:
         cache_len = -(-cache_len // tt) * tt
-    mem = precompute_memory_kv(params, cfg, mem_lat, mem_valid, compute_dtype,
-                               cache_dtype, layout="te" if monolith else "hd")
+    # beams share the image latent: grouped memory (mem_group=k) projects and
+    # streams each image's cross K/V once per beam group instead of K times.
+    # Beam reordering only permutes WITHIN a row's K beams, so the shared
+    # memory row stays correct across parent gathers.
+    mem = precompute_memory_kv(params, cfg, img_latent, latent_valid,
+                               compute_dtype, cache_dtype,
+                               layout="te" if monolith else "hd")
     state = init_beam_state(cfg, b, k, max_len, cache_len, cache_dtype,
                             monolith=monolith)
 
     steps = segment_steps or max_len
     t_known = 1
     while True:
-        state = beam_decode_segment(params, cfg, state, mem, steps, compute_dtype)
+        state = beam_decode_segment(params, cfg, state, mem, steps,
+                                    compute_dtype, mem_group=k)
         stop_bound = min(t_known + steps, cache_len_of(state.k_cache) + 1,
                          max_len)
         if stop_bound >= max_len:

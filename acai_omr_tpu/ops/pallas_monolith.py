@@ -88,16 +88,27 @@ def _on_tpu() -> bool:
 
 
 def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2,
-                  num_heads: int = 16) -> int:
+                  num_heads: int = 16, mem_group: int = 1) -> int:
     """Rows per grid step: largest power-of-2 divisor of ``b`` such that the
     double-buffered cache/memory tiles plus the layer weights fit VMEM.
 
     Bigger tiles are better: each grid step's compute grows with ``bt`` while
     the next layer's 28 MB weight fetch still only gets a one-step lookahead,
     so fatter steps hide the weight DMA (measured: the per-layer weight-fetch
-    stall is most of the gap to the HBM floor at small bt)."""
+    stall is most of the gap to the HBM floor at small bt).
+
+    With ``mem_group > 1`` (grouped cross-attention: G consecutive rows share
+    one memory) the memory block is one shared (M, E) tile per grid step, so
+    it drops out of the per-row budget; the tile must also stay within one
+    group (``mem_group % bt == 0``)."""
     budget = _VMEM_LIMIT - _WEIGHTS_VMEM - _SLACK_VMEM
     bt = 8
+    if mem_group > 1:
+        budget -= 2 * m * e * itemsize * 2  # shared mem K+V, double-buffered
+        per_bt = 2 * t * e * itemsize * 2   # self K+V only
+        while bt > 1 and (b % bt or mem_group % bt or bt * per_bt > budget):
+            bt //= 2
+        return bt
     # K+V, self+mem, double-buffered; int8 adds bf16 scale planes, lane-packed
     # to bt*H so they stream at full HBM width (tools/narrow_lane_dma_probe.py:
     # 16-lane blocks reach ~22% of peak)
@@ -465,9 +476,38 @@ def _attend_all(q, fresh, k_blk, v_blk, mask_add, pos, t_len, bt, h, e,
                                preferred_element_type=jnp.float32)
 
 
+def _attend_shared(q, k_mem, v_mem, bias_col, e, scale, dtype, consts):
+    """Cross-attention for a batch tile whose rows all share ONE memory
+    (grouped rollouts / beams: G rows per unique image).
+
+    q: (bt, E) compute dtype; k_mem/v_mem: (M, E); bias_col: (M, 1) fp32
+    additive padding bias. Because K/V are shared, the logits dot is a dense
+    (M, E) x (E, nl) MXU matmul — every entry is a real (memory position,
+    row-head) logit, so no block-diagonal mask is needed — and the memory
+    streams once per *tile* instead of once per row (1/G the cross-KV HBM
+    traffic of the replicated layout). Returns (bt, E) fp32.
+    """
+    qd = jax.lax.dot_general(consts["R_dt"], q, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    qd = (qd * consts["sel_rep32"]).astype(dtype)              # (nl, E)
+    big = jax.lax.dot_general(k_mem, qd, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (M, nl)
+    logits = big * scale + bias_col                            # (M, 1) bcast
+    m_ = jnp.max(logits, axis=0, keepdims=True)                # (1, nl)
+    w = jnp.exp(logits - m_)
+    denom = jnp.sum(w, axis=0, keepdims=True)
+    out_big = jax.lax.dot_general(w.astype(dtype), v_mem,
+                                  (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # (nl, E)
+    out_big = out_big / _row_to_col(denom, consts["eye"])
+    return jax.lax.dot_general(consts["S32"], out_big * consts["sel_rep32"],
+                               (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
             nlayers: int, dtype, quantized: bool, tt: int,
-            w8a8: bool = False):
+            w8a8: bool = False, mem_group: int = 1):
     ws_ref = None
     if quantized:
         if w8a8:
@@ -508,12 +548,13 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
         # the NEG_INF magnitude only needs exp() to underflow to 0
         mask_self[...] = jnp.where(valid_s, 0.0, nn.NEG_INF) \
             .astype(jnp.bfloat16)
-        sub_c = jax.lax.broadcasted_iota(jnp.int32, (bt * m_len, nl), 0)
-        lane_c = jax.lax.broadcasted_iota(jnp.int32, (bt * m_len, nl), 1)
-        # bias-free and identical across tiles -> one shared slot (the
-        # per-tile padding bias is added per step; one cheap pass)
-        mask_cross[...] = jnp.where((sub_c // m_len) == (lane_c // h),
-                                    0.0, nn.NEG_INF).astype(jnp.bfloat16)
+        if mem_group == 1:
+            sub_c = jax.lax.broadcasted_iota(jnp.int32, (bt * m_len, nl), 0)
+            lane_c = jax.lax.broadcasted_iota(jnp.int32, (bt * m_len, nl), 1)
+            # bias-free and identical across tiles -> one shared slot (the
+            # per-tile padding bias is added per step; one cheap pass)
+            mask_cross[...] = jnp.where((sub_c // m_len) == (lane_c // h),
+                                        0.0, nn.NEG_INF).astype(jnp.bfloat16)
 
     # per-head column selector: sel_c[h, c] = 1 where c // Dh == h (feeds the
     # per-head max in _quant_rows)
@@ -601,8 +642,13 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
 
     # ---- cross-attention over the precomputed memory K/V ----
     qc = (mat(x, w_cq_ref, 2, e) + b_cq).astype(dtype)
-    bias_flat = mbias_ref[...].reshape(bt * m_len, 1)
-    if quantized:
+    if mem_group > 1:
+        # grouped: every row of this tile shares the tile's single memory
+        cattn32 = _attend_shared(
+            qc, mk_ref[0, 0], mv_ref[0, 0],
+            mbias_ref[...].reshape(m_len, 1), e, scale, dtype, consts)
+    elif quantized:
+        bias_flat = mbias_ref[...].reshape(bt * m_len, 1)
         qcq_all, qcs_e, qcs_h = _quant_rows(qc.astype(jnp.float32), dh,
                                             selnorm)
         cattn32 = _attend_all(
@@ -610,6 +656,7 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
             mask_cross[...], pos, m_len, bt, h, e, scale, dtype, consts,
             k_plane=mks_ref[0, 0], v_plane=mvs_ref[0, 0], bias=bias_flat)
     else:
+        bias_flat = mbias_ref[...].reshape(bt * m_len, 1)
         cattn32 = _attend_all(
             qc, None, mk_ref[0], mv_ref[0], mask_cross[...], pos, m_len,
             bt, h, e, scale, dtype, consts, bias=bias_flat)
@@ -637,7 +684,8 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
 def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
                   mem_k, mem_v, mem_bias_col, *, num_heads: int,
                   k_scale=None, v_scale=None, mem_k_scale=None,
-                  mem_v_scale=None, interpret: bool | None = None):
+                  mem_v_scale=None, mem_group: int = 1,
+                  interpret: bool | None = None):
     """Run the full decoder layer stack for one token.
 
     x: (B, E) compute dtype (embedded token); k_cache/v_cache: (L, B, T, E)
@@ -650,18 +698,29 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     mode (tools/narrow_lane_dma_probe.py). The new token's scales are
     appended in place alongside its K/V. Returns (x_out (B, E), k_cache',
     v_cache'[, k_scale', v_scale']).
+
+    ``mem_group=G > 1`` (GRPO rollouts / beam search): every G consecutive
+    batch rows share one memory — mem_k/mem_v carry only the B/G unique rows
+    and each grid step streams its group's single (M, E) block
+    (:func:`_attend_shared`), 1/G the cross-KV HBM traffic of replicating.
     """
     nlayers, b, t_len, e = k_cache.shape
     m_len = mem_k.shape[2]
     f = mono["w_ff1"].shape[-1]
     h = num_heads
     quantized = k_scale is not None
+    if mem_group > 1:
+        if quantized:
+            raise NotImplementedError("grouped memory needs bf16/f32 caches")
+        if mem_k.shape[1] * mem_group != b:
+            raise ValueError(
+                f"mem rows {mem_k.shape[1]} x group {mem_group} != batch {b}")
     if interpret is None:
         interpret = _INTERPRET
     dtype = x.dtype
     tt = time_tile(k_cache.dtype)
     bt = pick_row_tile(b, t_len, m_len, e, jnp.dtype(k_cache.dtype).itemsize,
-                       num_heads)
+                       num_heads, mem_group)
     grid = (nlayers, b // bt)
     scalars = jnp.asarray([pos], jnp.int32)
 
@@ -735,11 +794,24 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
         out_specs += [scale_tile, scale_tile]
         aliases[11] = 3
         aliases[12] = 4
+    elif mem_group > 1:
+        # one shared (M, E) memory block per tile: block index = the tile's
+        # group (bt | mem_group, so a tile never straddles groups)
+        mem_spec = pl.BlockSpec((1, 1, m_len, e),
+                                lambda i, j, s: (i, (j * bt) // mem_group, 0, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs += [mem_spec, mem_spec]
+        inputs += [mem_k, mem_v]
     else:
         in_specs += [cache_spec(m_len, e), cache_spec(m_len, e)]
         inputs += [mem_k, mem_v]
-    in_specs.append(pl.BlockSpec((bt, m_len, 1), lambda i, j, s: (j, 0, 0),
-                                 memory_space=pltpu.VMEM))
+    if mem_group > 1:
+        in_specs.append(pl.BlockSpec(
+            (1, m_len, 1), lambda i, j, s: ((j * bt) // mem_group, 0, 0),
+            memory_space=pltpu.VMEM))
+    else:
+        in_specs.append(pl.BlockSpec((bt, m_len, 1), lambda i, j, s: (j, 0, 0),
+                                     memory_space=pltpu.VMEM))
     inputs.append(mem_bias_col)
     w8a8 = "wscale" in mono
     if w8a8 and not quantized:
@@ -757,12 +829,15 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
         scratch_shapes=[
             pltpu.VMEM((b // bt, max(bt, 16), e), dtype),
             pltpu.VMEM((bt * t_len, bt * h), jnp.bfloat16),  # self mask_add
-            pltpu.VMEM((bt * m_len, bt * h), jnp.bfloat16),  # cross mask_add
+            # cross mask_add — unused in grouped mode (dense logits)
+            pltpu.VMEM((8, 128) if mem_group > 1 else (bt * m_len, bt * h),
+                       jnp.bfloat16),
         ],
     )
     kernel = functools.partial(
         _kernel, bt=bt, t_len=t_len, m_len=m_len, e=e, h=h,
-        nlayers=nlayers, dtype=dtype, quantized=quantized, tt=tt, w8a8=w8a8)
+        nlayers=nlayers, dtype=dtype, quantized=quantized, tt=tt, w8a8=w8a8,
+        mem_group=mem_group)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

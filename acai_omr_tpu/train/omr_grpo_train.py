@@ -326,13 +326,13 @@ def grpo_update(old_params, state, update_step, cfg: ViTOMRConfig,
     unexp_latent, unexp_valid = vitomr_lib.encode_image(
         old_params, cfg, jnp.asarray(pb.patches), jnp.asarray(pb.pe_idx),
         jnp.asarray(pb.pe_w), jnp.asarray(pb.valid), compute_dtype=compute_dtype)
-    latent, latent_valid = vitomr_lib.expand_img_latent_for_rollout(
-        unexp_latent, unexp_valid, g)
+    # grouped rollout decode: cross K/V projected/streamed once per unique
+    # image (decode mem_group) instead of per rollout — no latent expansion
     rng, roll_rng = jax.random.split(rng)
     rollouts, old_lp, rollout_mask = vitomr_lib.forward_rollout_policy(
-        old_params, cfg, latent, latent_valid, roll_rng,
+        old_params, cfg, unexp_latent, unexp_valid, roll_rng,
         max_actions=rc.max_actions, top_k=rc.top_k, temperature=rc.temperature,
-        compute_dtype=compute_dtype)
+        group_size=g, compute_dtype=compute_dtype)
     rollouts = np.asarray(rollouts)
     old_lp = np.asarray(old_lp)
     rollout_mask = np.asarray(rollout_mask)

@@ -170,6 +170,63 @@ def test_batch_compaction_matches_uncompacted(setup):
 
 
 # ---------------------------------------------------------------------------
+# grouped memory (GRPO rollout groups share each image's cross K/V,
+# reference expands the latent instead: models.py:883-891)
+# ---------------------------------------------------------------------------
+
+def test_grouped_mem_rollouts_match_expanded(setup):
+    """mem_group=G sampled rollouts == decoding a jnp.repeat-expanded latent
+    with replicated memory (same rng -> identical tokens)."""
+    params, mem, mem_valid = setup
+    g = 4
+    kwargs = dict(max_len=24, initial_segment=8, compute_dtype=jnp.float32,
+                  cache_dtype=jnp.float32, compact=False,
+                  sampling=decode_lib.SamplingConfig(top_k=5, temperature=1.2),
+                  rng=jax.random.PRNGKey(11))
+    ref = decode_lib.generate(params, CFG, jnp.repeat(mem, g, axis=0),
+                              jnp.repeat(mem_valid, g, axis=0), **kwargs)
+    out = decode_lib.generate(params, CFG, mem, mem_valid, mem_group=g,
+                              **kwargs)
+    assert out[0].shape[0] == mem.shape[0] * g
+    n = min(ref[0].shape[1], out[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])
+    np.testing.assert_allclose(np.asarray(out[1])[:, :n],
+                               np.asarray(ref[1])[:, :n], atol=1e-5, rtol=1e-5)
+
+
+def test_grouped_mem_greedy_with_compaction(setup):
+    """Greedy grouped decode with group-granular batch compaction matches the
+    expanded replicated-memory decode row for row."""
+    params, mem, mem_valid = setup
+    g = 4
+    kwargs = dict(max_len=40, initial_segment=8, compute_dtype=jnp.float32,
+                  cache_dtype=jnp.float32)
+    ref = decode_lib.generate(params, CFG, jnp.repeat(mem, g, axis=0),
+                              jnp.repeat(mem_valid, g, axis=0),
+                              compact=False, **kwargs)
+    out = decode_lib.generate(params, CFG, mem, mem_valid, mem_group=g,
+                              compact=True, **kwargs)
+    n = min(ref[0].shape[1], out[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])
+    np.testing.assert_allclose(np.asarray(out[1])[:, :n],
+                               np.asarray(ref[1])[:, :n], atol=1e-5)
+
+
+def test_grouped_mem_int8_falls_back(setup):
+    """int8 caches don't support grouped memory; generate must transparently
+    expand and still return B*G valid rows."""
+    params, mem, mem_valid = setup
+    g = 2
+    seqs, lps, mask = decode_lib.generate(
+        params, CFG, mem, mem_valid, mem_group=g, max_len=16,
+        compute_dtype=jnp.float32, cache_dtype=jnp.int8, initial_segment=8)
+    assert seqs.shape[0] == mem.shape[0] * g
+    assert bool(mask[:, 0].all())
+
+
+# ---------------------------------------------------------------------------
 # beam search (capability extension; reference is greedy-only, models.py:600)
 # ---------------------------------------------------------------------------
 

@@ -151,6 +151,47 @@ def test_beam_generate_parity(setup):
                                atol=2e-4, rtol=1e-4)
 
 
+def test_grouped_mem_generate_parity(setup):
+    """Grouped memory (GRPO rollouts / beams): the monolith kernel's shared
+    single-memory cross attention == the per-op grouped einsum path."""
+    params, latent, valid = setup
+    lat, val = latent[:2], valid[:2]
+    g = 4
+    kwargs = dict(mem_group=g, max_len=32, initial_segment=16, compact=False,
+                  compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+                  sampling=decode.SamplingConfig(top_k=5, temperature=1.3),
+                  rng=jax.random.PRNGKey(5))
+
+    pallas_monolith.set_test_mode(force=False, interpret=True)
+    seqs_ref, lps_ref, _ = decode.generate(params, CFG, lat, val, **kwargs)
+    pallas_monolith.set_test_mode(force=True, interpret=True)
+    seqs, lps, _ = decode.generate(params, CFG, lat, val, **kwargs)
+
+    assert seqs.shape[0] == 2 * g
+    np.testing.assert_array_equal(np.asarray(seqs), np.asarray(seqs_ref))
+    np.testing.assert_allclose(np.asarray(lps), np.asarray(lps_ref),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_grouped_mem_matches_replicated_monolith(setup):
+    """On the monolith kernel itself: grouped shared-memory decode ==
+    replicated-memory decode of the expanded latent (greedy)."""
+    params, latent, valid = setup
+    lat, val = latent[:2], valid[:2]
+    g = 4
+    kwargs = dict(max_len=32, initial_segment=16, compact=False,
+                  compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+    pallas_monolith.set_test_mode(force=True, interpret=True)
+    ref = decode.generate(params, CFG, jnp.repeat(lat, g, axis=0),
+                          jnp.repeat(val, g, axis=0), **kwargs)
+    out = decode.generate(params, CFG, lat, val, mem_group=g, **kwargs)
+    n = min(ref[0].shape[1], out[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])
+    np.testing.assert_allclose(np.asarray(out[1])[:, :n],
+                               np.asarray(ref[1])[:, :n], atol=2e-4, rtol=1e-4)
+
+
 def test_int8_step_quantized_append_and_logits(setup):
     """int8 monolith step: appended K/V dequantize to the fp32 projections
     within half a quantization step, and logits track the fp32 path."""

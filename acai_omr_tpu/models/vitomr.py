@@ -248,16 +248,23 @@ def expand_img_latent_for_rollout(img_latent, latent_valid, group_size: int):
 def forward_rollout_policy(params: Params, cfg: ViTOMRConfig, img_latent,
                            latent_valid, rng, max_actions: int = 768,
                            top_k: int = 50, temperature: float = 1.1,
-                           group_size: int = 1, **kwargs):
+                           group_size: int = 1, mesh=None, **kwargs):
     """Sampled rollouts with KV caching (models.py:988-1049).
 
     ``group_size=G > 1`` decodes G rollouts per image from the UNEXPANDED
     latent via grouped cross-attention (decode ``mem_group``): identical
     output order to ``expand_img_latent_for_rollout`` + G-times-replicated
     decode, but the cross K/V are projected and streamed once per unique
-    image instead of once per rollout.
+    image instead of once per rollout. ``mesh``: shard the images over the
+    mesh's data axis and run per-device decode loops
+    (:func:`decode.sharded_generate` — keeps the monolith kernel per chip).
     """
     sampling = decode_lib.SamplingConfig(top_k=top_k, temperature=temperature)
+    if mesh is not None:
+        return decode_lib.sharded_generate(
+            params["decoder"], cfg.decoder, img_latent, latent_valid, mesh,
+            max_len=max_actions, sampling=sampling, rng=rng,
+            mem_group=group_size, **kwargs)
     return decode_lib.generate(params["decoder"], cfg.decoder, img_latent,
                                latent_valid, max_len=max_actions,
                                sampling=sampling, rng=rng,

@@ -307,10 +307,13 @@ def make_grpo_update_step(cfg: ViTOMRConfig, tx, num_groups: int,
 def grpo_update(old_params, state, update_step, cfg: ViTOMRConfig,
                 grpo_config: GRPOConfig, batch_examples, tokenizer,
                 rng, writer: MetricsWriter | None = None, step_idx: int = 0,
-                compute_dtype=jnp.bfloat16, reward_workers: int = 16):
+                compute_dtype=jnp.bfloat16, reward_workers: int = 16,
+                mesh=None):
     """One outer GRPO step on a minibatch of (img, lmx_ids, musicxml) examples
     (reference: grpo_update, omr_grpo_train.py:308-376). Returns (state,
-    metrics dict)."""
+    metrics dict). ``mesh``: shard the rollout decode across the mesh's data
+    axis (one image group per device slot; len(batch_examples) must divide
+    evenly)."""
     from ..models import vit_encoder
 
     rc, rwc, lc, uc = grpo_config.get_configs()
@@ -332,7 +335,7 @@ def grpo_update(old_params, state, update_step, cfg: ViTOMRConfig,
     rollouts, old_lp, rollout_mask = vitomr_lib.forward_rollout_policy(
         old_params, cfg, unexp_latent, unexp_valid, roll_rng,
         max_actions=rc.max_actions, top_k=rc.top_k, temperature=rc.temperature,
-        group_size=g, compute_dtype=compute_dtype)
+        group_size=g, mesh=mesh, compute_dtype=compute_dtype)
     rollouts = np.asarray(rollouts)
     old_lp = np.asarray(old_lp)
     rollout_mask = np.asarray(rollout_mask)

@@ -33,6 +33,7 @@ from ..models import vitomr as vitomr_lib
 from ..models.omr_decoder import DecoderConfig
 from ..models.vit_encoder import EncoderConfig
 from ..models.vitomr import ViTOMRConfig
+from ..parallel import mesh as mesh_lib
 from ..parallel import trainer
 from ..utils import checkpoint as ckpt_lib
 from ..utils.metrics import MetricsWriter
@@ -118,10 +119,12 @@ def make_eval_fn(cfg: ViTOMRConfig, compute_dtype=jnp.bfloat16,
     return eval_fn
 
 
-def _device_batch(batch, extra=None):
+def _device_batch(batch, extra=None, sharding=None):
     arrays = {k: jnp.asarray(v) for k, v in batch.items()
               if isinstance(v, np.ndarray)}
-    if extra:
+    if sharding is not None:
+        arrays = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
+    if extra:  # scalar hyperparams stay replicated
         arrays.update(extra)
     return arrays
 
@@ -143,21 +146,38 @@ def omr_teacher_force_train(cfg: ViTOMRConfig, params, train_dataset,
                             bucket_boundaries=None, seed: int = 0,
                             compute_dtype=jnp.bfloat16):
     """Full stage-2 loop; returns (params, stats)."""
+    # data-parallel over all attached devices when the batch shards evenly
+    # (SURVEY §2.5(a): batch-sharded TF step; grad all-reduce via GSPMD)
+    n_dev = len(jax.devices())
+    use_dp = n_dev > 1 and batch_size % n_dev == 0
     # Pallas flash attention is a measured +3.5% on THIS step's shapes
     # (tools/flash_ab.py ss: 31.1 -> 32.2 img/s on v5e) but a -5% regression
     # on MAE pretrain shapes — default it on for this stage only; explicit
-    # ACAI_FLASH_ATTENTION=0/1 still wins
-    os.environ.setdefault("ACAI_FLASH_ATTENTION", "1")
+    # ACAI_FLASH_ATTENTION=0/1 still wins. Under DP, Pallas custom calls
+    # (flash attention, the fused training-layer kernels) are not
+    # GSPMD-partitionable — the plain-XLA step shards cleanly, so they
+    # default off (shard_map-wrapped fused DP steps are future work).
+    os.environ.setdefault("ACAI_FLASH_ATTENTION", "0" if use_dp else "1")
     model_dir = Path(model_dir)
     model_dir.mkdir(parents=True, exist_ok=False)
     (model_dir / "checkpoints").mkdir()
+
+    data_sh = None
+    if use_dp:
+        mesh = mesh_lib.make_mesh()
+        data_sh = mesh_lib.data_sharding(mesh)
+        params = jax.tree.map(
+            lambda x: jax.device_put(x, mesh_lib.replicated(mesh)), params)
+        from ..ops import pallas_train_layer as ptl
+        ptl.set_enabled(False)
 
     boundaries = bucket_boundaries or default_bucket_boundaries(cfg.encoder.patch_size)
     sampler = BucketBatchSampler(train_dataset, list(boundaries), batch_size, seed=seed)
     val_sampler = BucketBatchSampler(validation_dataset, list(boundaries),
                                      batch_size, shuffle=False, seed=seed)
     pack = lambda ex: pack_omr_batch(ex, cfg.encoder, tokenizer,
-                                     max_lmx_seq_len=cfg.decoder.max_lmx_seq_len)
+                                     max_lmx_seq_len=cfg.decoder.max_lmx_seq_len,
+                                     pad_to_batch=batch_size if use_dp else None)
     train_loader = PrefetchLoader(train_dataset, sampler, pack, num_workers)
     val_loader = PrefetchLoader(validation_dataset, val_sampler, pack, num_workers)
 
@@ -214,7 +234,7 @@ def omr_teacher_force_train(cfg: ViTOMRConfig, params, train_dataset,
                 tf_prob, tau, use_hard = tf_schedule.at(opt_step)
                 rng, step_rng = jax.random.split(rng)
                 db = _device_batch(batch, {"tf_prob": jnp.float32(tf_prob),
-                                           "tau": jnp.float32(tau)})
+                                           "tau": jnp.float32(tau)}, data_sh)
                 loss_dev, grads = grad_fns[use_hard](state.params, db, step_rng)
                 grads_acc = trainer.accumulate_grads(grads_acc, grads)
                 # keep the loss on device: a host pull per micro-step blocks
@@ -245,7 +265,8 @@ def omr_teacher_force_train(cfg: ViTOMRConfig, params, train_dataset,
         train_loss = epoch_loss / max(n_micro, 1)
         val_losses, n_val = [], 0
         for batch in val_loader:
-            val_losses.append(eval_fn(state.params, _device_batch(batch)))
+            val_losses.append(eval_fn(state.params,
+                                      _device_batch(batch, sharding=data_sh)))
             n_val += 1
         val_loss = float(sum(val_losses)) / max(n_val, 1)  # one pull
 

@@ -117,6 +117,10 @@ def pre_train(mae_cfg: MaeConfig, train_dataset, validation_dataset, *,
         data_sh = mesh_lib.data_sharding(mesh)
         params = jax.tree.map(
             lambda x: jax.device_put(x, mesh_lib.replicated(mesh)), params)
+        # Pallas custom calls (fused training-layer kernels) are not
+        # GSPMD-partitionable; the plain-XLA step shards cleanly
+        from ..ops import pallas_train_layer as ptl
+        ptl.set_enabled(False)
 
     boundaries = bucket_boundaries or default_bucket_boundaries(mae_cfg.patch_size)
     train_sampler = BucketBatchSampler(train_dataset, list(boundaries), batch_size, seed=seed)

@@ -77,11 +77,13 @@ def measure_p50_latency(cfg, params, mem, mem_valid, tokens: int = 256,
 def measure_dp_throughput(cfg, params):
     """Multi-chip: batch-sharded decode over all devices (systems/sec total).
 
-    No cross-chip traffic in the decode loop — scaling is linear; reported
-    only when more than one device is attached (e.g. a v5e-8 slice).
+    ``decode.sharded_generate`` runs each device's full decode loop —
+    including the monolithic Pallas kernel, which GSPMD auto-partitioning
+    cannot split — under shard_map. No cross-chip traffic in the decode
+    loop, so scaling is linear; reported only when more than one device is
+    attached (e.g. a v5e-8 slice).
     """
     import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
     from acai_omr_tpu.models import decode as decode_lib
     from acai_omr_tpu.parallel import mesh as mesh_lib
 
@@ -89,33 +91,21 @@ def measure_dp_throughput(cfg, params):
     mesh = mesh_lib.make_mesh(n_dev, 1)
     b = BATCH * n_dev
     rng = np.random.default_rng(1)
-    mem = jax.device_put(
-        jnp.asarray(rng.standard_normal((b, MEM_LEN, cfg.hidden_dim)),
-                    dtype=jnp.bfloat16),
-        NamedSharding(mesh, P(mesh_lib.DATA_AXIS, None, None)))
-    mem_valid = jax.device_put(jnp.ones((b, MEM_LEN), dtype=bool),
-                               NamedSharding(mesh, P(mesh_lib.DATA_AXIS)))
-    params_r = jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P())), params)
+    mem = jnp.asarray(rng.standard_normal((b, MEM_LEN, cfg.hidden_dim)),
+                      dtype=jnp.bfloat16)
+    mem_valid = jnp.ones((b, MEM_LEN), dtype=bool)
 
     def run():
-        s = decode_lib.generate(params_r, cfg, mem, mem_valid, max_len=DECODE_LEN,
-                                compute_dtype=jnp.bfloat16,
-                                cache_dtype=jnp.bfloat16, compact=False)
+        s = decode_lib.sharded_generate(
+            params, cfg, mem, mem_valid, mesh, axis=mesh_lib.DATA_AXIS,
+            max_len=DECODE_LEN, compute_dtype=jnp.bfloat16,
+            cache_dtype=jnp.bfloat16)
         jax.block_until_ready(s[0])
 
-    # GSPMD partitions plain XLA ops across the mesh but not a Pallas custom
-    # call — run the sharded measurement on the per-op path (it is the one
-    # that scales across chips; per-chip deployments keep the monolith)
-    from acai_omr_tpu.ops import pallas_monolith
-    pallas_monolith.set_enabled(False)
-    try:
-        run()
-        t0 = time.perf_counter()
-        run()
-        return b / (time.perf_counter() - t0)
-    finally:
-        pallas_monolith.set_enabled(True)
+    run()
+    t0 = time.perf_counter()
+    run()
+    return b / (time.perf_counter() - t0)
 
 
 def main():

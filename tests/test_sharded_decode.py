@@ -45,3 +45,73 @@ def test_data_sharded_decode_matches_single_device():
     np.testing.assert_array_equal(np.asarray(seqs)[:, :n], np.asarray(ref_seqs)[:, :n])
     np.testing.assert_allclose(np.asarray(lps)[:, :n], np.asarray(ref_lps)[:, :n],
                                atol=1e-5)
+
+
+def test_shard_map_decode_matches_single_device():
+    """sharded_generate (per-device decode loops under shard_map — the path
+    that keeps the Pallas monolith per chip) must be token-identical to the
+    single-device generate, including cache-segment growth."""
+    mesh = mesh_lib.make_mesh(8, 1)
+    params = omr_decoder.init_decoder_params(jax.random.PRNGKey(0), CFG)
+    b, m = 16, 12
+    mem = jax.random.normal(jax.random.PRNGKey(1), (b, m, CFG.hidden_dim))
+    mem_valid = jnp.asarray(
+        np.arange(m)[None, :] < (np.arange(b) % 4 * 2 + 5)[:, None])
+
+    ref = decode_lib.generate(params, CFG, mem, mem_valid, max_len=24,
+                              initial_segment=8, compute_dtype=jnp.float32,
+                              cache_dtype=jnp.float32, compact=False)
+    out = decode_lib.sharded_generate(params, CFG, mem, mem_valid, mesh,
+                                      max_len=24, initial_segment=8,
+                                      compute_dtype=jnp.float32,
+                                      cache_dtype=jnp.float32)
+    n = min(ref[0].shape[1], out[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])
+    np.testing.assert_allclose(np.asarray(out[1])[:, :n],
+                               np.asarray(ref[1])[:, :n], atol=1e-5)
+
+
+def test_shard_map_decode_grouped_mem():
+    """sharded_generate composes with grouped memory (mem_group=G): greedy
+    grouped sharded decode == single-device grouped decode."""
+    mesh = mesh_lib.make_mesh(8, 1)
+    params = omr_decoder.init_decoder_params(jax.random.PRNGKey(0), CFG)
+    bu, g, m = 8, 4, 12
+    mem = jax.random.normal(jax.random.PRNGKey(2), (bu, m, CFG.hidden_dim))
+    mem_valid = jnp.ones((bu, m), dtype=bool)
+
+    ref = decode_lib.generate(params, CFG, mem, mem_valid, mem_group=g,
+                              max_len=20, initial_segment=8,
+                              compute_dtype=jnp.float32,
+                              cache_dtype=jnp.float32, compact=False)
+    out = decode_lib.sharded_generate(params, CFG, mem, mem_valid, mesh,
+                                      mem_group=g, max_len=20,
+                                      initial_segment=8,
+                                      compute_dtype=jnp.float32,
+                                      cache_dtype=jnp.float32)
+    assert out[0].shape[0] == bu * g
+    n = min(ref[0].shape[1], out[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])
+
+
+def test_shard_map_decode_sampled_runs():
+    """Sampled sharded decode: valid sequences, independent per-shard rows."""
+    mesh = mesh_lib.make_mesh(8, 1)
+    params = omr_decoder.init_decoder_params(jax.random.PRNGKey(0), CFG)
+    b, m = 8, 12
+    mem = jnp.broadcast_to(
+        jax.random.normal(jax.random.PRNGKey(3), (1, m, CFG.hidden_dim)),
+        (b, m, CFG.hidden_dim))
+    mem_valid = jnp.ones((b, m), dtype=bool)
+    seqs, lps, mask = decode_lib.sharded_generate(
+        params, CFG, mem, mem_valid, mesh, max_len=16, initial_segment=8,
+        compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+        sampling=decode_lib.SamplingConfig(top_k=5, temperature=1.5),
+        rng=jax.random.PRNGKey(9))
+    assert seqs.shape[0] == b and bool(mask[:, 0].all())
+    assert float(jnp.max(jnp.where(mask, lps, -1.0))) <= 1e-6
+    # identical memories but per-shard PRNG streams: rows must not all match
+    rows = np.asarray(seqs)
+    assert not all((rows[i] == rows[0]).all() for i in range(1, b))

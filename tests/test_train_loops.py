@@ -90,6 +90,31 @@ def test_pre_train_data_parallel_8dev(tmp_path):
     assert np.isfinite(stats["train_losses"][0])
 
 
+def test_teacher_force_data_parallel_8dev(tmp_path):
+    """batch_size divisible by the 8 virtual devices -> the TF/SS loop's DP
+    path engages (replicated params, batch-sharded packed batches, padded
+    remainder batches; fused Pallas kernels gated off under GSPMD)."""
+    tokenizer = LmxTokenizer()
+    cfg = ViTOMRConfig(
+        encoder=TINY_ENC,
+        decoder=DecoderConfig.from_tokenizer(tokenizer, max_lmx_seq_len=64,
+                                             num_layers=2, hidden_dim=16,
+                                             num_heads=2, mlp_dim=24,
+                                             dropout=0.0),
+        transition_head_dim=24, transition_head_dropout=0.0)
+    params = vitomr_lib.init_vitomr_params(jax.random.PRNGKey(0), cfg)
+    train_ds = DebugDataset(n=11, sizes=((64, 96),), seq_len=10,
+                            vocab=tokenizer.vocab_size, kind="omr")
+    val_ds = DebugDataset(n=2, sizes=((64, 96),), seq_len=10,
+                          vocab=tokenizer.vocab_size, kind="omr", seed=1)
+    new_params, stats = tf_train.omr_teacher_force_train(
+        cfg, params, train_ds, val_ds, tokenizer, epochs=1, batch_size=8,
+        warmup_epochs=1, checkpoint_freq=2, model_dir=tmp_path / "tf_dp",
+        num_workers=2, tf_anneal_epochs=1, soft_epochs=1,
+        bucket_boundaries=[(64, 96)], compute_dtype=jnp.float32)
+    assert np.isfinite(stats["train_losses"][0])
+
+
 def test_pre_train_resume(tmp_path):
     """Crash/interrupt resume: continue from a train-state checkpoint
     (capability absent upstream)."""

@@ -123,10 +123,13 @@ def forward(params: Params, cfg: MaeConfig, rng, patches, pe_idx, pe_w, valid,
 
 
 def mae_loss(pred: jnp.ndarray, loss_mask: jnp.ndarray,
-             target: jnp.ndarray) -> jnp.ndarray:
+             target: jnp.ndarray, reduction: str = "mean"):
     """Per-patch-normalized masked pixel MSE, exact reference formula
     including the ``var + 1e-6`` (not std) normalizer and unbiased variance
     (reference: models.py:271-288 — kept bit-for-bit for loss parity, 0.159).
+
+    ``reduction="sum"`` returns ``(loss_sum, patch_count)`` for exact
+    data-parallel reduction (psum both across shards, then divide).
     """
     target = target.astype(jnp.float32)
     mean = jnp.mean(target, axis=-1, keepdims=True)
@@ -136,4 +139,6 @@ def mae_loss(pred: jnp.ndarray, loss_mask: jnp.ndarray,
 
     loss = jnp.mean(jnp.square(pred - target), axis=-1)  # (B, L)
     loss_mask = loss_mask.astype(jnp.float32)
+    if reduction == "sum":
+        return jnp.sum(loss * loss_mask), jnp.sum(loss_mask)
     return jnp.sum(loss * loss_mask) / jnp.sum(loss_mask)

@@ -189,8 +189,14 @@ def forward_scheduled_sampling(params: Params, cfg: ViTOMRConfig, patches,
 
 
 def omr_ce_loss(logits: jnp.ndarray, target_seqs: jnp.ndarray, pad_idx: int,
-                label_smoothing: float = 0.0) -> jnp.ndarray:
-    """Cross entropy with ignore_index=pad (reference: models.py:784-796)."""
+                label_smoothing: float = 0.0, reduction: str = "mean"):
+    """Cross entropy with ignore_index=pad (reference: models.py:784-796).
+
+    ``reduction="sum"`` returns ``(nll_sum, token_count)`` — the building
+    block for exact data-parallel loss: shards psum both and divide, which
+    equals the single-device masked mean regardless of per-shard token
+    counts (per-shard means averaged would not).
+    """
     v = logits.shape[-1]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, target_seqs[..., None], axis=-1)[..., 0]
@@ -198,6 +204,8 @@ def omr_ce_loss(logits: jnp.ndarray, target_seqs: jnp.ndarray, pad_idx: int,
         smooth = -jnp.mean(logp, axis=-1)
         nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
     mask = (target_seqs != pad_idx).astype(jnp.float32)
+    if reduction == "sum":
+        return jnp.sum(nll * mask), jnp.sum(mask)
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 

@@ -198,6 +198,116 @@ def accumulate_grads(acc, grads):
     return jax.tree.map(jnp.add, acc, grads)
 
 
+# ---------------------------------------------------------------------------
+# shard_map data parallelism (keeps Pallas kernels per shard)
+# ---------------------------------------------------------------------------
+#
+# GSPMD auto-partitioning cannot split a Pallas custom call, so sharding a
+# batch through a plain jitted step silently de-optimizes (or rejects) the
+# fused training-layer / flash-attention kernels. These builders run the
+# per-shard computation under shard_map — each device executes the full
+# single-chip step, kernels included, on its local rows — and reduce with an
+# EXACT global masked mean: the loss fns return (sum, weight); psum of both
+# then one divide equals the single-device masked mean regardless of how
+# valid tokens distribute across shards.
+
+def _batch_specs(batch, axis):
+    from jax.sharding import PartitionSpec as P
+    return {k: (P() if jnp.ndim(v) == 0 else P(axis))
+            for k, v in batch.items()}
+
+
+def _sharded_loss_and_grads(sum_loss_fn: Callable, axis: str):
+    """Per-shard (loss, grads) body: value_and_grad of the local SUM, psum'd
+    sums/weights/grads, one divide — exact global masked mean. The PRNG is
+    folded by shard index so dropout/sampling draws are independent across
+    devices."""
+
+    def local(params, batch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+        def s_fn(p):
+            s, n = sum_loss_fn(p, batch, rng)
+            return s, n
+
+        (s, n), grads = jax.value_and_grad(s_fn, has_aux=True)(params)
+        s = jax.lax.psum(s, axis)
+        n = jax.lax.psum(n, axis)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, axis) / n, grads)
+        return s / jnp.maximum(n, 1.0), grads
+
+    return local
+
+
+def make_sharded_grad_fn(sum_loss_fn: Callable, mesh, axis: str = "data"):
+    """DP analogue of :func:`make_grad_fn`.
+
+    ``sum_loss_fn(params, batch, rng) -> (loss_sum, weight)``. Returns
+    ``grad_fn(params, batch, rng) -> (global mean loss, grads of it)`` —
+    drop-in for the host-accumulation loop.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    local = _sharded_loss_and_grads(sum_loss_fn, axis)
+
+    @jax.jit
+    def grad_fn(params, batch, rng):
+        f = shard_map(local, mesh=mesh,
+                      in_specs=(P(), _batch_specs(batch, axis), P()),
+                      out_specs=(P(), P()), check_vma=False)
+        return f(params, batch, rng)
+
+    return grad_fn
+
+
+def make_sharded_train_step(sum_loss_fn: Callable,
+                            tx: optax.GradientTransformation, mesh,
+                            axis: str = "data", donate: bool = True):
+    """DP analogue of :func:`make_train_step`: shard_map'd grads (Pallas
+    kernels run per shard), replicated optimizer apply."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    local = _sharded_loss_and_grads(sum_loss_fn, axis)
+
+    def step(state: TrainState, batch, rng):
+        f = shard_map(local, mesh=mesh,
+                      in_specs=(P(), _batch_specs(batch, axis), P()),
+                      out_specs=(P(), P()), check_vma=False)
+        loss, grads = f(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return TrainState(state.step + 1, params, opt_state), metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_eval_fn(sum_eval_fn: Callable, mesh, axis: str = "data"):
+    """DP eval: ``sum_eval_fn(params, batch[, rng]) -> (sum, weight)`` →
+    global mean per batch (one scalar, replicated)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(params, batch, rng):
+        if rng is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        s, n = sum_eval_fn(params, batch, rng)
+        s = jax.lax.psum(s, axis)
+        n = jax.lax.psum(n, axis)
+        return s / jnp.maximum(n, 1.0)
+
+    @jax.jit
+    def eval_fn(params, batch, rng=None):
+        f = shard_map(local, mesh=mesh,
+                      in_specs=(P(), _batch_specs(batch, axis), P()),
+                      out_specs=P(), check_vma=False)
+        return f(params, batch, rng)
+
+    return eval_fn
+
+
 def make_accum_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
                           num_microbatches: int, donate: bool = True):
     """Gradient-accumulation variant: ``batch`` leaves carry a leading

@@ -186,7 +186,8 @@ def calc_entropy_sum(theta_logits, input_valid):
 
 def make_grpo_update_step(cfg: ViTOMRConfig, tx, num_groups: int,
                           epsilon: float, compute_dtype=jnp.bfloat16,
-                          rollout_microbatches: int = 16):
+                          rollout_microbatches: int = 16, mesh=None,
+                          axis: str = "data"):
     """One jitted GRPO inner update.
 
     The teacher-forced pass over all B*G rollouts with long cross-attention
@@ -241,7 +242,7 @@ def make_grpo_update_step(cfg: ViTOMRConfig, tx, num_groups: int,
         ent_bonus = ent_sum / total_rollouts / jnp.log(vocab_size)
         return -(obj + entropy_beta * ent_bonus), (obj, ent_bonus)
 
-    def ce_loss(params, batch):
+    def ce_loss_sum(params, batch):
         mem_kv = transformer.precompute_memory_kv(
             params["decoder"]["blocks"],
             batch["unexpanded_img_latent"].astype(compute_dtype))
@@ -251,19 +252,28 @@ def make_grpo_update_step(cfg: ViTOMRConfig, tx, num_groups: int,
             batch["unexpanded_latent_valid"], compute_dtype=compute_dtype,
             deterministic=True, remat=True, mem_kv=mem_kv)
         return vitomr_lib.omr_ce_loss(gold_logits, batch["gold_targets"],
-                                      cfg.decoder.pad_idx)
+                                      cfg.decoder.pad_idx, reduction="sum")
 
     rollout_keys = ("rollouts", "rollout_inputs", "rollout_input_valid",
                     "old_log_probs", "advantages", "img_latent", "latent_valid")
+    n_shards = 1 if mesh is None else mesh.shape[axis]
 
-    def step(state, batch, rng):
-        r_total = batch["rollouts"].shape[0]
+    def grads_and_sums(params, batch, rng):
+        """Chunked objective grads + CE-anchor sums over this shard's rows.
+
+        Every returned value is a shard-decomposition of the global
+        quantity: summing (psum) across shards and applying the global
+        normalizers reproduces the single-device math exactly (obj/ent are
+        already divided by the GLOBAL num_groups / rollout count; the CE
+        mean is reassembled from (sum, count))."""
+        r_local = batch["rollouts"].shape[0]
+        r_total = r_local * n_shards
         b_mem = batch["img_latent"].shape[0]
-        if r_total % b_mem:
-            raise ValueError(f"rollout rows {r_total} not a multiple of "
+        if r_local % b_mem:
+            raise ValueError(f"rollout rows {r_local} not a multiple of "
                              f"memory rows {b_mem}")
-        m = rollout_microbatches
-        if r_total % m or b_mem % m:
+        m = max(rollout_microbatches // n_shards, 1)
+        if r_local % m or b_mem % m:
             m = 1
         micro = {}
         for k in rollout_keys:
@@ -275,21 +285,29 @@ def make_grpo_update_step(cfg: ViTOMRConfig, tx, num_groups: int,
             grads_acc, obj_acc, ent_acc = carry
             mb, r = xs
             (loss_m, (obj, ent)), g = jax.value_and_grad(
-                rollout_loss, has_aux=True)(state.params, mb,
+                rollout_loss, has_aux=True)(params, mb,
                                             jnp.float32(r_total),
                                             batch["entropy_beta"], r)
             grads_acc = jax.tree.map(jnp.add, grads_acc, g)
             return (grads_acc, obj_acc + obj, ent_acc + ent), None
 
-        zero = jax.tree.map(jnp.zeros_like, state.params)
+        zero = jax.tree.map(jnp.zeros_like, params)
         (grads, obj, ent), _ = jax.lax.scan(body, (zero, 0.0, 0.0), (micro, rngs))
 
-        ce = jnp.float32(0.0)
+        ce_s = ce_n = jnp.float32(0.0)
+        ce_grads = None
         if "gold_inputs" in batch:
-            ce, ce_grads = jax.value_and_grad(ce_loss)(state.params, batch)
-            grads = jax.tree.map(
-                lambda g, cg: g + batch["lambda_ce"] * cg, grads, ce_grads)
+            (ce_s, ce_n), ce_grads = jax.value_and_grad(
+                lambda p: ce_loss_sum(p, batch), has_aux=True)(params)
+        return grads, obj, ent, ce_s, ce_n, ce_grads
 
+    def finish(state, batch, grads, obj, ent, ce_s, ce_n, ce_grads):
+        ce = jnp.float32(0.0)
+        if ce_grads is not None:
+            ce = ce_s / jnp.maximum(ce_n, 1.0)
+            grads = jax.tree.map(
+                lambda g, cg: g + batch["lambda_ce"] * cg
+                / jnp.maximum(ce_n, 1.0), grads, ce_grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         loss = -(obj + batch["entropy_beta"] * ent - batch["lambda_ce"] * ce)
@@ -297,7 +315,45 @@ def make_grpo_update_step(cfg: ViTOMRConfig, tx, num_groups: int,
                    "ce_loss": ce, "grad_norm": optax.global_norm(grads)}
         return trainer.TrainState(state.step + 1, params, opt_state), metrics
 
-    return jax.jit(step)
+    if mesh is None:
+        def step(state, batch, rng):
+            grads, obj, ent, ce_s, ce_n, ce_grads = grads_and_sums(
+                state.params, batch, rng)
+            return finish(state, batch, grads, obj, ent, ce_s, ce_n, ce_grads)
+
+        return jax.jit(step)
+
+    # --- shard_map DP: rollouts (and gold images) shard over the data axis;
+    # each device runs the single-chip chunked grad step (fused Pallas
+    # kernels included — GSPMD can't partition them) and the sums psum to
+    # the exact global objective/CE means
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(params, batch, rng):
+        grads, obj, ent, ce_s, ce_n, ce_grads = grads_and_sums(
+            params, batch, rng)
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
+        obj = jax.lax.psum(obj, axis)
+        ent = jax.lax.psum(ent, axis)
+        ce_s = jax.lax.psum(ce_s, axis)
+        ce_n = jax.lax.psum(ce_n, axis)
+        if ce_grads is not None:
+            ce_grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), ce_grads)
+            return grads, obj, ent, ce_s, ce_n, ce_grads
+        return grads, obj, ent, ce_s, ce_n
+
+    def sharded_step(state, batch, rng):
+        specs = {k: (P() if jnp.ndim(v) == 0 else P(axis))
+                 for k, v in batch.items()}
+        f = shard_map(local, mesh=mesh, in_specs=(P(), specs, P()),
+                      out_specs=P(), check_vma=False)
+        outs = f(state.params, batch, rng)
+        grads, obj, ent, ce_s, ce_n = outs[:5]
+        ce_grads = outs[5] if len(outs) > 5 else None
+        return finish(state, batch, grads, obj, ent, ce_s, ce_n, ce_grads)
+
+    return jax.jit(sharded_step)
 
 
 # ---------------------------------------------------------------------------
@@ -546,8 +602,16 @@ def grpo_train(cfg: ViTOMRConfig, params, dataset, tokenizer: LmxTokenizer, *,
                        scale_tree_fn=grpo_frozen_scales)
     params = jax.tree.map(jnp.array, params)
     state = trainer.create_train_state(params, tx)
+    # data-parallel over all attached devices when the image batch shards
+    # evenly (SURVEY §2.5(a): batch-sharded GRPO step) — rollout decode and
+    # the chunked update both run per shard (Pallas kernels intact)
+    from ..parallel import mesh as mesh_lib
+    n_dev = len(jax.devices())
+    mesh = mesh_lib.make_mesh() if (n_dev > 1 and batch_size % n_dev == 0) \
+        else None
     update_step = make_grpo_update_step(
-        cfg, tx, batch_size, grpo_config.update_config.epsilon, compute_dtype)
+        cfg, tx, batch_size, grpo_config.update_config.epsilon, compute_dtype,
+        mesh=mesh)
 
     curriculum = CurriculumScheduler(
         grpo_config, exploration_steps, total_steps,
@@ -569,7 +633,7 @@ def grpo_train(cfg: ViTOMRConfig, params, dataset, tokenizer: LmxTokenizer, *,
             state, metrics = grpo_update(
                 old_params, state, update_step, cfg, grpo_config,
                 batch_examples, tokenizer, step_rng, writer, step_idx,
-                compute_dtype, reward_workers)
+                compute_dtype, reward_workers, mesh=mesh)
             metrics["seconds"] = time.perf_counter() - t0
             stats.append(metrics)
             curriculum.step()

@@ -106,16 +106,44 @@ def make_loss_fn(cfg: ViTOMRConfig, tf_state: dict,
     return loss_fn
 
 
+def make_sum_loss_fn(cfg: ViTOMRConfig, tf_state: dict,
+                     compute_dtype=jnp.bfloat16,
+                     label_smoothing=LABEL_SMOOTHING, remat="dots"):
+    """(nll_sum, token_count) variant of :func:`make_loss_fn` for exact DP
+    reduction (trainer.make_sharded_grad_fn)."""
+    def loss_fn(params, batch, rng):
+        logits = vitomr_lib.forward_scheduled_sampling(
+            params, cfg, batch["patches"], batch["pe_idx"], batch["pe_w"],
+            batch["valid"], batch["inputs"], batch["lmx_valid"],
+            teacher_forcing_prob=batch["tf_prob"], sample_tau=batch["tau"],
+            use_hard_sampling=tf_state["use_hard_sampling"], rng=rng,
+            compute_dtype=compute_dtype, deterministic=False,
+            frozen_stop_gradient=True, remat=remat)
+        return vitomr_lib.omr_ce_loss(logits, batch["targets"],
+                                      cfg.decoder.pad_idx, label_smoothing,
+                                      reduction="sum")
+    return loss_fn
+
+
 def make_eval_fn(cfg: ViTOMRConfig, compute_dtype=jnp.bfloat16,
-                 label_smoothing=LABEL_SMOOTHING):
-    @jax.jit
-    def eval_fn(params, batch):
+                 label_smoothing=LABEL_SMOOTHING, mesh=None):
+    def eval_sum(params, batch, rng=None):
         logits = vitomr_lib.forward_teacher_forced(
             params, cfg, batch["patches"], batch["pe_idx"], batch["pe_w"],
             batch["valid"], batch["inputs"], batch["lmx_valid"],
             compute_dtype=compute_dtype, deterministic=True)
         return vitomr_lib.omr_ce_loss(logits, batch["targets"],
-                                      cfg.decoder.pad_idx, label_smoothing)
+                                      cfg.decoder.pad_idx, label_smoothing,
+                                      reduction="sum")
+
+    if mesh is not None:
+        sharded = trainer.make_sharded_eval_fn(eval_sum, mesh)
+        return lambda params, batch: sharded(params, batch)
+
+    @jax.jit
+    def eval_fn(params, batch):
+        s, n = eval_sum(params, batch)
+        return s / jnp.maximum(n, 1.0)
     return eval_fn
 
 
@@ -153,23 +181,19 @@ def omr_teacher_force_train(cfg: ViTOMRConfig, params, train_dataset,
     # Pallas flash attention is a measured +3.5% on THIS step's shapes
     # (tools/flash_ab.py ss: 31.1 -> 32.2 img/s on v5e) but a -5% regression
     # on MAE pretrain shapes — default it on for this stage only; explicit
-    # ACAI_FLASH_ATTENTION=0/1 still wins. Under DP, Pallas custom calls
-    # (flash attention, the fused training-layer kernels) are not
-    # GSPMD-partitionable — the plain-XLA step shards cleanly, so they
-    # default off (shard_map-wrapped fused DP steps are future work).
-    os.environ.setdefault("ACAI_FLASH_ATTENTION", "0" if use_dp else "1")
+    # ACAI_FLASH_ATTENTION=0/1 still wins. (Under DP the grad/eval steps run
+    # per shard via shard_map, so Pallas kernels stay usable.)
+    os.environ.setdefault("ACAI_FLASH_ATTENTION", "1")
     model_dir = Path(model_dir)
     model_dir.mkdir(parents=True, exist_ok=False)
     (model_dir / "checkpoints").mkdir()
 
-    data_sh = None
+    data_sh = mesh = None
     if use_dp:
         mesh = mesh_lib.make_mesh()
         data_sh = mesh_lib.data_sharding(mesh)
         params = jax.tree.map(
             lambda x: jax.device_put(x, mesh_lib.replicated(mesh)), params)
-        from ..ops import pallas_train_layer as ptl
-        ptl.set_enabled(False)
 
     boundaries = bucket_boundaries or default_bucket_boundaries(cfg.encoder.patch_size)
     sampler = BucketBatchSampler(train_dataset, list(boundaries), batch_size, seed=seed)
@@ -203,13 +227,25 @@ def omr_teacher_force_train(cfg: ViTOMRConfig, params, train_dataset,
     # omr_teacher_force_train.py:40,126): per-microbatch jitted grad evals
     # (bucket shapes may differ within a window) summed on device, one
     # optimizer application per window
-    grad_fns = {
-        hard: trainer.make_grad_fn(
-            make_loss_fn(cfg, {"use_hard_sampling": hard}, compute_dtype))
-        for hard in (False, True)
-    }
+    if use_dp:
+        # shard_map DP: each device runs the single-chip grad step (incl. the
+        # fused Pallas training kernels / flash attention, which GSPMD can't
+        # partition) on its batch shard; loss/grads reduce as exact global
+        # masked means, so accumulation semantics match single-device runs
+        grad_fns = {
+            hard: trainer.make_sharded_grad_fn(
+                make_sum_loss_fn(cfg, {"use_hard_sampling": hard},
+                                 compute_dtype), mesh)
+            for hard in (False, True)
+        }
+    else:
+        grad_fns = {
+            hard: trainer.make_grad_fn(
+                make_loss_fn(cfg, {"use_hard_sampling": hard}, compute_dtype))
+            for hard in (False, True)
+        }
     apply_fn = trainer.make_apply_fn(tx)
-    eval_fn = make_eval_fn(cfg, compute_dtype)
+    eval_fn = make_eval_fn(cfg, compute_dtype, mesh=mesh)
 
     writer = MetricsWriter(str(model_dir / "tb"), str(model_dir / "stats.csv"))
     rng = jax.random.PRNGKey(seed + 1)

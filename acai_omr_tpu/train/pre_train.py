@@ -71,14 +71,33 @@ def make_loss_fn(cfg: MaeConfig, compute_dtype=jnp.bfloat16):
     return loss_fn
 
 
-def make_eval_fn(cfg: MaeConfig, compute_dtype=jnp.bfloat16):
-    @jax.jit
-    def eval_fn(params, batch, rng):
+def make_sum_loss_fn(cfg: MaeConfig, compute_dtype=jnp.bfloat16):
+    """(loss_sum, patch_count) variant for exact DP reduction
+    (trainer.make_sharded_train_step)."""
+    def loss_fn(params, batch, rng):
+        pred, loss_mask, target = mae_lib.forward(
+            params, cfg, rng, batch["patches"], batch["pe_idx"], batch["pe_w"],
+            batch["valid"], batch["lengths"], batch["target_patches"],
+            compute_dtype=compute_dtype, remat=True)
+        return mae_lib.mae_loss(pred, loss_mask, target, reduction="sum")
+    return loss_fn
+
+
+def make_eval_fn(cfg: MaeConfig, compute_dtype=jnp.bfloat16, mesh=None):
+    def eval_sum(params, batch, rng):
         pred, loss_mask, target = mae_lib.forward(
             params, cfg, rng, batch["patches"], batch["pe_idx"], batch["pe_w"],
             batch["valid"], batch["lengths"], batch["target_patches"],
             compute_dtype=compute_dtype)
-        return mae_lib.mae_loss(pred, loss_mask, target)
+        return mae_lib.mae_loss(pred, loss_mask, target, reduction="sum")
+
+    if mesh is not None:
+        return trainer.make_sharded_eval_fn(eval_sum, mesh)
+
+    @jax.jit
+    def eval_fn(params, batch, rng):
+        s, n = eval_sum(params, batch, rng)
+        return s / jnp.maximum(n, 1.0)
     return eval_fn
 
 
@@ -112,15 +131,12 @@ def pre_train(mae_cfg: MaeConfig, train_dataset, validation_dataset, *,
     n_dev = len(jax.devices())
     use_dp = n_dev > 1 and batch_size % n_dev == 0
     data_sh = None
+    mesh = None
     if use_dp:
         mesh = mesh_lib.make_mesh()
         data_sh = mesh_lib.data_sharding(mesh)
         params = jax.tree.map(
             lambda x: jax.device_put(x, mesh_lib.replicated(mesh)), params)
-        # Pallas custom calls (fused training-layer kernels) are not
-        # GSPMD-partitionable; the plain-XLA step shards cleanly
-        from ..ops import pallas_train_layer as ptl
-        ptl.set_enabled(False)
 
     boundaries = bucket_boundaries or default_bucket_boundaries(mae_cfg.patch_size)
     train_sampler = BucketBatchSampler(train_dataset, list(boundaries), batch_size, seed=seed)
@@ -147,8 +163,15 @@ def pre_train(mae_cfg: MaeConfig, train_dataset, validation_dataset, *,
         start_epoch = int(state.step) // max(steps_per_epoch, 1)
         print(f"Resumed from {resume_from} at step {int(state.step)} "
               f"(epoch {start_epoch})")
-    step_fn = trainer.make_train_step(make_loss_fn(mae_cfg, compute_dtype), tx)
-    eval_fn = make_eval_fn(mae_cfg, compute_dtype)
+    if use_dp:
+        # shard_map DP: each device runs the full single-chip step (incl. the
+        # fused Pallas training kernels, which GSPMD can't partition) on its
+        # batch shard; loss/grads reduce as exact global masked means
+        step_fn = trainer.make_sharded_train_step(
+            make_sum_loss_fn(mae_cfg, compute_dtype), tx, mesh)
+    else:
+        step_fn = trainer.make_train_step(make_loss_fn(mae_cfg, compute_dtype), tx)
+    eval_fn = make_eval_fn(mae_cfg, compute_dtype, mesh=mesh)
 
     writer = MetricsWriter(str(model_dir / "tb"), str(model_dir / "stats.csv"))
     rng = jax.random.PRNGKey(seed + 1)

@@ -365,3 +365,85 @@ def test_grouped_cross_attention_matches_expanded(rng):
                              uniq_valid, cross_group=g, mem_kv=mkv, remat=True)
     np.testing.assert_allclose(np.asarray(base), np.asarray(g2),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_grpo_sharded_update_step_matches_single(rng):
+    """make_grpo_update_step(mesh=...) — rollouts sharded over 8 virtual
+    devices with exact psum reduction — must produce the same updated params
+    as the single-device step."""
+    from acai_omr_tpu.data.tokenizer import LmxTokenizer
+    from acai_omr_tpu.models import vitomr as vitomr_lib
+    from acai_omr_tpu.models.omr_decoder import DecoderConfig
+    from acai_omr_tpu.models.vit_encoder import EncoderConfig
+    from acai_omr_tpu.models.vitomr import ViTOMRConfig
+    from acai_omr_tpu.parallel import mesh as mesh_lib
+    from acai_omr_tpu.parallel import trainer
+
+    tok = LmxTokenizer()
+    cfg = ViTOMRConfig(
+        encoder=EncoderConfig(patch_size=16, pe_max_height=6, pe_max_width=8,
+                              num_layers=2, hidden_dim=16, num_heads=2,
+                              mlp_dim=24, dropout=0.0),
+        decoder=DecoderConfig.from_tokenizer(tok, max_lmx_seq_len=32,
+                                             num_layers=2, hidden_dim=16,
+                                             num_heads=2, mlp_dim=24,
+                                             dropout=0.0),
+        transition_head_dim=24, transition_head_dropout=0.0)
+    params = vitomr_lib.init_vitomr_params(jax.random.PRNGKey(0), cfg)
+
+    bg, g, t, m_len = 8, 2, 8, 6
+    r = bg * g
+    e = cfg.decoder.hidden_dim
+    pad = tok.pad_idx
+    rollouts = rng.integers(3, tok.vocab_size, size=(r, t)).astype(np.int32)
+    rollouts[:, 0] = tok.bos_idx
+    valid = np.arange(t)[None, :] < rng.integers(4, t + 1, size=(r, 1))
+    rollouts[~valid] = pad
+    inputs, input_valid = G.prepare_rollouts_for_policy_theta(
+        rollouts, valid, pad)
+    gold = rng.integers(3, tok.vocab_size, size=(bg, t)).astype(np.int32)
+    gold_in = np.concatenate(
+        [np.full((bg, 1), tok.bos_idx, np.int32), gold[:, :-1]], axis=1)
+    batch = {
+        "rollouts": jnp.asarray(rollouts),
+        "rollout_inputs": jnp.asarray(inputs),
+        "rollout_input_valid": jnp.asarray(input_valid),
+        "old_log_probs": jnp.asarray(-rng.random((r, t), np.float32)),
+        "advantages": jnp.asarray(rng.standard_normal(r).astype(np.float32)),
+        "img_latent": jnp.asarray(rng.standard_normal((bg, m_len, e)).astype(np.float32)),
+        "latent_valid": jnp.ones((bg, m_len), bool),
+        "entropy_beta": jnp.float32(0.01),
+        "lambda_ce": jnp.float32(0.5),
+        "gold_inputs": jnp.asarray(gold_in),
+        "gold_targets": jnp.asarray(gold),
+        "gold_input_valid": jnp.ones((bg, t), bool),
+        "unexpanded_img_latent": jnp.asarray(rng.standard_normal((bg, m_len, e)).astype(np.float32)),
+        "unexpanded_latent_valid": jnp.ones((bg, m_len), bool),
+    }
+
+    # SGD: the update is linear in the grads, so the comparison measures the
+    # gradients themselves (AdamW's g/sqrt(v) would amplify benign fp
+    # reassociation noise from the different chunking order into sign flips
+    # on near-zero grads)
+    import optax
+    tx = optax.sgd(1e-2)
+    key = jax.random.PRNGKey(7)
+
+    s1 = trainer.create_train_state(params, tx)
+    step1 = G.make_grpo_update_step(cfg, tx, bg, 0.2, jnp.float32)
+    s1, m1 = step1(s1, batch, key)
+
+    s8 = trainer.create_train_state(params, tx)
+    step8 = G.make_grpo_update_step(cfg, tx, bg, 0.2, jnp.float32,
+                                    mesh=mesh_lib.make_mesh(8, 1))
+    s8, m8 = step8(s8, batch, key)
+
+    np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(m8["ce_loss"]), float(m1["ce_loss"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(m8["grad_norm"]), float(m1["grad_norm"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(s8.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-4)

@@ -136,3 +136,62 @@ def test_host_grad_accumulation_matches_fused():
     s2 = apply_fn(s2, og, jnp.float32(1.0))
     np.testing.assert_allclose(np.asarray(state.params["w"]),
                                np.asarray(s2.params["w"]), atol=1e-6)
+
+
+def test_sharded_grad_fn_matches_single_device():
+    """shard_map DP grads (exact sum/weight reduction) == single-device grads
+    of the masked-mean loss, with uneven valid-token counts across shards."""
+    from acai_omr_tpu.data.tokenizer import LmxTokenizer
+    from acai_omr_tpu.models import vitomr as vitomr_lib
+    from acai_omr_tpu.models.omr_decoder import DecoderConfig
+    from acai_omr_tpu.models.vit_encoder import EncoderConfig
+    from acai_omr_tpu.models.vitomr import ViTOMRConfig
+    from acai_omr_tpu.parallel import mesh as mesh_lib
+    from acai_omr_tpu.train import omr_teacher_force_train as tf_train
+
+    tok = LmxTokenizer()
+    cfg = ViTOMRConfig(
+        encoder=EncoderConfig(patch_size=16, pe_max_height=6, pe_max_width=8,
+                              num_layers=2, hidden_dim=16, num_heads=2,
+                              mlp_dim=24, dropout=0.0),
+        decoder=DecoderConfig.from_tokenizer(tok, max_lmx_seq_len=32,
+                                             num_layers=2, hidden_dim=16,
+                                             num_heads=2, mlp_dim=24,
+                                             dropout=0.0),
+        transition_head_dim=24, transition_head_dropout=0.0)
+    params = vitomr_lib.init_vitomr_params(jax.random.PRNGKey(0), cfg)
+
+    b, l_img, t = 8, 12, 10
+    rng = np.random.default_rng(0)
+    # ragged valid-token counts so per-shard means would NOT average to the
+    # global mean — the exact sum/weight reduction must still match
+    lmx_valid = np.arange(t)[None, :] < rng.integers(3, t, size=(b, 1))
+    targets = rng.integers(3, tok.vocab_size, size=(b, t)).astype(np.int32)
+    targets[~lmx_valid] = tok.pad_idx
+    batch = {
+        "patches": jnp.asarray(rng.random((b, l_img, 256), np.float32)),
+        "pe_idx": jnp.asarray(rng.integers(0, 48, size=(b, l_img, 4)), jnp.int32),
+        "pe_w": jnp.asarray(rng.random((b, l_img, 4), np.float32)),
+        "valid": jnp.ones((b, l_img), bool),
+        "inputs": jnp.asarray(rng.integers(3, tok.vocab_size, size=(b, t)), jnp.int32),
+        "targets": jnp.asarray(targets),
+        "lmx_valid": jnp.asarray(lmx_valid),
+        # tf_prob=1 -> no gumbel mixing -> the step is rng-independent, so
+        # the per-shard rng fold cannot perturb the comparison
+        "tf_prob": jnp.float32(1.0),
+        "tau": jnp.float32(1.0),
+    }
+
+    ref_fn = trainer.make_grad_fn(tf_train.make_loss_fn(
+        cfg, {"use_hard_sampling": False}, jnp.float32))
+    ref_loss, ref_grads = ref_fn(params, batch, jax.random.PRNGKey(5))
+
+    mesh = mesh_lib.make_mesh(8, 1)
+    dp_fn = trainer.make_sharded_grad_fn(tf_train.make_sum_loss_fn(
+        cfg, {"use_hard_sampling": False}, jnp.float32), mesh)
+    dp_loss, dp_grads = dp_fn(params, batch, jax.random.PRNGKey(5))
+
+    np.testing.assert_allclose(float(dp_loss), float(ref_loss), rtol=1e-6)
+    for a, b_ in zip(jax.tree.leaves(dp_grads), jax.tree.leaves(ref_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-6, rtol=1e-5)

@@ -1,6 +1,12 @@
 """Full-size MAE on-chip training sanity: 30 synthetic steps, loss must drop
 (validated on v5e: 2.12 -> 1.00). Run on a TPU host: python tools/mae_onchip_sanity.py"""
-import time, numpy as np, jax, jax.numpy as jnp
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np, jax, jax.numpy as jnp
 from acai_omr_tpu.models import mae as mae_lib
 from acai_omr_tpu.train import pre_train as pt
 from acai_omr_tpu.parallel import trainer

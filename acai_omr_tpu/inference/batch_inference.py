@@ -69,7 +69,7 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
 
         pb = vit_encoder.batchify([imgs[g] for g in group], cfg.encoder,
                                   bucket_multiple)
-        latent, latent_valid = vitomr_lib.encode_image(
+        latent, latent_valid = vitomr_lib.encode_image_jit(
             params, cfg, jnp.asarray(pb.patches), jnp.asarray(pb.pe_idx),
             jnp.asarray(pb.pe_w), jnp.asarray(pb.valid),
             compute_dtype=compute_dtype)

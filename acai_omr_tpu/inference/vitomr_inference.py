@@ -68,7 +68,7 @@ def set_up_omr_inference(weights_path: str | None = None,
 def encode_images(params, cfg: ViTOMRConfig, imgs, compute_dtype=jnp.bfloat16):
     """List of (C, H, W) arrays -> (img_latent, latent_valid) device arrays."""
     pb = vit_encoder.batchify(imgs, cfg.encoder)
-    latent, latent_valid = vitomr_lib.encode_image(
+    latent, latent_valid = vitomr_lib.encode_image_jit(
         params, cfg, jnp.asarray(pb.patches), jnp.asarray(pb.pe_idx),
         jnp.asarray(pb.pe_w), jnp.asarray(pb.valid),
         compute_dtype=compute_dtype)

@@ -18,6 +18,7 @@ config flags + optimizer masks:
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -91,6 +92,15 @@ def encode_image(params: Params, cfg: ViTOMRConfig, patches, pe_idx, pe_w,
     latent = transition_head(params["transition_head"], latent,
                              cfg.transition_head_dropout, head_rng, deterministic)
     return latent, latent_valid
+
+
+# Jitted entry for EAGER call sites (inference drivers, GRPO rollout
+# encoding). Inside already-jitted losses call encode_image directly; called
+# eagerly, the unjitted version dispatches hundreds of individual ops — ~37 s
+# per 16-image batch through the axon tunnel vs ~0.1 s compiled.
+encode_image_jit = functools.partial(
+    jax.jit, static_argnames=("cfg", "compute_dtype", "deterministic",
+                              "frozen_stop_gradient", "remat"))(encode_image)
 
 
 def forward_teacher_forced(params: Params, cfg: ViTOMRConfig, patches, pe_idx,
@@ -286,7 +296,7 @@ def batch_policy_inference(params: Params, cfg: ViTOMRConfig, imgs, rng,
     """Encode a ragged image list and run one sampled rollout per example
     (reference: GRPOViTOMR.batch_policy_inference, models.py:962-965)."""
     pb = vit_encoder.batchify(imgs, cfg.encoder)
-    latent, latent_valid = encode_image(
+    latent, latent_valid = encode_image_jit(
         params, cfg, jnp.asarray(pb.patches), jnp.asarray(pb.pe_idx),
         jnp.asarray(pb.pe_w), jnp.asarray(pb.valid), compute_dtype=compute_dtype)
     return forward_rollout_policy(params, cfg, latent, latent_valid, rng,

@@ -382,7 +382,7 @@ def grpo_update(old_params, state, update_step, cfg: ViTOMRConfig,
 
     # --- rollout with the old-policy snapshot (no grad) -------------------
     pb = vit_encoder.batchify(imgs, cfg.encoder)
-    unexp_latent, unexp_valid = vitomr_lib.encode_image(
+    unexp_latent, unexp_valid = vitomr_lib.encode_image_jit(
         old_params, cfg, jnp.asarray(pb.patches), jnp.asarray(pb.pe_idx),
         jnp.asarray(pb.pe_w), jnp.asarray(pb.valid), compute_dtype=compute_dtype)
     # grouped rollout decode: cross K/V projected/streamed once per unique
@@ -405,6 +405,20 @@ def grpo_update(old_params, state, update_step, cfg: ViTOMRConfig,
 
     rollout_inputs, input_valid = prepare_rollouts_for_policy_theta(
         rollouts, rollout_mask, pad_idx)
+    # bucket the update width to a 128-multiple so the jitted update step's
+    # shapes recur across batches — rollouts trim to the longest sequence,
+    # which otherwise recompiles the step (~80 s through the axon tunnel at
+    # reference scale) for nearly every new batch. Padding is loss-neutral:
+    # pad tokens with input_valid=False contribute nothing to the objective.
+    tb = min(-(-rollout_inputs.shape[1] // 128) * 128, rc.max_actions)
+    if tb > rollout_inputs.shape[1]:
+        dt = tb - rollout_inputs.shape[1]
+        rollout_inputs = np.pad(rollout_inputs, ((0, 0), (0, dt)),
+                                constant_values=pad_idx)
+        input_valid = np.pad(input_valid, ((0, 0), (0, dt)))
+        rollouts = np.pad(rollouts, ((0, 0), (0, tb + 1 - rollouts.shape[1])),
+                          constant_values=pad_idx)
+        old_lp = np.pad(old_lp, ((0, 0), (0, tb + 1 - old_lp.shape[1])))
 
     batch = {
         "rollouts": jnp.asarray(rollouts),
@@ -501,7 +515,7 @@ def mini_validate(state_params, cfg: ViTOMRConfig,
         seqs = [np.asarray(ex[1], np.int32) for ex in batch]
         xmls = [ex[2] for ex in batch]
         pb = vit_encoder.batchify(imgs, cfg.encoder)
-        latent, valid = vitomr_lib.encode_image(
+        latent, valid = vitomr_lib.encode_image_jit(
             state_params, cfg, jnp.asarray(pb.patches), jnp.asarray(pb.pe_idx),
             jnp.asarray(pb.pe_w), jnp.asarray(pb.valid),
             compute_dtype=compute_dtype)

@@ -616,83 +616,92 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
         finished_rows = status[1:].astype(bool)
         if t >= max_len or bool(finished_rows.all()):
             break
-        if t > cache_len_of(state.k_cache):
-            # segment boundary: before growing the cache, drop finished rows
-            # (batch compaction — finished rows otherwise keep paying full
-            # cache bandwidth until everyone is done; real batches complete
-            # raggedly, so this is a large win on mixed-length workloads)
-            sel = None     # row selection into the current state
-            sel_mem = None  # memory-row selection (groups when g > 1)
-            if compact:
-                finished = finished_rows[: len(row_map)]
-                if g == 1:
-                    unfinished = np.flatnonzero(~finished)
-                    target_b = max(1, 1 << (len(unfinished) - 1).bit_length()) \
-                        if len(unfinished) else 1
-                    if len(unfinished) and target_b <= len(row_map) // 2:
-                        pad_rows = np.full(target_b - len(unfinished),
-                                           unfinished[0])
-                        sel = jnp.asarray(np.concatenate([unfinished, pad_rows]))
-                        sel_mem = sel
-                        # duplicate pad rows are marked finished so they can't
-                        # block the all-finished early exit
-                        fin = jnp.zeros((target_b,), bool) \
-                            .at[len(unfinished):].set(True)
-                        row_map = row_map[unfinished]
-                else:
-                    # grouped memory: a group is droppable only once every
-                    # rollout in it finished (its rows share one mem row)
-                    alive_g = np.flatnonzero(~finished.reshape(-1, g).all(axis=1))
-                    n_g = len(alive_g)
-                    target_g = max(1, 1 << (n_g - 1).bit_length()) if n_g else 1
-                    if n_g and target_g <= (len(row_map) // g) // 2:
-                        pad_g = np.full(target_g - n_g, alive_g[0])
-                        sel_groups = np.concatenate([alive_g, pad_g])
-                        rows = (sel_groups[:, None] * g
-                                + np.arange(g)).reshape(-1)
-                        sel = jnp.asarray(rows)
-                        sel_mem = jnp.asarray(sel_groups)
-                        fin_np = finished[rows].copy()
-                        fin_np[n_g * g:] = True  # pad groups can't block exit
-                        fin = jnp.asarray(fin_np)
-                        row_map = row_map[rows[: n_g * g]]
-            new_len = _next_segment(cache_len_of(state.k_cache), max_len)
+        # segment boundary: drop finished rows before continuing (batch
+        # compaction — finished rows otherwise keep paying full cache
+        # bandwidth until everyone is done; real batches complete
+        # raggedly, so this is a large win on mixed-length workloads).
+        # With an explicit ``segment_steps`` this fires at EVERY
+        # boundary, not just cache growth — mostly-finished batches
+        # shrink long before the cache fills (GRPO rollouts: mean length
+        # ~40-250 vs a 512-step budget).
+        sel = None     # row selection into the current state
+        sel_mem = None  # memory-row selection (groups when g > 1)
+        if compact:
+            finished = finished_rows[: len(row_map)]
+            if g == 1:
+                unfinished = np.flatnonzero(~finished)
+                target_b = max(1, 1 << (len(unfinished) - 1).bit_length()) \
+                    if len(unfinished) else 1
+                if len(unfinished) and target_b <= len(row_map) // 2:
+                    pad_rows = np.full(target_b - len(unfinished),
+                                       unfinished[0])
+                    sel = jnp.asarray(np.concatenate([unfinished, pad_rows]))
+                    sel_mem = sel
+                    # duplicate pad rows are marked finished so they can't
+                    # block the all-finished early exit
+                    fin = jnp.zeros((target_b,), bool) \
+                        .at[len(unfinished):].set(True)
+                    row_map = row_map[unfinished]
+            else:
+                # grouped memory: a group is droppable only once every
+                # rollout in it finished (its rows share one mem row)
+                alive_g = np.flatnonzero(~finished.reshape(-1, g).all(axis=1))
+                n_g = len(alive_g)
+                target_g = max(1, 1 << (n_g - 1).bit_length()) if n_g else 1
+                if n_g and target_g <= (len(row_map) // g) // 2:
+                    pad_g = np.full(target_g - n_g, alive_g[0])
+                    sel_groups = np.concatenate([alive_g, pad_g])
+                    rows = (sel_groups[:, None] * g
+                            + np.arange(g)).reshape(-1)
+                    sel = jnp.asarray(rows)
+                    sel_mem = jnp.asarray(sel_groups)
+                    fin_np = finished[rows].copy()
+                    fin_np[n_g * g:] = True  # pad groups can't block exit
+                    fin = jnp.asarray(fin_np)
+                    row_map = row_map[rows[: n_g * g]]
+        need_grow = t > cache_len_of(state.k_cache)
+        if not (need_grow or sel is not None):
+            continue  # plain mid-decode boundary, nothing to do
+        new_len = cache_len_of(state.k_cache)
+        if need_grow:
+            new_len = _next_segment(new_len, max_len)
             if monolith:
                 new_len = -(-new_len // tt) * tt
-            b_next = len(sel) if sel is not None else state.seqs.shape[0]
-            new_group = group
+        b_next = len(sel) if sel is not None else state.seqs.shape[0]
+        new_group = group
+        if packed:
+            new_group = pallas_monolith.scale_pack_group(
+                b_next, new_len, m_len, e, heads)
+
+        def move_scales(s):
+            """Row-select and/or re-group a scale-plane cache array."""
+            if s is None:
+                return None
             if packed:
-                new_group = pallas_monolith.scale_pack_group(
-                    b_next, new_len, m_len, e, heads)
+                if sel is None and new_group == group:
+                    return s
+                u = pallas_monolith.unpack_scales(s, group)
+                if sel is not None:
+                    u = u[:, sel]
+                return pallas_monolith.pack_scales(u, new_group)
+            return s if sel is None else s[:, sel]
 
-            def move_scales(s):
-                """Row-select and/or re-group a scale-plane cache array."""
-                if s is None:
-                    return None
-                if packed:
-                    if sel is None and new_group == group:
-                        return s
-                    u = pallas_monolith.unpack_scales(s, group)
-                    if sel is not None:
-                        u = u[:, sel]
-                    return pallas_monolith.pack_scales(u, new_group)
-                return s if sel is None else s[:, sel]
-
-            if sel is not None:
-                state = DecodeState(
-                    state.seqs[sel], state.log_probs[sel], fin, state.t,
-                    state.k_cache[:, sel], state.v_cache[:, sel], state.rng,
-                    move_scales(state.k_scale), move_scales(state.v_scale))
-                mem = MemoryKV(
-                    mem.k[:, sel_mem], mem.v[:, sel_mem],
-                    None if mem.bias is None else mem.bias[sel_mem],
-                    move_scales(mem.k_scale), move_scales(mem.v_scale))
-            elif packed and new_group != group:
-                state = state._replace(k_scale=move_scales(state.k_scale),
-                                       v_scale=move_scales(state.v_scale))
-                mem = mem._replace(k_scale=move_scales(mem.k_scale),
-                                   v_scale=move_scales(mem.v_scale))
-            group = new_group
+        if sel is not None:
+            state = DecodeState(
+                state.seqs[sel], state.log_probs[sel], fin, state.t,
+                state.k_cache[:, sel], state.v_cache[:, sel], state.rng,
+                move_scales(state.k_scale), move_scales(state.v_scale))
+            mem = MemoryKV(
+                mem.k[:, sel_mem], mem.v[:, sel_mem],
+                None if mem.bias is None else mem.bias[sel_mem],
+                move_scales(mem.k_scale), move_scales(mem.v_scale))
+        elif packed and new_group != group:
+            state = state._replace(k_scale=move_scales(state.k_scale),
+                                   v_scale=move_scales(state.v_scale))
+            mem = mem._replace(k_scale=move_scales(mem.k_scale),
+                               v_scale=move_scales(mem.v_scale))
+        group = new_group
+        if need_grow:
             state = grow_cache(state, new_len)
 
     return mask_and_clip_seqs(master_seqs, master_lps, cfg.eos_idx, cfg.pad_idx)

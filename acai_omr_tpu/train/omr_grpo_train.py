@@ -388,6 +388,9 @@ def grpo_update(old_params, state, update_step, cfg: ViTOMRConfig,
     # grouped rollout decode: cross K/V projected/streamed once per unique
     # image (decode mem_group) instead of per rollout — no latent expansion
     rng, roll_rng = jax.random.split(rng)
+    # (A/B note: segment_steps=64 — compaction at every 64-step boundary —
+    # measured NEUTRAL warm and adds compile churn for the extra compacted
+    # shapes; growth-boundary compaction stays the default. docs/PERF.md.)
     rollouts, old_lp, rollout_mask = vitomr_lib.forward_rollout_policy(
         old_params, cfg, unexp_latent, unexp_valid, roll_rng,
         max_actions=rc.max_actions, top_k=rc.top_k, temperature=rc.temperature,

@@ -214,6 +214,25 @@ def test_grouped_mem_greedy_with_compaction(setup):
                                np.asarray(ref[1])[:, :n], atol=1e-5)
 
 
+def test_boundary_compaction_with_segment_steps(setup):
+    """compact=True with explicit segment_steps: compaction may fire at any
+    segment boundary (not just cache growth) and must not change outputs."""
+    params, mem, mem_valid = setup
+    big_mem = jnp.concatenate([mem, mem * 0.5, mem * -0.3, mem * 1.7], axis=0)
+    big_valid = jnp.concatenate([mem_valid] * 4, axis=0)
+    kwargs = dict(max_len=40, compute_dtype=jnp.float32,
+                  cache_dtype=jnp.float32, initial_segment=8)
+    ref = decode_lib.generate(params, CFG, big_mem, big_valid,
+                              compact=False, **kwargs)
+    out = decode_lib.generate(params, CFG, big_mem, big_valid,
+                              compact=True, segment_steps=6, **kwargs)
+    n = min(ref[0].shape[1], out[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])
+    np.testing.assert_allclose(np.asarray(out[1])[:, :n],
+                               np.asarray(ref[1])[:, :n], atol=1e-5)
+
+
 def test_grouped_mem_int8_falls_back(setup):
     """int8 caches don't support grouped memory; generate must transparently
     expand and still return B*G valid rows."""

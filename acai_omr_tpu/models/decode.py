@@ -483,7 +483,8 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
             chosen_lp = jnp.take_along_axis(lp, next_tok[:, None], axis=-1)[:, 0]
         else:
             rng, step_rng = jax.random.split(rng)
-            topk_logits, topk_idx = jax.lax.top_k(logits, sampling.top_k)
+            topk_logits, topk_idx = jax.lax.top_k(
+                logits, min(sampling.top_k, logits.shape[-1]))
             # sample in top-k space with temperature; log-probs are over the
             # *untempered* top-k logits (reference: models.py:1009-1020)
             choice = jax.random.categorical(
@@ -858,9 +859,38 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
             carry["k"] = jnp.pad(carry["k"], pad)
             carry["v"] = jnp.pad(carry["v"], pad)
             if "ks" in carry:
-                spad = [(0, 0), (0, 0), (0, new_len - cache_len), (0, 0)]
-                carry["ks"] = jnp.pad(carry["ks"], spad, constant_values=1.0)
-                carry["vs"] = jnp.pad(carry["vs"], spad, constant_values=1.0)
+                if packed:
+                    # lane-packed (L, B/G, T, G*H): growth can change the
+                    # row-tile group, so unpack -> pad T -> repack, and
+                    # repack the memory planes to the new group too (the
+                    # kernel derives G from the per-shard shapes).
+                    new_group = pallas_monolith.scale_pack_group(
+                        local_b, new_len, m_len, e, heads)
+
+                    def regrow(s):
+                        u = pallas_monolith.unpack_scales(s, group)
+                        u = jnp.pad(
+                            u, [(0, 0), (0, 0), (0, new_len - cache_len),
+                                (0, 0)], constant_values=1.0)
+                        return pallas_monolith.pack_scales(u, new_group)
+
+                    carry["ks"] = regrow(carry["ks"])
+                    carry["vs"] = regrow(carry["vs"])
+                    if new_group != group and "ks" in memd:
+                        def remem(s):
+                            return pallas_monolith.pack_scales(
+                                pallas_monolith.unpack_scales(s, group),
+                                new_group)
+                        memd["ks"] = remem(memd["ks"])
+                        memd["vs"] = remem(memd["vs"])
+                    group = new_group
+                else:
+                    # per-op layout: scales are (L, B, H, T) — time on lanes
+                    spad = [(0, 0)] * 3 + [(0, new_len - cache_len)]
+                    carry["ks"] = jnp.pad(carry["ks"], spad,
+                                          constant_values=1.0)
+                    carry["vs"] = jnp.pad(carry["vs"], spad,
+                                          constant_values=1.0)
             cache_len = new_len
 
     return mask_and_clip_seqs(carry["seqs"], carry["lps"], cfg.eos_idx,

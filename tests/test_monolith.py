@@ -307,6 +307,26 @@ def test_int8_generate_runs_and_is_close(setup):
     assert float(jnp.max(jnp.where(mask, lps, -1.0))) <= 1e-6
 
 
+def test_sharded_int8_generate_with_growth(setup):
+    """shard_map int8 decode through a cache-growth boundary: the host loop
+    must unpack/repad/repack the lane-packed scale planes (and repack the
+    memory planes when the row-tile group changes). Tokens must match the
+    single-device monolith decode (greedy decode is row-independent)."""
+    from acai_omr_tpu.parallel import mesh as mesh_lib
+    params, latent, valid = setup
+    kwargs = dict(max_len=48, initial_segment=32,
+                  compute_dtype=jnp.float32, cache_dtype=jnp.int8)
+
+    ref = decode.generate(params, CFG, latent, valid, **kwargs)
+
+    mesh = mesh_lib.make_mesh(2, 1, devices=jax.devices()[:2])
+    got = decode.sharded_generate(params, CFG, latent, valid, mesh, **kwargs)
+
+    n = min(ref[0].shape[1], got[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(got[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])
+
+
 def test_scale_pack_roundtrip():
     """Lane-packing of int8 scale planes is a pure layout permutation."""
     s = jax.random.normal(jax.random.PRNGKey(0), (3, 8, 32, 4))

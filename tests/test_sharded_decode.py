@@ -96,6 +96,28 @@ def test_shard_map_decode_grouped_mem():
                                   np.asarray(ref[0])[:, :n])
 
 
+def test_shard_map_decode_int8_runs():
+    """int8 KV caches under shard_map: per-shard scale planes, valid masked
+    sequences, tokens close to the fp32 shard_map decode."""
+    mesh = mesh_lib.make_mesh(8, 1)
+    params = omr_decoder.init_decoder_params(jax.random.PRNGKey(0), CFG)
+    b, m = 16, 12
+    mem = jax.random.normal(jax.random.PRNGKey(4), (b, m, CFG.hidden_dim))
+    mem_valid = jnp.ones((b, m), dtype=bool)
+    ref = decode_lib.sharded_generate(params, CFG, mem, mem_valid, mesh,
+                                      max_len=16, initial_segment=8,
+                                      compute_dtype=jnp.float32,
+                                      cache_dtype=jnp.float32)
+    q = decode_lib.sharded_generate(params, CFG, mem, mem_valid, mesh,
+                                    max_len=16, initial_segment=8,
+                                    compute_dtype=jnp.float32,
+                                    cache_dtype=jnp.int8)
+    assert q[0].shape[0] == b and bool(q[2][:, 0].all())
+    n = min(ref[0].shape[1], q[0].shape[1])
+    agree = (np.asarray(ref[0])[:, :n] == np.asarray(q[0])[:, :n]).mean()
+    assert agree > 0.9, agree
+
+
 def test_shard_map_decode_sampled_runs():
     """Sampled sharded decode: valid sequences, independent per-shard rows."""
     mesh = mesh_lib.make_mesh(8, 1)

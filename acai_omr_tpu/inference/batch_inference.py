@@ -39,7 +39,8 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
                     bucket_multiple: int = 128, beam_size: int = 1,
                     length_penalty: float = 0.6,
                     compute_dtype=jnp.bfloat16,
-                    cache_dtype=jnp.bfloat16) -> BatchResult:
+                    cache_dtype=jnp.bfloat16,
+                    mesh=None, model_axis: str | None = None) -> BatchResult:
     """Transcribe a list of (C, H, W) float arrays of arbitrary sizes.
 
     Groups by patch-count bucket, then runs encode+decode in ``decode_batch``
@@ -49,6 +50,12 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
     rows). ``cache_dtype=jnp.int8`` enables quantized KV caches (~1.5x decode
     throughput on TPU via fused kernels; greedy only, near- but not
     bit-identical tokens — see docs/PERF.md).
+
+    ``mesh``: decode each bucket group over the device mesh
+    (:func:`decode.sharded_generate`) — the batch is padded up to the data
+    axis and shards get independent decode loops; ``model_axis`` adds
+    tensor parallelism on top (heads/MLP split — the low-batch latency
+    lever). Greedy only; ``beam_size > 1`` ignores the mesh.
     """
     order = sorted(range(len(imgs)),
                    key=lambda i: _bucket_key(imgs[i], cfg, bucket_multiple))
@@ -78,6 +85,20 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
                 params["decoder"], cfg.decoder, latent, latent_valid,
                 beam_size=beam_size, length_penalty=length_penalty,
                 max_len=max_inference_len, compute_dtype=compute_dtype)
+        elif mesh is not None:
+            from ..parallel import mesh as mesh_lib
+            n_data = mesh.shape[mesh_lib.DATA_AXIS]
+            pad = (-len(group)) % n_data
+            if pad:  # repeat rows so the batch shards evenly; dropped below
+                latent = jnp.concatenate(
+                    [latent, jnp.repeat(latent[:1], pad, axis=0)])
+                latent_valid = jnp.concatenate(
+                    [latent_valid, jnp.repeat(latent_valid[:1], pad, axis=0)])
+            seqs, lps, mask = decode_lib.sharded_generate(
+                params["decoder"], cfg.decoder, latent, latent_valid, mesh,
+                axis=mesh_lib.DATA_AXIS, model_axis=model_axis,
+                max_len=max_inference_len, compute_dtype=compute_dtype,
+                cache_dtype=cache_dtype)
         else:
             seqs, lps, mask = decode_lib.generate(
                 params["decoder"], cfg.decoder, latent, latent_valid,

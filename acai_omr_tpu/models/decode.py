@@ -304,9 +304,17 @@ def _grouped_cross_attention(qc: jnp.ndarray, mem: MemoryKV, i: int,
     return out.reshape(bu * group, h, dh).astype(compute_dtype)
 
 
+def _row_parallel_dense(p: Params, x: jnp.ndarray, tp_axis: str) -> jnp.ndarray:
+    """Row-parallel linear under shard_map: local (B, F/tp) @ (F/tp, E)
+    partial products are psum'd over ``tp_axis``, bias added once after."""
+    y = jax.lax.psum(jnp.dot(x, p["kernel"].astype(x.dtype)), tp_axis)
+    return y + p["bias"].astype(x.dtype)
+
+
 def _decode_step_logits(params: Params, cfg: DecoderConfig, x: jnp.ndarray,
                         t: jnp.ndarray, caches: dict, mem: MemoryKV,
-                        compute_dtype=jnp.bfloat16, mem_group: int = 1):
+                        compute_dtype=jnp.bfloat16, mem_group: int = 1,
+                        tp_axis: str | None = None):
     """Advance one token: x (B, E) = embedded token at position t-1.
 
     ``caches``: {"k", "v"[, "ks", "vs"]} pytree of cache arrays (int8 mode
@@ -314,11 +322,24 @@ def _decode_step_logits(params: Params, cfg: DecoderConfig, x: jnp.ndarray,
     12-layer loop is unrolled in Python so the cache writes stay simple
     indexed updates on the loop carry (in-place under XLA). ``mem_group=G``:
     mem holds B/G unique rows shared by G consecutive batch rows each.
+
+    ``tp_axis``: Megatron-style tensor parallelism under shard_map — params
+    arrive as per-shard slices (``parallel.sharding.tp_shuffle_decoder_params``
+    layout: head-parallel qkv/attention, column-parallel linear1), caches and
+    mem carry local heads, and the two row-parallel projections (attention
+    out, linear2) psum over the axis. LayerNorms/embeddings/unembed are
+    replicated and computed redundantly per shard.
     """
     from ..ops import pallas_decode
 
     e = cfg.hidden_dim
     h, dh = cfg.num_heads, cfg.head_dim
+    if tp_axis is not None:
+        # local head count from the sharded fused-qkv kernel (E, 3*e_local)
+        e_loc = params["blocks"]["self_attn"]["in_kernel"].shape[-1] // 3
+        h = e_loc // dh
+    else:
+        e_loc = e
     b = x.shape[0]
     cache_len = caches["k"].shape[-1]
     pos = t - 1  # cache slot for this token's k/v
@@ -369,11 +390,15 @@ def _decode_step_logits(params: Params, cfg: DecoderConfig, x: jnp.ndarray,
                 q, caches["k"][i], caches["v"][i], self_bias, compute_dtype,
                 k_scale=caches["ks"][i] if quantized else None,
                 v_scale=caches["vs"][i] if quantized else None)
-        attn = nn.dense(sa["out"], attn.reshape(b, e))
+        if tp_axis is None:
+            attn = nn.dense(sa["out"], attn.reshape(b, e))
+        else:
+            attn = _row_parallel_dense(sa["out"], attn.reshape(b, e_loc),
+                                       tp_axis)
         x = nn.layernorm(lp["norm1"], x + attn, eps=1e-5)
 
         ca = lp["cross_attn"]
-        qc = jnp.dot(x, ca["in_kernel"][:, :e].astype(compute_dtype)) + ca["in_bias"][:e].astype(compute_dtype)
+        qc = jnp.dot(x, ca["in_kernel"][:, :e_loc].astype(compute_dtype)) + ca["in_bias"][:e_loc].astype(compute_dtype)
         qc = qc.reshape(b, h, dh)
         if mem_group > 1:
             cattn = _grouped_cross_attention(qc, mem, i, mem_group,
@@ -387,10 +412,18 @@ def _decode_step_logits(params: Params, cfg: DecoderConfig, x: jnp.ndarray,
                 qc, mem.k[i], mem.v[i], mem.bias, compute_dtype,
                 k_scale=mem.k_scale[i] if mem.k_scale is not None else None,
                 v_scale=mem.v_scale[i] if mem.v_scale is not None else None)
-        cattn = nn.dense(ca["out"], cattn.reshape(b, e))
+        if tp_axis is None:
+            cattn = nn.dense(ca["out"], cattn.reshape(b, e))
+        else:
+            cattn = _row_parallel_dense(ca["out"], cattn.reshape(b, e_loc),
+                                        tp_axis)
         x = nn.layernorm(lp["norm2"], x + cattn, eps=1e-5)
 
-        ff = nn.dense(lp["linear2"], nn.gelu(nn.dense(lp["linear1"], x)))
+        h1 = nn.gelu(nn.dense(lp["linear1"], x))  # column-parallel under tp
+        if tp_axis is None:
+            ff = nn.dense(lp["linear2"], h1)
+        else:
+            ff = _row_parallel_dense(lp["linear2"], h1, tp_axis)
         x = nn.layernorm(lp["norm3"], x + ff, eps=1e-5)
         return x, caches
 
@@ -416,12 +449,14 @@ def _embed_token(params: Params, tok: jnp.ndarray, pos: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_steps", "sampling",
-                                             "compute_dtype", "mem_group"))
+                                             "compute_dtype", "mem_group",
+                                             "tp_axis"))
 def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
                    mem: MemoryKV, num_steps: int,
                    sampling: SamplingConfig | None = None,
                    compute_dtype=jnp.bfloat16,
-                   mem_group: int = 1) -> DecodeState:
+                   mem_group: int = 1,
+                   tp_axis: str | None = None) -> DecodeState:
     """Run up to ``num_steps`` decode steps inside one lax.while_loop.
 
     Stops early when all sequences are finished or the segment budget, the
@@ -474,7 +509,8 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
             logits = nn.dense(params["unembed"], x_out).astype(jnp.float32)
         else:
             logits, caches = _decode_step_logits(
-                params, cfg, x, s.t, caches, mem, compute_dtype, mem_group)
+                params, cfg, x, s.t, caches, mem, compute_dtype, mem_group,
+                tp_axis)
 
         rng = s.rng
         if sampling is None:
@@ -714,6 +750,7 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
 
 def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
                      latent_valid, mesh, *, axis: str = "data",
+                     model_axis: str | None = None,
                      max_len: int = 1536,
                      sampling: SamplingConfig | None = None, rng=None,
                      initial_segment: int = 256,
@@ -733,6 +770,17 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
     host-driven and mesh-uniform. Batch compaction is not applied (it would
     desynchronize shard shapes).
 
+    ``model_axis``: when the mesh has a model dimension > 1, run
+    Megatron-style tensor-parallel decode on top of the batch sharding —
+    heads and MLP features split over the axis, two psums per layer per
+    step (attention out-proj + linear2 residual adds ride ICI). This cuts
+    the per-chip *weight* stream by the TP factor, which dominates
+    low-batch decode (B=1 streams 336 MB of weights per step vs ~4 MB of
+    cache rows — docs/PERF.md), so it is the latency lever, not the
+    throughput lever. TP decode uses the per-op XLA step (the monolithic
+    Pallas kernel assumes whole-model shards); ``cfg.num_heads`` and
+    ``cfg.mlp_dim`` must divide by the axis size.
+
     ``img_latent`` rows must divide evenly across ``mesh.shape[axis]``
     (pad the batch with dummy rows otherwise). With ``sampling``, per-device
     PRNG streams are independent (``rng`` is pre-split per shard), so sampled
@@ -743,9 +791,15 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec
     from ..ops import pallas_monolith
+    from ..parallel import sharding as psharding
 
     P = PartitionSpec
     n_dev = mesh.shape[axis]
+    tp = mesh.shape[model_axis] if model_axis is not None else 1
+    if tp > 1 and (cfg.num_heads % tp or cfg.mlp_dim % tp):
+        raise ValueError(f"tensor-parallel decode needs num_heads "
+                         f"({cfg.num_heads}) and mlp_dim ({cfg.mlp_dim}) "
+                         f"divisible by the model axis size {tp}")
     if mem_group > 1 and cache_dtype == jnp.int8:
         img_latent = jnp.repeat(img_latent, mem_group, axis=0)
         if latent_valid is not None:
@@ -762,7 +816,7 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
     e, heads = cfg.hidden_dim, cfg.num_heads
     cache_len = min(initial_segment, max_len)
     # per-device shapes decide the kernel dispatch and the scale-pack group
-    monolith = pallas_monolith.use_monolith(
+    monolith = tp == 1 and pallas_monolith.use_monolith(
         cfg, local_b, cache_len, m_len, compute_dtype, cache_dtype)
     tt = pallas_monolith.time_tile(cache_dtype)
     if monolith:
@@ -788,6 +842,11 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
     keys = jax.random.split(rng, n_dev)             # (n_dev, ...) per-shard
 
     def cache_p(x):
+        # caches/mem: (L, B, H, ...) — batch over the data axis; with tp,
+        # heads (dim 2) over the model axis (per-op layouts keep H at dim 2
+        # in both the 5-D k/v and the 4-D scale-plane arrays)
+        if tp > 1:
+            return P(*((None, axis, model_axis) + (None,) * (x.ndim - 3)))
         return P(*((None, axis) + (None,) * (x.ndim - 2)))
 
     carry = {"seqs": state.seqs, "lps": state.log_probs,
@@ -806,7 +865,14 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
     if mem.k_scale is not None:
         memd["ks"], memd["vs"] = mem.k_scale, mem.v_scale
         mem_p["ks"] = mem_p["vs"] = cache_p(mem.k_scale)
-    param_p = jax.tree.map(lambda _: P(), params)
+    if tp > 1:
+        # contiguous per-shard [q_i|k_i|v_i] fused-qkv blocks (the memory
+        # K/V above were projected from the ORIGINAL layout — order matters)
+        params = psharding.tp_shuffle_decoder_params(
+            params, heads, cfg.head_dim, tp)
+        param_p = psharding.tp_decode_param_specs(params, model_axis)
+    else:
+        param_p = jax.tree.map(lambda _: P(), params)
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -824,7 +890,8 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
                       md.get("vs"))
         s = decode_segment(params=p, cfg=cfg, state=st, mem=mm,
                            num_steps=steps, sampling=sampling,
-                           compute_dtype=compute_dtype, mem_group=g)
+                           compute_dtype=compute_dtype, mem_group=g,
+                           tp_axis=model_axis if tp > 1 else None)
         out = {"seqs": s.seqs, "lps": s.log_probs, "fin": s.finished,
                "t": s.t[None], "k": s.k_cache, "v": s.v_cache,
                "key": s.rng[None]}

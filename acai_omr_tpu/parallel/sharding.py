@@ -105,3 +105,82 @@ def param_shardings(mesh: Mesh, params) -> dict:
 def shard_params(mesh: Mesh, params):
     """Place a parameter pytree onto the mesh according to the rules."""
     return jax.tree.map(jax.device_put, params, param_shardings(mesh, params))
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel decode (explicit shard_map layout)
+# ---------------------------------------------------------------------------
+#
+# The decode loop runs under shard_map (GSPMD cannot partition the Pallas
+# kernels, and the per-op loop wants deterministic collective placement), so
+# each model shard must receive a *contiguous, self-consistent* local slice.
+# The fused qkv kernels store columns as [q | k | v] (each E wide,
+# head-major); plain last-dim sharding would hand shard 0 a slab of q only.
+# ``tp_shuffle_decoder_params`` permutes the columns to
+# [q_0|k_0|v_0 | q_1|k_1|v_1 | ...] so that sharding the last dim over the
+# model axis gives every shard a locally-fused [q_i|k_i|v_i] block that the
+# unmodified step code can split into thirds.
+
+
+def tp_shuffle_decoder_params(params, num_heads: int, head_dim: int,
+                              tp: int):
+    """Reorder fused-qkv columns of every attention block for ``tp``-way
+    tensor-parallel decode. Non-qkv leaves are shared, not copied."""
+    import jax.numpy as jnp
+
+    def shuffle(blocks):
+        blocks = dict(blocks)
+        for name in ("self_attn", "cross_attn"):
+            blk = dict(blocks[name])
+            kern, bias = blk["in_kernel"], blk["in_bias"]
+            l, e, _ = kern.shape
+            k6 = kern.reshape(l, e, 3, tp, num_heads // tp, head_dim)
+            blk["in_kernel"] = jnp.transpose(
+                k6, (0, 1, 3, 2, 4, 5)).reshape(l, e, 3 * e)
+            b5 = bias.reshape(l, 3, tp, num_heads // tp, head_dim)
+            blk["in_bias"] = jnp.transpose(
+                b5, (0, 2, 1, 3, 4)).reshape(l, 3 * e)
+            blocks[name] = blk
+        return blocks
+
+    out = dict(params)
+    out["blocks"] = shuffle(params["blocks"])
+    return out
+
+
+def tp_decode_param_specs(params, model_axis: str):
+    """PartitionSpec pytree for shard_map tensor-parallel decode.
+
+    Head-parallel attention + column/row-parallel MLP like the training
+    rules, with two decode-specific differences: specs name ``model_axis``
+    (the caller's mesh axis) and the unembed stays replicated — each shard
+    computes the full (B, V) logits so greedy/sampled selection needs no
+    collective (V is tiny: 227)."""
+
+    def spec(path):
+        name, parent = path[-1], path[-2] if len(path) >= 2 else ""
+        grandparent = path[-3] if len(path) >= 3 else ""
+        stacked = "blocks" in path
+
+        def with_layer(*dims):
+            return P(None, *dims) if stacked else P(*dims)
+
+        if parent in ("self_attn", "cross_attn"):
+            if name == "in_kernel":
+                return with_layer(None, model_axis)
+            if name == "in_bias":
+                return with_layer(model_axis)
+        if grandparent in ("self_attn", "cross_attn") and parent == "out":
+            if name == "kernel":
+                return with_layer(model_axis, None)
+            return with_layer(None) if stacked else P()
+        if parent == "linear1":
+            if name == "kernel":
+                return with_layer(None, model_axis)
+            return with_layer(model_axis)
+        if parent == "linear2" and name == "kernel":
+            return with_layer(model_axis, None)
+        return P()  # norms, embeddings, unembed, linear2 bias
+
+    return jax.tree_util.tree_map_with_path(
+        lambda kp, _: spec(_path_names(kp)), params)

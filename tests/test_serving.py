@@ -175,6 +175,33 @@ def test_batch_inference_beam(tiny_model, rng):
     assert all(lp <= 0.0 for lp in res.avg_log_probs)
 
 
+def test_batch_inference_meshed(tiny_model, rng):
+    """mesh= decodes each bucket group via sharded_generate (DP x TP): odd
+    group sizes are padded up to the data axis, results stay input-ordered
+    and match the unmeshed greedy decode."""
+    import jax
+    import jax.numpy as jnp
+    from acai_omr_tpu.inference.batch_inference import batch_inference
+    from acai_omr_tpu.parallel import mesh as mesh_lib
+    from acai_omr_tpu.serving import routes
+
+    m = routes._MODEL
+    imgs = [rng.random((1, 32, 48), dtype=np.float32),
+            rng.random((1, 64, 96), dtype=np.float32),
+            rng.random((1, 32, 48), dtype=np.float32)]
+    kwargs = dict(max_inference_len=12, decode_batch=2, bucket_multiple=8,
+                  compute_dtype=jnp.float32)
+    ref = batch_inference(m["params"], m["cfg"], imgs, m["tokenizer"],
+                          **kwargs)
+    mesh = mesh_lib.make_mesh(2, 2, devices=jax.devices()[:4])
+    res = batch_inference(m["params"], m["cfg"], imgs, m["tokenizer"],
+                          mesh=mesh, model_axis=mesh_lib.MODEL_AXIS,
+                          **kwargs)
+    assert res.lmx == ref.lmx
+    np.testing.assert_allclose(res.avg_log_probs, ref.avg_log_probs,
+                               atol=1e-5)
+
+
 def test_batch_inference_quantized_kv(tiny_model, rng):
     """cache_dtype=int8 routes through the quantized decode and still
     produces valid LMX per image."""

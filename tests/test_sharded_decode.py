@@ -137,3 +137,74 @@ def test_shard_map_decode_sampled_runs():
     # identical memories but per-shard PRNG streams: rows must not all match
     rows = np.asarray(seqs)
     assert not all((rows[i] == rows[0]).all() for i in range(1, b))
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel decode (DP x TP mesh)
+# ---------------------------------------------------------------------------
+
+def _setup(b=16, m=12, key=1):
+    params = omr_decoder.init_decoder_params(jax.random.PRNGKey(0), CFG)
+    mem = jax.random.normal(jax.random.PRNGKey(key), (b, m, CFG.hidden_dim))
+    return params, mem, jnp.ones((b, m), dtype=bool)
+
+
+def test_tp_decode_matches_single_device():
+    """DP=2 x TP=4 decode through a cache-growth boundary: tokens identical
+    to the single-device per-op path, log-probs equal to fp32 psum noise."""
+    params, mem, mem_valid = _setup()
+    ref_seqs, ref_lps, _ = decode_lib.generate(
+        params, CFG, mem, mem_valid, max_len=16,
+        compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+
+    mesh = mesh_lib.make_mesh(2, 4)
+    seqs, lps, _ = decode_lib.sharded_generate(
+        params, CFG, mem, mem_valid, mesh, model_axis=mesh_lib.MODEL_AXIS,
+        max_len=16, initial_segment=8,
+        compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+
+    n = min(ref_seqs.shape[1], seqs.shape[1])
+    np.testing.assert_array_equal(np.asarray(seqs)[:, :n],
+                                  np.asarray(ref_seqs)[:, :n])
+    np.testing.assert_allclose(np.asarray(lps)[:, :n],
+                               np.asarray(ref_lps)[:, :n],
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_tp_decode_int8_and_grouped():
+    """int8 KV caches and grouped memories (GRPO rollouts) both compose with
+    tensor parallelism."""
+    params, mem, mem_valid = _setup()
+    mesh = mesh_lib.make_mesh(2, 4)
+    ref = decode_lib.generate(params, CFG, mem, mem_valid, max_len=16,
+                              compute_dtype=jnp.float32,
+                              cache_dtype=jnp.float32)
+    q = decode_lib.sharded_generate(
+        params, CFG, mem, mem_valid, mesh, model_axis=mesh_lib.MODEL_AXIS,
+        max_len=16, initial_segment=8,
+        compute_dtype=jnp.float32, cache_dtype=jnp.int8)
+    n = min(ref[0].shape[1], q[0].shape[1])
+    agree = (np.asarray(ref[0])[:, :n] == np.asarray(q[0])[:, :n]).mean()
+    assert agree > 0.9, agree
+
+    g = 4
+    ref_g = decode_lib.generate(params, CFG, mem[:4], mem_valid[:4],
+                                max_len=16, mem_group=g, compact=False,
+                                compute_dtype=jnp.float32,
+                                cache_dtype=jnp.float32)
+    got_g = decode_lib.sharded_generate(
+        params, CFG, mem[:4], mem_valid[:4], mesh,
+        model_axis=mesh_lib.MODEL_AXIS, max_len=16, initial_segment=8,
+        mem_group=g, compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+    n = min(ref_g[0].shape[1], got_g[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(got_g[0])[:, :n],
+                                  np.asarray(ref_g[0])[:, :n])
+
+
+def test_tp_decode_rejects_indivisible_heads():
+    params, mem, mem_valid = _setup()
+    mesh = mesh_lib.make_mesh(1, 8)  # 8 > 4 heads
+    with pytest.raises(ValueError, match="divisible"):
+        decode_lib.sharded_generate(
+            params, CFG, mem, mem_valid, mesh,
+            model_axis=mesh_lib.MODEL_AXIS, max_len=16)

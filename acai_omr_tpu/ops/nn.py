@@ -308,3 +308,42 @@ def dropout(key, x: jnp.ndarray, rate: float, deterministic: bool) -> jnp.ndarra
     keep = 1.0 - rate
     mask = jax.random.bernoulli(key, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# sequence-parallel activation sharding hook (GSPMD training)
+# ---------------------------------------------------------------------------
+
+_ACT_SHARD = None
+
+
+class activation_sharding:
+    """Install a sharding constraint applied to every (B, T, E) layer output
+    inside the transformer stacks (Megatron sequence parallelism when the
+    constraint puts T over the model axis — see
+    ``parallel.sharding.sequence_parallel``).
+
+    Trace-time: wrap the call that TRACES the jitted step; the constraint is
+    baked into the compiled program and later cached calls keep it. The
+    shard_map paths (fused Pallas kernels, pipeline) ignore it — this hook
+    exists for the GSPMD-autopartitioned DP x TP training mode.
+    """
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __enter__(self):
+        global _ACT_SHARD
+        self.prev = _ACT_SHARD
+        _ACT_SHARD = self.fn
+        return self
+
+    def __exit__(self, *exc):
+        global _ACT_SHARD
+        _ACT_SHARD = self.prev
+        return False
+
+
+def shard_activations(x: jnp.ndarray) -> jnp.ndarray:
+    """Apply the installed activation constraint (identity when none)."""
+    return x if _ACT_SHARD is None else _ACT_SHARD(x)

@@ -187,8 +187,9 @@ def encoder_stack(stacked: Params, x: jnp.ndarray, bias, num_heads: int,
     layer_rngs = None if rng is None else jax.random.split(rng, n)
 
     def run_layer(layer_params, carry, layer_rng):
-        return encoder_layer(layer_params, carry, bias, num_heads,
-                             dropout_rate, layer_rng, deterministic)
+        out = encoder_layer(layer_params, carry, bias, num_heads,
+                            dropout_rate, layer_rng, deterministic)
+        return nn.shard_activations(out)
 
     run_layer = _remat_wrap(run_layer, remat)
 
@@ -283,9 +284,10 @@ def decoder_stack(stacked: Params, x: jnp.ndarray, memory: jnp.ndarray,
     layer_rngs = None if rng is None else jax.random.split(rng, n)
 
     def run_layer(layer_params, carry, layer_rng, mem_kv_l):
-        return decoder_layer(layer_params, carry, memory, self_bias, cross_bias,
-                             num_heads, dropout_rate, layer_rng, deterministic,
-                             mem_kv=mem_kv_l, cross_group=cross_group)
+        out = decoder_layer(layer_params, carry, memory, self_bias, cross_bias,
+                            num_heads, dropout_rate, layer_rng, deterministic,
+                            mem_kv=mem_kv_l, cross_group=cross_group)
+        return nn.shard_activations(out)
 
     run_layer = _remat_wrap(run_layer, remat)
 

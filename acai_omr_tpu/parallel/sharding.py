@@ -184,3 +184,33 @@ def tp_decode_param_specs(params, model_axis: str):
 
     return jax.tree_util.tree_map_with_path(
         lambda kp, _: spec(_path_names(kp)), params)
+
+
+def sequence_parallel(mesh: Mesh, data_axis: str | None = None,
+                      model_axis: str | None = None):
+    """Megatron sequence parallelism as a GSPMD hint.
+
+    Returns a constraint fn for ``ops.nn.activation_sharding``: every
+    (B, T, E) layer output inside the transformer stacks is constrained to
+    (B: data, T: model) — the elementwise regions between the TP matmuls
+    (LayerNorm / dropout / residual adds) then compute on 1/tp of the
+    tokens per chip and XLA materializes the TP boundary collectives as
+    reduce-scatter / all-gather pairs instead of full all-reduces
+    (scaling-book recipe; the constraint is the hint, XLA picks the
+    collectives). Usage::
+
+        with nn.activation_sharding(sequence_parallel(mesh)):
+            loss, grads = grad_step(params, batch, rng)   # tracing call
+
+    Non-3D arrays pass through untouched.
+    """
+    from .mesh import DATA_AXIS, MODEL_AXIS
+    sh = NamedSharding(mesh, P(data_axis or DATA_AXIS,
+                               model_axis or MODEL_AXIS, None))
+
+    def constrain(x):
+        if x.ndim != 3:
+            return x
+        return jax.lax.with_sharding_constraint(x, sh)
+
+    return constrain

@@ -274,3 +274,44 @@ def test_pipeline_train_step_reduces_loss():
     assert losses[-1] < losses[0]
     spec = state.params["blocks"]["linear1"]["kernel"].sharding.spec
     assert spec[0] == mesh_lib.MODEL_AXIS
+
+
+def test_sequence_parallel_constraint_is_exact():
+    """Megatron-SP activation sharding (sequence over the model axis between
+    TP regions) is a pure GSPMD hint: loss and grads match the
+    unconstrained DP x TP step."""
+    from acai_omr_tpu.ops import nn
+    from jax.sharding import NamedSharding
+
+    mesh = mesh_lib.make_mesh(4, 2)
+    params = vitomr.init_vitomr_params(jax.random.PRNGKey(0), CFG)
+    params_s = sharding.shard_params(mesh, params)
+
+    rng = np.random.default_rng(0)
+    b, l_img, t = 8, 16, 8
+    batch = dict(
+        patches=jnp.asarray(rng.random((b, l_img, 16), dtype=np.float32)),
+        pe_idx=jnp.asarray(rng.integers(0, 64, (b, l_img, 4)), dtype=jnp.int32),
+        pe_w=jnp.asarray(rng.random((b, l_img, 4), dtype=np.float32)),
+        valid=jnp.ones((b, l_img), bool),
+        inputs=jnp.asarray(rng.integers(3, 11, (b, t)), dtype=jnp.int32),
+        targets=jnp.asarray(rng.integers(3, 11, (b, t)), dtype=jnp.int32),
+        lmx_valid=jnp.ones((b, t), bool))
+    dsh = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+    batch = jax.tree.map(lambda x: jax.device_put(x, dsh), batch)
+
+    def loss(p, batch):
+        logits = vitomr.forward_teacher_forced(
+            p, CFG, batch["patches"], batch["pe_idx"], batch["pe_w"],
+            batch["valid"], batch["inputs"], batch["lmx_valid"],
+            compute_dtype=jnp.float32)
+        return vitomr.omr_ce_loss(logits, batch["targets"],
+                                  CFG.decoder.pad_idx)
+
+    l0, g0 = jax.jit(jax.value_and_grad(loss))(params_s, batch)
+    with nn.activation_sharding(sharding.sequence_parallel(mesh)):
+        l1, g1 = jax.jit(jax.value_and_grad(loss))(params_s, batch)
+    np.testing.assert_allclose(float(l1), float(l0), atol=1e-6)
+    err = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b_: float(jnp.max(jnp.abs(a - b_))), g0, g1)))
+    assert err < 1e-5, err

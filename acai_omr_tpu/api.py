@@ -60,8 +60,8 @@ class OmrModel:
         """Ragged list of system images -> list of Transcription.
 
         ``beam_size > 1`` uses beam-search decode (quality over speed);
-        ``quantized_kv`` uses int8 KV caches (speed over exactness, greedy
-        only — ~1.5x decode throughput on TPU).
+        ``quantized_kv`` uses int8 KV caches (speed over exactness — ~1.5x
+        decode throughput on TPU; composes with beams).
         """
         from .inference.batch_inference import batch_inference
         from .lmx.delinearizer import DelinearizationError, delinearize

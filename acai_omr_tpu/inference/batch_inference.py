@@ -48,8 +48,8 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
     ``beam_size > 1`` switches the decode to beam search (quality over
     throughput; the effective decode batch is ``decode_batch * beam_size``
     rows). ``cache_dtype=jnp.int8`` enables quantized KV caches (~1.5x decode
-    throughput on TPU via fused kernels; greedy only, near- but not
-    bit-identical tokens — see docs/PERF.md).
+    throughput on TPU via fused kernels; composes with beams via the per-op
+    path; near- but not bit-identical tokens — see docs/PERF.md).
 
     ``mesh``: decode each bucket group over the device mesh
     (:func:`decode.sharded_generate`) — the batch is padded up to the data
@@ -84,7 +84,8 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
             seqs, lps, mask = decode_lib.beam_generate(
                 params["decoder"], cfg.decoder, latent, latent_valid,
                 beam_size=beam_size, length_penalty=length_penalty,
-                max_len=max_inference_len, compute_dtype=compute_dtype)
+                max_len=max_inference_len, compute_dtype=compute_dtype,
+                cache_dtype=cache_dtype)
         elif mesh is not None:
             from ..parallel import mesh as mesh_lib
             n_data = mesh.shape[mesh_lib.DATA_AXIS]

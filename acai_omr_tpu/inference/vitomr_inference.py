@@ -80,7 +80,7 @@ def inference(params, cfg: ViTOMRConfig, img, max_inference_len: int = 1536,
               cache_dtype=jnp.bfloat16):
     """Batched decode (reference: vitomr_inference.py:73-86) — greedy by
     default; ``beam_size > 1`` runs beam search, ``cache_dtype=jnp.int8``
-    quantized KV caches (greedy only).
+    quantized KV caches (composes with beams via the per-op path).
 
     ``img``: one (C, H, W) array or a list of them (ragged sizes fine).
     Returns (seqs, log_probs, seq_mask) as numpy arrays.
@@ -91,7 +91,7 @@ def inference(params, cfg: ViTOMRConfig, img, max_inference_len: int = 1536,
         seqs, lps, mask = decode_lib.beam_generate(
             params["decoder"], cfg.decoder, latent, latent_valid,
             beam_size=beam_size, max_len=max_inference_len,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, cache_dtype=cache_dtype)
     else:
         seqs, lps, mask = decode_lib.generate(
             params["decoder"], cfg.decoder, latent, latent_valid,

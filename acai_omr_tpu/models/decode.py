@@ -982,6 +982,9 @@ class BeamState(NamedTuple):
     t: jnp.ndarray          # () int32
     k_cache: jnp.ndarray    # (L, B*K, H, Dh, T_cache)
     v_cache: jnp.ndarray
+    # int8 cache mode (per-op layout): (L, B*K, H, T_cache) dequant scales
+    k_scale: jnp.ndarray | None = None
+    v_scale: jnp.ndarray | None = None
 
 
 def init_beam_state(cfg: DecoderConfig, batch_size: int, beam_size: int,
@@ -998,8 +1001,17 @@ def init_beam_state(cfg: DecoderConfig, batch_size: int, beam_size: int,
         shape = (cfg.num_layers, b * k, cache_len, cfg.hidden_dim)
     else:
         shape = (cfg.num_layers, b * k, cfg.num_heads, cfg.head_dim, cache_len)
+    k_scale = v_scale = None
+    if cache_dtype == jnp.int8:
+        # per-op layout only (the monolith's lane-packed scale planes cannot
+        # be row-gathered for beam reordering)
+        assert not monolith
+        sshape = (cfg.num_layers, b * k, cfg.num_heads, cache_len)
+        k_scale = jnp.ones(sshape, dtype=jnp.float32)
+        v_scale = jnp.ones(sshape, dtype=jnp.float32)
     return BeamState(seqs, log_probs, scores, finished, jnp.int32(1),
-                     jnp.zeros(shape, cache_dtype), jnp.zeros(shape, cache_dtype))
+                     jnp.zeros(shape, cache_dtype), jnp.zeros(shape, cache_dtype),
+                     k_scale, v_scale)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_steps",
@@ -1039,6 +1051,8 @@ def beam_decode_segment(params: Params, cfg: DecoderConfig, state: BeamState,
             s.seqs, s.t - 1, 1, axis=2)[:, :, 0].reshape(b * k)
         x = _embed_token(params, prev_tok, s.t - 1, compute_dtype)
         caches = {"k": s.k_cache, "v": s.v_cache}
+        if s.k_scale is not None:
+            caches["ks"], caches["vs"] = s.k_scale, s.v_scale
         if monolith:
             x_out, caches["k"], caches["v"] = pallas_monolith.decode_layers(
                 mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
@@ -1079,8 +1093,12 @@ def beam_decode_segment(params: Params, cfg: DecoderConfig, state: BeamState,
         flat_parent = (jnp.arange(b)[:, None] * k + parent).reshape(b * k)
         k_cache = jnp.take(caches["k"], flat_parent, axis=1)
         v_cache = jnp.take(caches["v"], flat_parent, axis=1)
+        k_scale = v_scale = None
+        if s.k_scale is not None:
+            k_scale = jnp.take(caches["ks"], flat_parent, axis=1)
+            v_scale = jnp.take(caches["vs"], flat_parent, axis=1)
         return BeamState(seqs, log_probs, top_scores, finished, s.t + 1,
-                         k_cache, v_cache)
+                         k_cache, v_cache, k_scale, v_scale)
 
     return jax.lax.while_loop(cond, body, state)
 
@@ -1105,10 +1123,11 @@ def beam_generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
 
     b = img_latent.shape[0]
     k = beam_size
-    if cache_dtype == jnp.int8:
-        raise NotImplementedError("beam search supports bf16/f32 caches only")
     cache_len = min(initial_segment, max_len)
-    monolith = pallas_monolith.use_monolith(
+    # int8 beams run the per-op fused kernels: beam reordering row-gathers the
+    # caches every step, which the monolith's lane-packed scale planes cannot
+    # support (per-op scales are row-major (L, B*K, H, T) — gatherable).
+    monolith = cache_dtype != jnp.int8 and pallas_monolith.use_monolith(
         cfg, b * k, cache_len, img_latent.shape[1], compute_dtype, cache_dtype)
     tt = pallas_monolith.time_tile(cache_dtype)
     if monolith:
@@ -1147,8 +1166,14 @@ def beam_generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
                 pad = [(0, 0), (0, 0), (0, new_len - grown), (0, 0)]
             else:
                 pad = [(0, 0)] * 4 + [(0, new_len - grown)]
-            state = state._replace(k_cache=jnp.pad(state.k_cache, pad),
-                                   v_cache=jnp.pad(state.v_cache, pad))
+            spad = [(0, 0)] * 3 + [(0, new_len - grown)]
+            state = state._replace(
+                k_cache=jnp.pad(state.k_cache, pad),
+                v_cache=jnp.pad(state.v_cache, pad),
+                k_scale=None if state.k_scale is None else
+                jnp.pad(state.k_scale, spad, constant_values=1.0),
+                v_scale=None if state.v_scale is None else
+                jnp.pad(state.v_scale, spad, constant_values=1.0))
 
     # select best beam per row by length-normalized score
     mask = create_inference_mask(state.seqs.reshape(b * k, -1), cfg.eos_idx)

@@ -316,6 +316,40 @@ def test_beam_all_beams_consistency(setup):
         atol=1e-3)
 
 
+def test_beam_int8_size_1_matches_greedy_int8(setup):
+    """int8 beam search (per-op path: BeamState carries gatherable scale
+    planes) at K=1 must be token-identical to int8 greedy decode."""
+    params, mem, mem_valid = setup
+    ref, _, _ = decode_lib.generate(
+        params, CFG, mem, mem_valid, max_len=24,
+        compute_dtype=jnp.float32, cache_dtype=jnp.int8, initial_segment=8)
+    seqs, _, _ = decode_lib.beam_generate(
+        params, CFG, mem, mem_valid, beam_size=1, max_len=24,
+        length_penalty=0.0, initial_segment=8, compute_dtype=jnp.float32,
+        cache_dtype=jnp.int8)
+    n = min(ref.shape[1], seqs.shape[1])
+    np.testing.assert_array_equal(np.asarray(seqs)[:, :n],
+                                  np.asarray(ref)[:, :n])
+
+
+def test_beam_int8_matches_fp32_beam(setup):
+    """Wide int8 beam (with segment growth, exercising scale-plane padding
+    and per-step parent scale gathers) agrees with the fp32 beam on the
+    test model, like the greedy int8 test above."""
+    params, mem, mem_valid = setup
+    ref, _, ref_mask = decode_lib.beam_generate(
+        params, CFG, mem, mem_valid, beam_size=3, max_len=24,
+        length_penalty=0.0, initial_segment=8, compute_dtype=jnp.float32,
+        cache_dtype=jnp.float32)
+    q, _, _ = decode_lib.beam_generate(
+        params, CFG, mem, mem_valid, beam_size=3, max_len=24,
+        length_penalty=0.0, initial_segment=8, compute_dtype=jnp.float32,
+        cache_dtype=jnp.int8)
+    n = min(ref.shape[1], q.shape[1])
+    agree = (np.asarray(ref)[:, :n] == np.asarray(q)[:, :n]).mean()
+    assert agree > 0.9, agree
+
+
 def test_beam_batch_rows_independent(setup):
     """Batched beam search must equal per-row beam search (mask handling,
     latent expansion, and cache reordering don't leak across rows)."""

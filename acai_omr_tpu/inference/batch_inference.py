@@ -59,6 +59,14 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
     """
     order = sorted(range(len(imgs)),
                    key=lambda i: _bucket_key(imgs[i], cfg, bucket_multiple))
+    # TP decode: shuffle+place the decoder weights ONCE for all bucket groups
+    # (the shuffle emits fresh arrays — per-call it would re-upload ~all
+    # decoder weights through the device transfer path every group)
+    tp_params = None
+    if mesh is not None and model_axis is not None and beam_size == 1 \
+            and mesh.shape[model_axis] > 1:
+        tp_params = decode_lib.prepare_tp_decode_params(
+            params["decoder"], cfg.decoder, mesh, model_axis)
     lmx_out = [None] * len(imgs)
     lp_out = [0.0] * len(imgs)
     seq_out = [None] * len(imgs)
@@ -99,7 +107,7 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
                 params["decoder"], cfg.decoder, latent, latent_valid, mesh,
                 axis=mesh_lib.DATA_AXIS, model_axis=model_axis,
                 max_len=max_inference_len, compute_dtype=compute_dtype,
-                cache_dtype=cache_dtype)
+                cache_dtype=cache_dtype, tp_params=tp_params)
         else:
             seqs, lps, mask = decode_lib.generate(
                 params["decoder"], cfg.decoder, latent, latent_valid,

@@ -748,6 +748,26 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
 # data-parallel decode over a device mesh
 # ---------------------------------------------------------------------------
 
+def prepare_tp_decode_params(params: Params, cfg: DecoderConfig, mesh,
+                             model_axis: str):
+    """Pre-shuffle decoder params for tensor-parallel decode and place them
+    on the mesh. Pass the result as ``sharded_generate(tp_params=...)`` when
+    decoding repeatedly with the same weights (e.g. the per-bucket-group loop
+    in ``batch_inference``): the shuffle emits fresh arrays each time, so
+    doing it per call re-transfers the full decoder weights to the devices.
+    """
+    from jax.sharding import NamedSharding
+    from ..parallel import sharding as psharding
+
+    tp = mesh.shape[model_axis]
+    shuffled = psharding.tp_shuffle_decoder_params(
+        params, cfg.num_heads, cfg.head_dim, tp)
+    specs = psharding.tp_decode_param_specs(shuffled, model_axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        shuffled, specs)
+
+
 def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
                      latent_valid, mesh, *, axis: str = "data",
                      model_axis: str | None = None,
@@ -756,7 +776,7 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
                      initial_segment: int = 256,
                      segment_steps: int | None = None,
                      compute_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16,
-                     mem_group: int = 1):
+                     mem_group: int = 1, tp_params=None):
     """Batch-sharded KV-cached generation over a named mesh axis.
 
     Each device runs the complete decode loop — including the monolithic
@@ -772,7 +792,7 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
 
     ``model_axis``: when the mesh has a model dimension > 1, run
     Megatron-style tensor-parallel decode on top of the batch sharding —
-    heads and MLP features split over the axis, two psums per layer per
+    heads and MLP features split over the axis, three psums per layer per
     step (attention out-proj + linear2 residual adds ride ICI). This cuts
     the per-chip *weight* stream by the TP factor, which dominates
     low-batch decode (B=1 streams 336 MB of weights per step vs ~4 MB of
@@ -867,9 +887,13 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
         mem_p["ks"] = mem_p["vs"] = cache_p(mem.k_scale)
     if tp > 1:
         # contiguous per-shard [q_i|k_i|v_i] fused-qkv blocks (the memory
-        # K/V above were projected from the ORIGINAL layout — order matters)
-        params = psharding.tp_shuffle_decoder_params(
-            params, heads, cfg.head_dim, tp)
+        # K/V above were projected from the ORIGINAL layout — order matters).
+        # ``tp_params`` skips the shuffle when the caller decodes repeatedly
+        # with the same weights (the shuffle output is fresh arrays, so
+        # without it every call re-uploads the full decoder through the
+        # device transfer path — see prepare_tp_decode_params).
+        params = tp_params if tp_params is not None else \
+            psharding.tp_shuffle_decoder_params(params, heads, cfg.head_dim, tp)
         param_p = psharding.tp_decode_param_specs(params, model_axis)
     else:
         param_p = jax.tree.map(lambda _: P(), params)

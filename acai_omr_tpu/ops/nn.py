@@ -324,9 +324,11 @@ class activation_sharding:
     ``parallel.sharding.sequence_parallel``).
 
     Trace-time: wrap the call that TRACES the jitted step; the constraint is
-    baked into the compiled program and later cached calls keep it. The
-    shard_map paths (fused Pallas kernels, pipeline) ignore it — this hook
-    exists for the GSPMD-autopartitioned DP x TP training mode.
+    baked into the compiled program and later cached calls keep it. This hook
+    exists for the GSPMD-autopartitioned DP x TP training mode;
+    :func:`shard_activations` detects manual (shard_map) tracing contexts —
+    the DP trainer / pipeline bodies, where a GSPMD constraint is illegal —
+    and skips the constraint there.
     """
 
     def __init__(self, fn):
@@ -344,6 +346,19 @@ class activation_sharding:
         return False
 
 
+def _in_manual_ctx() -> bool:
+    """True when tracing under shard_map (manual mesh axes), where GSPMD
+    sharding constraints are rejected."""
+    try:
+        from jax._src import mesh as _mesh
+        return bool(_mesh.get_abstract_mesh().manual_axes)
+    except Exception:
+        return False
+
+
 def shard_activations(x: jnp.ndarray) -> jnp.ndarray:
-    """Apply the installed activation constraint (identity when none)."""
-    return x if _ACT_SHARD is None else _ACT_SHARD(x)
+    """Apply the installed activation constraint (identity when none, or
+    inside a shard_map body where the constraint would be illegal)."""
+    if _ACT_SHARD is None or _in_manual_ctx():
+        return x
+    return _ACT_SHARD(x)

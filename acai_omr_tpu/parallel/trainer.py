@@ -232,9 +232,9 @@ def _sharded_loss_and_grads(sum_loss_fn: Callable, axis: str):
 
         (s, n), grads = jax.value_and_grad(s_fn, has_aux=True)(params)
         s = jax.lax.psum(s, axis)
-        n = jax.lax.psum(n, axis)
+        n = jnp.maximum(jax.lax.psum(n, axis), 1.0)  # all-padding batch: 0 grads, not NaN
         grads = jax.tree.map(lambda g: jax.lax.psum(g, axis) / n, grads)
-        return s / jnp.maximum(n, 1.0), grads
+        return s / n, grads
 
     return local
 

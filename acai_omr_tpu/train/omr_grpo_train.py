@@ -331,6 +331,10 @@ def make_grpo_update_step(cfg: ViTOMRConfig, tx, num_groups: int,
     from jax.sharding import PartitionSpec as P
 
     def local(params, batch, rng):
+        # independent per-shard randomness (the update is deterministic today,
+        # but the rngs thread into the decoder forward — keep shards decorrelated
+        # if dropout/regularizers are ever enabled, like the DP trainer does)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         grads, obj, ent, ce_s, ce_n, ce_grads = grads_and_sums(
             params, batch, rng)
         grads = jax.tree.map(lambda g: jax.lax.psum(g, axis), grads)
@@ -344,8 +348,7 @@ def make_grpo_update_step(cfg: ViTOMRConfig, tx, num_groups: int,
         return grads, obj, ent, ce_s, ce_n
 
     def sharded_step(state, batch, rng):
-        specs = {k: (P() if jnp.ndim(v) == 0 else P(axis))
-                 for k, v in batch.items()}
+        specs = trainer._batch_specs(batch, axis)
         f = shard_map(local, mesh=mesh, in_specs=(P(), specs, P()),
                       out_specs=P(), check_vma=False)
         outs = f(state.params, batch, rng)

@@ -86,12 +86,14 @@ def set_up_vitomr(tokenizer: LmxTokenizer | None = None,
 
 def make_loss_fn(cfg: ViTOMRConfig, tf_state: dict,
                  compute_dtype=jnp.bfloat16, label_smoothing=LABEL_SMOOTHING,
-                 remat="dots"):
+                 remat="dots", reduction="mean"):
     """Scheduled-sampling loss. ``tf_state`` holds mutable curriculum values
     read at trace time; pass tf_prob/tau/hard via batch to avoid retraces.
     ``remat``: per-layer rematerialization policy (ops/transformer._remat_wrap)
     — "dots" saves matmul outputs (default; measured fastest at B=8),
-    False trades memory for no recompute, True is full recompute."""
+    False trades memory for no recompute, True is full recompute.
+    ``reduction="mean"`` returns (loss, {}); ``"sum"`` returns
+    (nll_sum, token_count) for exact DP reduction."""
     def loss_fn(params, batch, rng):
         logits = vitomr_lib.forward_scheduled_sampling(
             params, cfg, batch["patches"], batch["pe_idx"], batch["pe_w"],
@@ -100,9 +102,10 @@ def make_loss_fn(cfg: ViTOMRConfig, tf_state: dict,
             use_hard_sampling=tf_state["use_hard_sampling"], rng=rng,
             compute_dtype=compute_dtype, deterministic=False,
             frozen_stop_gradient=True, remat=remat)
-        loss = vitomr_lib.omr_ce_loss(logits, batch["targets"],
-                                      cfg.decoder.pad_idx, label_smoothing)
-        return loss, {}
+        out = vitomr_lib.omr_ce_loss(logits, batch["targets"],
+                                     cfg.decoder.pad_idx, label_smoothing,
+                                     reduction=reduction)
+        return (out, {}) if reduction == "mean" else out
     return loss_fn
 
 
@@ -111,18 +114,8 @@ def make_sum_loss_fn(cfg: ViTOMRConfig, tf_state: dict,
                      label_smoothing=LABEL_SMOOTHING, remat="dots"):
     """(nll_sum, token_count) variant of :func:`make_loss_fn` for exact DP
     reduction (trainer.make_sharded_grad_fn)."""
-    def loss_fn(params, batch, rng):
-        logits = vitomr_lib.forward_scheduled_sampling(
-            params, cfg, batch["patches"], batch["pe_idx"], batch["pe_w"],
-            batch["valid"], batch["inputs"], batch["lmx_valid"],
-            teacher_forcing_prob=batch["tf_prob"], sample_tau=batch["tau"],
-            use_hard_sampling=tf_state["use_hard_sampling"], rng=rng,
-            compute_dtype=compute_dtype, deterministic=False,
-            frozen_stop_gradient=True, remat=remat)
-        return vitomr_lib.omr_ce_loss(logits, batch["targets"],
-                                      cfg.decoder.pad_idx, label_smoothing,
-                                      reduction="sum")
-    return loss_fn
+    return make_loss_fn(cfg, tf_state, compute_dtype, label_smoothing,
+                        remat, reduction="sum")
 
 
 def make_eval_fn(cfg: ViTOMRConfig, compute_dtype=jnp.bfloat16,

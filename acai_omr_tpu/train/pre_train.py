@@ -57,7 +57,10 @@ def set_up_mae() -> MaeConfig:
         mask_ratio=MASK_RATIO)
 
 
-def make_loss_fn(cfg: MaeConfig, compute_dtype=jnp.bfloat16):
+def make_loss_fn(cfg: MaeConfig, compute_dtype=jnp.bfloat16,
+                 reduction="mean"):
+    """``reduction="mean"`` returns (loss, {}); ``"sum"`` returns
+    (loss_sum, patch_count) for exact DP reduction."""
     def loss_fn(params, batch, rng):
         # remat: recompute per-layer activations in backward — without it the
         # layer scan keeps every layer's (B, H, T, T) attention residuals and
@@ -66,21 +69,15 @@ def make_loss_fn(cfg: MaeConfig, compute_dtype=jnp.bfloat16):
             params, cfg, rng, batch["patches"], batch["pe_idx"], batch["pe_w"],
             batch["valid"], batch["lengths"], batch["target_patches"],
             compute_dtype=compute_dtype, remat=True)
-        loss = mae_lib.mae_loss(pred, loss_mask, target)
-        return loss, {}
+        out = mae_lib.mae_loss(pred, loss_mask, target, reduction=reduction)
+        return (out, {}) if reduction == "mean" else out
     return loss_fn
 
 
 def make_sum_loss_fn(cfg: MaeConfig, compute_dtype=jnp.bfloat16):
     """(loss_sum, patch_count) variant for exact DP reduction
     (trainer.make_sharded_train_step)."""
-    def loss_fn(params, batch, rng):
-        pred, loss_mask, target = mae_lib.forward(
-            params, cfg, rng, batch["patches"], batch["pe_idx"], batch["pe_w"],
-            batch["valid"], batch["lengths"], batch["target_patches"],
-            compute_dtype=compute_dtype, remat=True)
-        return mae_lib.mae_loss(pred, loss_mask, target, reduction="sum")
-    return loss_fn
+    return make_loss_fn(cfg, compute_dtype, reduction="sum")
 
 
 def make_eval_fn(cfg: MaeConfig, compute_dtype=jnp.bfloat16, mesh=None):

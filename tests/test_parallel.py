@@ -315,3 +315,78 @@ def test_sequence_parallel_constraint_is_exact():
     err = max(jax.tree.leaves(jax.tree.map(
         lambda a, b_: float(jnp.max(jnp.abs(a - b_))), g0, g1)))
     assert err < 1e-5, err
+
+
+def test_activation_sharding_skipped_under_shard_map():
+    """The GSPMD activation-sharding hook must be a no-op inside shard_map
+    bodies (manual axes reject with_sharding_constraint): a DP sharded grad
+    fn traced with the hook active must run and match the unhooked one.
+    Regression: this used to raise ValueError whenever the fused kernels
+    were gated off (always on CPU)."""
+    from acai_omr_tpu.ops import nn
+
+    mesh = mesh_lib.make_mesh(4, 2)
+    params = vitomr.init_vitomr_params(jax.random.PRNGKey(0), CFG)
+
+    rng = np.random.default_rng(1)
+    b, l_img, t = 8, 16, 8
+    batch = dict(
+        patches=jnp.asarray(rng.random((b, l_img, 16), dtype=np.float32)),
+        pe_idx=jnp.asarray(rng.integers(0, 64, (b, l_img, 4)), dtype=jnp.int32),
+        pe_w=jnp.asarray(rng.random((b, l_img, 4), dtype=np.float32)),
+        valid=jnp.ones((b, l_img), bool),
+        inputs=jnp.asarray(rng.integers(3, 11, (b, t)), dtype=jnp.int32),
+        targets=jnp.asarray(rng.integers(3, 11, (b, t)), dtype=jnp.int32),
+        lmx_valid=jnp.ones((b, t), bool))
+
+    def sum_loss(p, batch, rng):
+        logits = vitomr.forward_teacher_forced(
+            p, CFG, batch["patches"], batch["pe_idx"], batch["pe_w"],
+            batch["valid"], batch["inputs"], batch["lmx_valid"],
+            compute_dtype=jnp.float32)
+        return vitomr.omr_ce_loss(logits, batch["targets"],
+                                  CFG.decoder.pad_idx, reduction="sum")
+
+    ref_loss, ref_grads = trainer.make_sharded_grad_fn(sum_loss, mesh)(
+        params, batch, jax.random.PRNGKey(2))
+    with nn.activation_sharding(sharding.sequence_parallel(mesh)):
+        loss, grads = trainer.make_sharded_grad_fn(sum_loss, mesh)(
+            params, batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-6)
+    err = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b_: float(jnp.max(jnp.abs(a - b_))), ref_grads, grads)))
+    assert err < 1e-6, err
+
+
+def test_sharded_grad_fn_all_padding_batch_no_nan():
+    """A globally all-padding batch must produce zero loss and FINITE (zero)
+    grads through the exact sum/weight DP reduction (regression: grads
+    divided by the raw global weight 0 -> NaN)."""
+    mesh = mesh_lib.make_mesh(8, 1)
+    params = vitomr.init_vitomr_params(jax.random.PRNGKey(0), CFG)
+
+    rng = np.random.default_rng(2)
+    b, l_img, t = 8, 16, 8
+    pad = CFG.decoder.pad_idx
+    batch = dict(
+        patches=jnp.asarray(rng.random((b, l_img, 16), dtype=np.float32)),
+        pe_idx=jnp.asarray(rng.integers(0, 64, (b, l_img, 4)), dtype=jnp.int32),
+        pe_w=jnp.asarray(rng.random((b, l_img, 4), dtype=np.float32)),
+        valid=jnp.ones((b, l_img), bool),
+        inputs=jnp.full((b, t), pad, dtype=jnp.int32),
+        targets=jnp.full((b, t), pad, dtype=jnp.int32),
+        lmx_valid=jnp.zeros((b, t), bool))
+
+    def sum_loss(p, batch, rng):
+        logits = vitomr.forward_teacher_forced(
+            p, CFG, batch["patches"], batch["pe_idx"], batch["pe_w"],
+            batch["valid"], batch["inputs"], batch["lmx_valid"],
+            compute_dtype=jnp.float32)
+        return vitomr.omr_ce_loss(logits, batch["targets"], pad,
+                                  reduction="sum")
+
+    loss, grads = trainer.make_sharded_grad_fn(sum_loss, mesh)(
+        params, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss)) and float(loss) == 0.0
+    for g in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(g)).all()

@@ -53,6 +53,25 @@ _ENABLED = os.environ.get("ACAI_MONOLITH_DECODE", "1") == "1"
 _FORCE = False
 _INTERPRET = False
 
+# timing-only ablation hooks (tools/monolith_step_bench.py): names of kernel
+# stages to skip so their cost can be attributed. NUMERICALLY WRONG — never
+# set outside attribution runs. Read at trace time.
+_ABLATE: frozenset = frozenset()
+
+ABLATIONS = ("quantrows", "packscale", "qdotquant", "gelu")
+
+
+def set_ablate(names=()) -> None:
+    """Timing-only: skip the named kernel stages (see ABLATIONS) so their
+    cost can be attributed. NUMERICALLY WRONG. The flags are read at trace
+    time — callers must ``jax.clear_caches()`` after changing them."""
+    global _ABLATE
+    names = frozenset(names)
+    unknown = names - frozenset(ABLATIONS)
+    if unknown:
+        raise ValueError(f"unknown ablation(s): {sorted(unknown)}")
+    _ABLATE = names
+
 
 def set_test_mode(force: bool, interpret: bool) -> None:
     global _FORCE, _INTERPRET
@@ -69,9 +88,17 @@ def time_tile(cache_dtype) -> int:
     return 32 if cache_dtype == jnp.int8 else _TIME_TILE
 # probed VMEM ceiling (~120 MB; see tools/vmem_probe.py), minus slack for
 # Mosaic temporaries; the flagship layer's double-buffered weights take 56 MB
+# bf16 / 30 MB int8 (W8A8)
 _VMEM_LIMIT = int(119.5 * 1024 * 1024)
 _WEIGHTS_VMEM = 56 * 1024 * 1024
+_WEIGHTS_VMEM_INT8 = 30 * 1024 * 1024
 _SLACK_VMEM = 6 * 1024 * 1024
+# row-tile cap. bt=16 under W8A8 (whose halved weight residency the budget
+# model says admits it) was MEASURED as a negative: the flagship int8 compile
+# exceeds real VMEM — Mosaic's residency counts double-buffered windows for
+# the in+out aliased cache operands plus scale/mask scratch that the simple
+# per_bt model under-counts. Kept as an experiment knob for smaller shapes.
+_MAX_BT = int(os.environ.get("ACAI_MONOLITH_MAX_BT", "8"))
 
 
 def set_enabled(flag: bool) -> None:
@@ -88,21 +115,31 @@ def _on_tpu() -> bool:
 
 
 def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2,
-                  num_heads: int = 16, mem_group: int = 1) -> int:
+                  num_heads: int = 16, mem_group: int = 1,
+                  w8a8: bool | None = None) -> int:
     """Rows per grid step: largest power-of-2 divisor of ``b`` such that the
     double-buffered cache/memory tiles plus the layer weights fit VMEM.
 
     Bigger tiles are better: each grid step's compute grows with ``bt`` while
-    the next layer's 28 MB weight fetch still only gets a one-step lookahead,
+    the next layer's weight fetch still only gets a one-step lookahead,
     so fatter steps hide the weight DMA (measured: the per-layer weight-fetch
-    stall is most of the gap to the HBM floor at small bt).
+    stall is most of the gap to the HBM floor at small bt). The W8A8 int8
+    mode halves the weight residency, which the budget model says admits
+    bt=16 at the flagship shapes — but the real compile exceeds VMEM there
+    (see ``_MAX_BT``), so the default cap stays 8. ``w8a8`` defaults to the
+    module env policy for int8 caches; callers that already packed (or
+    skipped) int8 weights pass it explicitly so tile choice matches the
+    actual VMEM plan.
 
     With ``mem_group > 1`` (grouped cross-attention: G consecutive rows share
     one memory) the memory block is one shared (M, E) tile per grid step, so
     it drops out of the per-row budget; the tile must also stay within one
     group (``mem_group % bt == 0``)."""
-    budget = _VMEM_LIMIT - _WEIGHTS_VMEM - _SLACK_VMEM
-    bt = 8
+    if w8a8 is None:
+        w8a8 = _W8A8 and itemsize == 1
+    weights_vmem = _WEIGHTS_VMEM_INT8 if w8a8 else _WEIGHTS_VMEM
+    budget = _VMEM_LIMIT - weights_vmem - _SLACK_VMEM
+    bt = max(8, min(_MAX_BT, 16)) if w8a8 else 8
     if mem_group > 1:
         budget -= 2 * m * e * itemsize * 2  # shared mem K+V, double-buffered
         per_bt = 2 * t * e * itemsize * 2   # self K+V only
@@ -256,9 +293,13 @@ def _qdot(x, w8, s_row):
     Returns (bt, OUT) fp32 (bias added by the caller).
     """
     x32 = x.astype(jnp.float32)
-    rs = jnp.maximum(jnp.max(jnp.abs(x32), axis=1, keepdims=True),
-                     1e-8) / INT8_QMAX
-    x8 = jnp.round(x32 / rs).astype(jnp.int8)
+    if "qdotquant" in _ABLATE:  # timing-only: skip the row max-abs pass
+        rs = jnp.ones((x32.shape[0], 1), jnp.float32)
+        x8 = jnp.clip(jnp.round(x32), -INT8_QMAX, INT8_QMAX).astype(jnp.int8)
+    else:
+        rs = jnp.maximum(jnp.max(jnp.abs(x32), axis=1, keepdims=True),
+                         1e-8) / INT8_QMAX
+        x8 = jnp.round(x32 / rs).astype(jnp.int8)
     acc = jnp.dot(x8, w8, preferred_element_type=jnp.int32)
     return acc.astype(jnp.float32) * rs * s_row
 
@@ -321,6 +362,16 @@ def _quant_rows(x, dh: int, selnorm):
     scale_h = jax.lax.dot_general(scale_e, selnorm, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
     return q, scale_e, scale_h
+
+
+def _quant_rows_or_ablate(x, dh: int, selnorm):
+    """_quant_rows, or (ablation 'quantrows') a shape-compatible stand-in
+    with unit scales — isolates the rolling-max VPU cost in timing runs."""
+    if "quantrows" in _ABLATE:
+        q = jnp.clip(jnp.round(x), -INT8_QMAX, INT8_QMAX)
+        h = selnorm.shape[0]
+        return q, jnp.ones_like(x), jnp.ones((x.shape[0], h), jnp.float32)
+    return _quant_rows(x, dh, selnorm)
 
 
 def _batched_consts(bt: int, h: int, e: int, dtype):
@@ -591,9 +642,9 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
     base = (pos // tt) * tt
     if quantized:
         selnorm = sel_c / dh
-        qq_all, qs_e, qs_h = _quant_rows(q_all.astype(jnp.float32), dh, selnorm)
-        kq_all, ks_e, ks_h = _quant_rows(k_all.astype(jnp.float32), dh, selnorm)
-        vq_all, vs_e, vs_h = _quant_rows(v_all.astype(jnp.float32), dh, selnorm)
+        qq_all, qs_e, qs_h = _quant_rows_or_ablate(q_all.astype(jnp.float32), dh, selnorm)
+        kq_all, ks_e, ks_h = _quant_rows_or_ablate(k_all.astype(jnp.float32), dh, selnorm)
+        vq_all, vs_e, vs_h = _quant_rows_or_ablate(v_all.astype(jnp.float32), dh, selnorm)
 
     consts = _batched_consts(bt, h, e, dtype)
     nl = bt * h
@@ -611,8 +662,11 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
         ).astype(jnp.int8)
         # scale planes are lane-packed (T, bt*H); pack the new row via the
         # exact MXU gadget (values are bf16-rounded by _quant_rows)
-        ks_row = _pack_scale_row(ks_h, consts)             # (1, nl) f32
-        vs_row = _pack_scale_row(vs_h, consts)
+        if "packscale" in _ABLATE:  # timing-only stand-in
+            ks_row = vs_row = jnp.ones((1, nl), jnp.float32)
+        else:
+            ks_row = _pack_scale_row(ks_h, consts)         # (1, nl) f32
+            vs_row = _pack_scale_row(vs_h, consts)
         kst_ref[0, 0] = jnp.where(
             sub2 == pos, ks_row,
             ks_ref[0, 0, pl.ds(base, tt), :].astype(jnp.float32)
@@ -649,8 +703,8 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
             mbias_ref[...].reshape(m_len, 1), e, scale, dtype, consts)
     elif quantized:
         bias_flat = mbias_ref[...].reshape(bt * m_len, 1)
-        qcq_all, qcs_e, qcs_h = _quant_rows(qc.astype(jnp.float32), dh,
-                                            selnorm)
+        qcq_all, qcs_e, qcs_h = _quant_rows_or_ablate(
+            qc.astype(jnp.float32), dh, selnorm)
         cattn32 = _attend_all(
             (qcq_all, qcs_h, qcs_e), None, mk_ref[0], mv_ref[0],
             mask_cross[...], pos, m_len, bt, h, e, scale, dtype, consts,
@@ -669,8 +723,11 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
     # exact-form GELU with a rational erf (Mosaic lowers neither erf nor the
     # erfc that jax.nn.gelu(approximate=False) expands to); the 1.5e-7 erf
     # error is far below bf16 activation resolution
-    h32 = h1.astype(jnp.float32)
-    g = (0.5 * h32 * (1.0 + _erf(h32 / math.sqrt(2.0)))).astype(dtype)
+    if "gelu" in _ABLATE:  # timing-only: identity activation
+        g = h1
+    else:
+        h32 = h1.astype(jnp.float32)
+        g = (0.5 * h32 * (1.0 + _erf(h32 / math.sqrt(2.0)))).astype(dtype)
     f2 = (mat(g, w_ff2_ref, 5, e) + b_ff2).astype(dtype)
     x = _ln(x + f2, ln3s, ln3b, 1e-5)
 
@@ -720,7 +777,7 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     dtype = x.dtype
     tt = time_tile(k_cache.dtype)
     bt = pick_row_tile(b, t_len, m_len, e, jnp.dtype(k_cache.dtype).itemsize,
-                       num_heads, mem_group)
+                       num_heads, mem_group, w8a8="wscale" in mono)
     grid = (nlayers, b // bt)
     scalars = jnp.asarray([pos], jnp.int32)
 

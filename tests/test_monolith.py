@@ -346,3 +346,69 @@ def test_row_tile_picker():
     assert pallas_monolith.pick_row_tile(1, 512, 512, 1024, 2) == 1
     assert pallas_monolith.pick_row_tile(32, 1536, 512, 1024, 2) == 2
     assert pallas_monolith.pick_row_tile(64, 256, 512, 1024, 2) == 8
+    # W8A8 int8: the default cap stays bt=8 (bt=16 measured VMEM-infeasible
+    # on hardware at the flagship shape — see _MAX_BT); the halved weight
+    # residency still widens the budget for long-cache shapes
+    assert pallas_monolith.pick_row_tile(32, 512, 512, 1024, 1) == 8
+    assert pallas_monolith.pick_row_tile(32, 1536, 512, 1024, 1) == 8
+    assert pallas_monolith.pick_row_tile(8, 512, 512, 1024, 1) == 8
+    # the experiment knob still raises the cap (budget-model behavior)
+    old = pallas_monolith._MAX_BT
+    pallas_monolith._MAX_BT = 16
+    try:
+        assert pallas_monolith.pick_row_tile(32, 512, 512, 1024, 1) == 16
+        assert pallas_monolith.pick_row_tile(32, 512, 512, 1024, 1,
+                                             w8a8=False) == 8
+    finally:
+        pallas_monolith._MAX_BT = old
+
+
+def test_int8_bt16_parity_vs_bt8():
+    """The W8A8 row tile bt=16 is bit-identical to bt=8: every kernel stage
+    (per-row quantization, block-diagonal attention with exact 0/NEG_INF
+    masking, per-row FF/LN) is row-independent, so the tile size must not
+    change results — validates the wider weight-prefetch window tile."""
+    cfg = DecoderConfig(max_lmx_seq_len=64, vocab_size=33, num_layers=2,
+                        hidden_dim=256, num_heads=4, mlp_dim=1024, eos_idx=2)
+    b, m = 16, 32
+    params = init_decoder_params(jax.random.PRNGKey(0), cfg)
+    latent = jax.random.normal(jax.random.PRNGKey(1), (b, m, cfg.hidden_dim),
+                               jnp.float32)
+    valid = jnp.arange(m)[None, :] < jnp.asarray([m, m - 5, 17, m] * 4)[:, None]
+    mem_te = decode.precompute_memory_kv(params, cfg, latent, valid,
+                                         jnp.float32, jnp.int8, layout="te")
+    mono8 = pallas_monolith.prepack(params, cfg, jnp.float32,
+                                    quantize_weights=True)
+    t_cache = pallas_monolith.time_tile(jnp.int8)
+    x = jax.random.normal(jax.random.PRNGKey(3), (b, cfg.hidden_dim),
+                          jnp.float32)
+    bias_col = mem_te.bias.reshape(b, m, 1).astype(jnp.float32)
+
+    outs = {}
+    for max_bt in (8, 16):
+        old = pallas_monolith._MAX_BT
+        pallas_monolith._MAX_BT = max_bt
+        try:
+            g = pallas_monolith.scale_pack_group(b, t_cache, m,
+                                                 cfg.hidden_dim, cfg.num_heads)
+            assert g == max_bt
+            pack = lambda s: pallas_monolith.pack_scales(
+                s.astype(jnp.bfloat16), g)
+            state = decode.init_decode_state(cfg, b, 16, t_cache,
+                                             cache_dtype=jnp.int8,
+                                             monolith=True, scale_group=g)
+            x8, k8, v8, ks8, vs8 = pallas_monolith.decode_layers(
+                mono8, x, 3, state.k_cache, state.v_cache, mem_te.k, mem_te.v,
+                bias_col, num_heads=cfg.num_heads, k_scale=state.k_scale,
+                v_scale=state.v_scale, mem_k_scale=pack(mem_te.k_scale),
+                mem_v_scale=pack(mem_te.v_scale))
+            outs[max_bt] = (
+                np.asarray(x8), np.asarray(k8), np.asarray(v8),
+                np.asarray(pallas_monolith.unpack_scales(
+                    ks8.astype(jnp.float32), g)),
+                np.asarray(pallas_monolith.unpack_scales(
+                    vs8.astype(jnp.float32), g)))
+        finally:
+            pallas_monolith._MAX_BT = old
+    for a, c in zip(outs[8], outs[16]):
+        np.testing.assert_array_equal(a, c)

@@ -78,6 +78,32 @@ def set_test_mode(force: bool, interpret: bool) -> None:
     _FORCE = force
     _INTERPRET = interpret
 
+
+# manual layer-ahead weight prefetch: the per-layer weight fetch only gets
+# Mosaic's one-grid-step lookahead, so the first batch tile of every layer
+# is DMA-oversubscribed (weights + caches ≈ 2x a steady step's traffic —
+# the overlap residual measured by tools/monolith_step_bench.py). This mode
+# moves the six weight matrices to manually double-buffered VMEM scratch:
+# layer i+1's copies start at layer i's FIRST tile, giving them the whole
+# layer (b/bt grid steps) to land. Costs the parallel-j tile scheduling
+# (the schedule needs in-order tiles), so it's a measured trade: +1.4% on
+# the int8 step (half-size weight copies land easily inside a layer),
+# -0.5% on bf16 — "auto" enables it for quantized caches only.
+# A/B: ACAI_MONOLITH_WDMA=1 forces on, =0 forces off.
+_MANUAL_WDMA = os.environ.get("ACAI_MONOLITH_WDMA", "auto")
+
+
+def set_manual_wdma(flag) -> None:
+    """True/False force the mode; "auto" (default) = int8 caches only."""
+    global _MANUAL_WDMA
+    _MANUAL_WDMA = flag
+
+
+def _manual_wdma(quantized: bool) -> bool:
+    if _MANUAL_WDMA in ("auto",):
+        return quantized
+    return _MANUAL_WDMA in (True, "1")
+
 # sublane tile of the cache's time axis written back per step (>= the native
 # sublane tile: 16 covers bf16/f32; int8 tiles are (32, 128))
 _TIME_TILE = 16
@@ -558,8 +584,13 @@ def _attend_shared(q, k_mem, v_mem, bias_col, e, scale, dtype, consts):
 
 def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
             nlayers: int, dtype, quantized: bool, tt: int,
-            w8a8: bool = False, mem_group: int = 1):
+            w8a8: bool = False, mem_group: int = 1,
+            manual_wdma: bool = False):
     ws_ref = None
+    if manual_wdma:
+        *refs, wq_buf, wso_buf, wcq_buf, wco_buf, wf1_buf, wf2_buf, \
+            wsem = refs
+        wbufs = (wq_buf, wso_buf, wcq_buf, wco_buf, wf1_buf, wf2_buf)
     if quantized:
         if w8a8:
             (x_in_ref, w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref, w_ff1_ref,
@@ -581,6 +612,38 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
     pos = s_ref[0]
     dh = e // h
     scale = 1.0 / math.sqrt(dh)
+
+    if manual_wdma:
+        # layer-ahead weight prefetch: all six copies for layer i+1 start at
+        # layer i's first tile and are waited at layer i+1's first tile, so
+        # the weight DMA has the whole layer to land instead of Mosaic's
+        # one-step lookahead (requires in-order tiles: j is "arbitrary")
+        slot = jax.lax.rem(i, 2)
+
+        def wdma(layer, s):
+            return [pltpu.make_async_copy(hbm.at[layer], buf.at[s],
+                                          wsem.at[t, s])
+                    for t, (hbm, buf) in enumerate(zip(
+                        (w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref,
+                         w_ff1_ref, w_ff2_ref), wbufs))]
+
+        @pl.when((i == 0) & (j == 0))
+        def _():
+            for c in wdma(0, 0):
+                c.start()
+            for c in wdma(0, 0):
+                c.wait()
+
+        @pl.when((i > 0) & (j == 0))
+        def _():
+            for c in wdma(i, slot):
+                c.wait()
+
+        if nlayers > 1:
+            @pl.when((i + 1 < nlayers) & (j == 0))
+            def _():
+                for c in wdma(i + 1, jax.lax.rem(i + 1, 2)):
+                    c.start()
 
     # per-tile init/flush keep the j grid dimension honestly parallel (no
     # cross-tile reads or writes anywhere in the kernel). The additive
@@ -621,15 +684,25 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
     ln2s, ln2b = misc[8:9, :e], misc[9:10, :e]
     ln3s, ln3b = misc[10:11, :e], misc[11:12, :e]
 
+    if manual_wdma:
+        def wread(wref, srow):
+            del wref
+            return wbufs[srow][slot]
+    else:
+        def wread(wref, srow):
+            del srow
+            return wref[0]
+
     if w8a8:
         ws = ws_ref[0]                                      # (6, F) fp32
 
         def mat(xv, wref, srow, width):
-            return _qdot(xv, wref[0], ws[srow:srow + 1, :width])
+            return _qdot(xv, wread(wref, srow), ws[srow:srow + 1, :width])
     else:
         def mat(xv, wref, srow, width):
-            del srow, width
-            return jnp.dot(xv, wref[0], preferred_element_type=jnp.float32)
+            del width
+            return jnp.dot(xv, wread(wref, srow),
+                           preferred_element_type=jnp.float32)
 
     x = x_state[j, 0:bt, :]                                 # (bt, E)
 
@@ -781,7 +854,13 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     grid = (nlayers, b // bt)
     scalars = jnp.asarray([pos], jnp.int32)
 
+    manual_wdma = _manual_wdma(quantized)
+
     def wspec(shape):
+        if manual_wdma:
+            # full array stays in HBM; the kernel streams per-layer blocks
+            # into its own double-buffered scratch a layer ahead
+            return pl.BlockSpec(memory_space=pl.ANY)
         return pl.BlockSpec((1,) + shape, lambda i, j, s: (i, 0, 0),
                             memory_space=pltpu.VMEM)
 
@@ -878,23 +957,32 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
                                      memory_space=pltpu.VMEM))
         inputs.append(mono["wscale"])
 
+    scratch_shapes = [
+        pltpu.VMEM((b // bt, max(bt, 16), e), dtype),
+        pltpu.VMEM((bt * t_len, bt * h), jnp.bfloat16),  # self mask_add
+        # cross mask_add — unused in grouped mode (dense logits)
+        pltpu.VMEM((8, 128) if mem_group > 1 else (bt * m_len, bt * h),
+                   jnp.bfloat16),
+    ]
+    if manual_wdma:
+        wdt = mono["w_qkv"].dtype
+        scratch_shapes += [
+            pltpu.VMEM((2, e, 3 * e), wdt), pltpu.VMEM((2, e, e), wdt),
+            pltpu.VMEM((2, e, e), wdt), pltpu.VMEM((2, e, e), wdt),
+            pltpu.VMEM((2, e, f), wdt), pltpu.VMEM((2, f, e), wdt),
+            pltpu.SemaphoreType.DMA((6, 2)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
-            pltpu.VMEM((b // bt, max(bt, 16), e), dtype),
-            pltpu.VMEM((bt * t_len, bt * h), jnp.bfloat16),  # self mask_add
-            # cross mask_add — unused in grouped mode (dense logits)
-            pltpu.VMEM((8, 128) if mem_group > 1 else (bt * m_len, bt * h),
-                       jnp.bfloat16),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     kernel = functools.partial(
         _kernel, bt=bt, t_len=t_len, m_len=m_len, e=e, h=h,
         nlayers=nlayers, dtype=dtype, quantized=quantized, tt=tt, w8a8=w8a8,
-        mem_group=mem_group)
+        mem_group=mem_group, manual_wdma=manual_wdma)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -903,10 +991,14 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
             # layers are order-dependent (the hidden state flows through
-            # scratch); batch tiles within a layer are independent, and
-            # declaring them parallel lets Mosaic schedule DMA/compute
-            # overlap across tiles (+11% measured)
-            dimension_semantics=("arbitrary", "parallel")),
+            # scratch). Without manual weight prefetch, batch tiles within a
+            # layer are independent and declaring them parallel lets Mosaic
+            # overlap DMA/compute across tiles (+11% measured); the manual
+            # prefetch schedule instead needs in-order tiles (copies start/
+            # wait at each layer's first tile) and recovers that overlap by
+            # giving the weight DMA a whole layer of lookahead.
+            dimension_semantics=("arbitrary",
+                                 "arbitrary" if manual_wdma else "parallel")),
         interpret=interpret,
     )(scalars, *inputs)
     x_out = outs[0][:, :bt].reshape(b, e)

@@ -412,3 +412,33 @@ def test_int8_bt16_parity_vs_bt8():
             pallas_monolith._MAX_BT = old
     for a, c in zip(outs[8], outs[16]):
         np.testing.assert_array_equal(a, c)
+
+
+def test_manual_wdma_bit_identical(setup):
+    """The manual layer-ahead weight-prefetch mode is a pure DMA-scheduling
+    change: forced on vs forced off must be bit-identical on the bf16 path
+    (the int8 path runs manual by default under "auto" and is covered by the
+    int8 parity tests above)."""
+    params, latent, valid = setup
+    mem_te = decode.precompute_memory_kv(params, CFG, latent, valid,
+                                         jnp.float32, jnp.float32,
+                                         layout="te")
+    x = jax.random.normal(jax.random.PRNGKey(7), (B, CFG.hidden_dim),
+                          jnp.float32)
+    mono = pallas_monolith.prepack(params, CFG, jnp.float32)
+    state = decode.init_decode_state(CFG, B, 16, T_CACHE,
+                                     cache_dtype=jnp.float32, monolith=True)
+    bias_col = mem_te.bias.reshape(B, M, 1).astype(jnp.float32)
+
+    outs = {}
+    for flag in (False, True):
+        pallas_monolith.set_manual_wdma(flag)
+        try:
+            res = pallas_monolith.decode_layers(
+                mono, x, 3, state.k_cache, state.v_cache, mem_te.k, mem_te.v,
+                bias_col, num_heads=CFG.num_heads)
+            outs[flag] = tuple(np.asarray(r) for r in res)
+        finally:
+            pallas_monolith.set_manual_wdma("auto")
+    for a, c in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(a, c)

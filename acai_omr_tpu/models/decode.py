@@ -500,7 +500,7 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
                     mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
                     bias_col, num_heads=cfg.num_heads, k_scale=s.k_scale,
                     v_scale=s.v_scale, mem_k_scale=mem.k_scale,
-                    mem_v_scale=mem.v_scale)
+                    mem_v_scale=mem.v_scale, mem_group=mem_group)
             else:
                 x_out, caches["k"], caches["v"] = pallas_monolith.decode_layers(
                     mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
@@ -586,12 +586,17 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
     from ..ops import pallas_monolith
 
     if mem_group > 1 and cache_dtype == jnp.int8:
-        # int8 scale-plane packing is row-tiled; grouped memory is a bf16
-        # feature — fall back to the replicated layout for quantized decode
-        img_latent = jnp.repeat(img_latent, mem_group, axis=0)
-        if latent_valid is not None:
-            latent_valid = jnp.repeat(latent_valid, mem_group, axis=0)
-        mem_group = 1
+        b_try = img_latent.shape[0] * mem_group
+        if not pallas_monolith.use_monolith(
+                cfg, b_try, min(initial_segment, max_len),
+                img_latent.shape[1], compute_dtype, cache_dtype):
+            # the grouped int8 layout is a monolith-kernel feature (shared
+            # (M, E) block + narrow shared scale planes); the per-op path
+            # needs the replicated layout
+            img_latent = jnp.repeat(img_latent, mem_group, axis=0)
+            if latent_valid is not None:
+                latent_valid = jnp.repeat(latent_valid, mem_group, axis=0)
+            mem_group = 1
     g = mem_group
     b = img_latent.shape[0] * g
     m_len = img_latent.shape[1]
@@ -608,14 +613,23 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
     packed = monolith and cache_dtype == jnp.int8
     group = None
     if packed:
-        # int8 scale planes ride lane-packed (tools/narrow_lane_dma_probe.py);
-        # the pack group must equal the kernel's row tile for this shape
-        group = pallas_monolith.scale_pack_group(b, cache_len, m_len, e, heads)
-        mem = mem._replace(
-            k_scale=pallas_monolith.pack_scales(
-                mem.k_scale.astype(jnp.bfloat16), group),
-            v_scale=pallas_monolith.pack_scales(
-                mem.v_scale.astype(jnp.bfloat16), group))
+        # int8 SELF scale planes ride lane-packed
+        # (tools/narrow_lane_dma_probe.py); the pack group must equal the
+        # kernel's row tile for this shape. Grouped MEMORY planes stay in
+        # the shared narrow (L, B/G, M, H) layout (bf16-rounded like the
+        # packed planes, so grouped == replicated bit for bit).
+        group = pallas_monolith.scale_pack_group(b, cache_len, m_len, e,
+                                                 heads, mem_group=g)
+        if g == 1:
+            mem = mem._replace(
+                k_scale=pallas_monolith.pack_scales(
+                    mem.k_scale.astype(jnp.bfloat16), group),
+                v_scale=pallas_monolith.pack_scales(
+                    mem.v_scale.astype(jnp.bfloat16), group))
+        else:
+            mem = mem._replace(
+                k_scale=mem.k_scale.astype(jnp.bfloat16),
+                v_scale=mem.v_scale.astype(jnp.bfloat16))
     state = init_decode_state(cfg, b, max_len, cache_len, rng, cache_dtype,
                               monolith=monolith, scale_group=group)
 
@@ -708,7 +722,7 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
         new_group = group
         if packed:
             new_group = pallas_monolith.scale_pack_group(
-                b_next, new_len, m_len, e, heads)
+                b_next, new_len, m_len, e, heads, mem_group=g)
 
         def move_scales(s):
             """Row-select and/or re-group a scale-plane cache array."""
@@ -723,6 +737,14 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
                 return pallas_monolith.pack_scales(u, new_group)
             return s if sel is None else s[:, sel]
 
+        def move_mem_scales(s):
+            """Memory planes: packed like the self planes when g == 1,
+            the shared narrow (L, B/G, M, H) layout (group-selected, never
+            re-packed) when grouped."""
+            if s is None or g == 1:
+                return move_scales(s)
+            return s if sel_mem is None else s[:, sel_mem]
+
         if sel is not None:
             state = DecodeState(
                 state.seqs[sel], state.log_probs[sel], fin, state.t,
@@ -731,12 +753,12 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
             mem = MemoryKV(
                 mem.k[:, sel_mem], mem.v[:, sel_mem],
                 None if mem.bias is None else mem.bias[sel_mem],
-                move_scales(mem.k_scale), move_scales(mem.v_scale))
+                move_mem_scales(mem.k_scale), move_mem_scales(mem.v_scale))
         elif packed and new_group != group:
             state = state._replace(k_scale=move_scales(state.k_scale),
                                    v_scale=move_scales(state.v_scale))
-            mem = mem._replace(k_scale=move_scales(mem.k_scale),
-                               v_scale=move_scales(mem.v_scale))
+            mem = mem._replace(k_scale=move_mem_scales(mem.k_scale),
+                               v_scale=move_mem_scales(mem.v_scale))
         group = new_group
         if need_grow:
             state = grow_cache(state, new_len)
@@ -821,6 +843,9 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
                          f"({cfg.num_heads}) and mlp_dim ({cfg.mlp_dim}) "
                          f"divisible by the model axis size {tp}")
     if mem_group > 1 and cache_dtype == jnp.int8:
+        # single-device generate() runs grouped int8 on the monolith; this
+        # sharded wrapper still replicates (the shard_map carry/spec plumbing
+        # for the mixed packed-self/raw-mem plane layouts isn't wired yet)
         img_latent = jnp.repeat(img_latent, mem_group, axis=0)
         if latent_valid is not None:
             latent_valid = jnp.repeat(latent_valid, mem_group, axis=0)

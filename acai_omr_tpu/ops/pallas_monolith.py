@@ -169,6 +169,11 @@ def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2,
     if mem_group > 1:
         budget -= 2 * m * e * itemsize * 2  # shared mem K+V, double-buffered
         per_bt = 2 * t * e * itemsize * 2   # self K+V only
+        if itemsize == 1:
+            # shared (M, H) mem scale planes, bf16, double-buffered
+            budget -= 2 * m * num_heads * 2 * 2
+            # lane-packed self scale planes, bf16, double-buffered
+            per_bt += 2 * t * num_heads * 2 * 2
         while bt > 1 and (b % bt or mem_group % bt or bt * per_bt > budget):
             bt //= 2
         return bt
@@ -184,14 +189,18 @@ def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2,
 
 
 def scale_pack_group(b: int, t: int, m: int, e: int,
-                     num_heads: int = 16) -> int:
-    """Lane-pack group for int8 scale planes == the kernel's row tile.
+                     num_heads: int = 16, mem_group: int = 1) -> int:
+    """Lane-pack group for int8 SELF-cache scale planes == the kernel's row
+    tile.
 
     The packed layout (L, B/G, T, G*H) makes each grid step's scale block a
     full-lane tile; the group must equal the row tile so block j covers
-    exactly rows [j*G, (j+1)*G).
+    exactly rows [j*G, (j+1)*G). With ``mem_group > 1`` the row tile also
+    divides the memory group (grouped cross-attention); the MEMORY scale
+    planes then stay in the shared narrow layout (L, B/G_mem, M, H) — one
+    tiny plane per unique image, repeated across lanes in-kernel.
     """
-    return pick_row_tile(b, t, m, e, 1, num_heads)
+    return pick_row_tile(b, t, m, e, 1, num_heads, mem_group)
 
 
 def pack_scales(s: jnp.ndarray, group: int) -> jnp.ndarray:
@@ -553,29 +562,61 @@ def _attend_all(q, fresh, k_blk, v_blk, mask_add, pos, t_len, bt, h, e,
                                preferred_element_type=jnp.float32)
 
 
-def _attend_shared(q, k_mem, v_mem, bias_col, e, scale, dtype, consts):
+def _attend_shared(q, k_mem, v_mem, bias_col, e, scale, dtype, consts,
+                   bt: int = 0, h: int = 0, k_plane=None, v_plane=None):
     """Cross-attention for a batch tile whose rows all share ONE memory
     (grouped rollouts / beams: G rows per unique image).
 
-    q: (bt, E) compute dtype; k_mem/v_mem: (M, E); bias_col: (M, 1) fp32
-    additive padding bias. Because K/V are shared, the logits dot is a dense
+    q: (bt, E) compute dtype — or, quantized, the int8 triple
+    (qq int-valued f32, qs_h (bt, H), qs_e) with ``k_plane``/``v_plane``
+    the shared (M, H) bf16 scale planes (one per unique image; repeated
+    across the bt lane blocks in-kernel, so they stream as one tiny narrow
+    plane per tile). k_mem/v_mem: (M, E); bias_col: (M, 1) fp32 additive
+    padding bias. Because K/V are shared, the logits dot is a dense
     (M, E) x (E, nl) MXU matmul — every entry is a real (memory position,
     row-head) logit, so no block-diagonal mask is needed — and the memory
     streams once per *tile* instead of once per row (1/G the cross-KV HBM
-    traffic of the replicated layout). Returns (bt, E) fp32.
+    traffic of the replicated layout). The quantized math mirrors
+    :func:`_attend_all`'s int8 branch term for term, so grouped int8 is
+    bit-identical to replicated int8. Returns (bt, E) fp32.
     """
-    qd = jax.lax.dot_general(consts["R_dt"], q, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    qd = (qd * consts["sel_rep32"]).astype(dtype)              # (nl, E)
-    big = jax.lax.dot_general(k_mem, qd, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (M, nl)
-    logits = big * scale + bias_col                            # (M, 1) bcast
+    quantized = k_plane is not None
+    if quantized:
+        qq, qs_h, _ = q
+        qd = jax.lax.dot_general(consts["R32"], qq, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        qd8 = (qd * consts["sel_rep32"]).astype(jnp.int8)      # (nl, E)
+        big = jax.lax.dot_general(k_mem, qd8, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)  # (M, nl)
+        # shared plane: lane l's head is l % H, identical for every row
+        # block -> repeat the (M, H) plane bt times along lanes
+        kp_big = pltpu.repeat(k_plane, bt, axis=1).astype(jnp.float32)
+        qs_row = _pack_scale_row(qs_h, consts) * scale         # (1, nl)
+        logits = big.astype(jnp.float32) * kp_big * qs_row + bias_col
+    else:
+        qd = jax.lax.dot_general(consts["R_dt"], q, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        qd = (qd * consts["sel_rep32"]).astype(dtype)          # (nl, E)
+        big = jax.lax.dot_general(k_mem, qd, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # (M, nl)
+        logits = big * scale + bias_col                        # (M, 1) bcast
     m_ = jnp.max(logits, axis=0, keepdims=True)                # (1, nl)
     w = jnp.exp(logits - m_)
     denom = jnp.sum(w, axis=0, keepdims=True)
-    out_big = jax.lax.dot_general(w.astype(dtype), v_mem,
-                                  (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)  # (nl, E)
+    if quantized:
+        vp_big = pltpu.repeat(v_plane, bt, axis=1).astype(jnp.float32)
+        w_v = w * vp_big
+        ws_row = jnp.maximum(jnp.max(w_v, axis=0, keepdims=True), 1e-30) \
+            / INT8_QMAX
+        wq = jnp.round(w_v / ws_row).astype(jnp.int8)          # (M, nl)
+        out_big = jax.lax.dot_general(
+            wq, v_mem, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        out_big = out_big * _row_to_col(ws_row, consts["eye"])  # (nl, E)
+    else:
+        out_big = jax.lax.dot_general(w.astype(dtype), v_mem,
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
     out_big = out_big / _row_to_col(denom, consts["eye"])
     return jax.lax.dot_general(consts["S32"], out_big * consts["sel_rep32"],
                                (((1,), (0,)), ((), ())),
@@ -769,7 +810,14 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
 
     # ---- cross-attention over the precomputed memory K/V ----
     qc = (mat(x, w_cq_ref, 2, e) + b_cq).astype(dtype)
-    if mem_group > 1:
+    if mem_group > 1 and quantized:
+        qcq_all, qcs_e, qcs_h = _quant_rows_or_ablate(
+            qc.astype(jnp.float32), dh, selnorm)
+        cattn32 = _attend_shared(
+            (qcq_all, qcs_h, qcs_e), mk_ref[0, 0], mv_ref[0, 0],
+            mbias_ref[...].reshape(m_len, 1), e, scale, dtype, consts,
+            bt=bt, h=h, k_plane=mks_ref[0, 0], v_plane=mvs_ref[0, 0])
+    elif mem_group > 1:
         # grouped: every row of this tile shares the tile's single memory
         cattn32 = _attend_shared(
             qc, mk_ref[0, 0], mv_ref[0, 0],
@@ -833,6 +881,10 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     batch rows share one memory — mem_k/mem_v carry only the B/G unique rows
     and each grid step streams its group's single (M, E) block
     (:func:`_attend_shared`), 1/G the cross-KV HBM traffic of replicating.
+    Grouped + int8 compose: the SELF planes stay lane-packed as above, but
+    mem_k_scale/mem_v_scale must be the shared narrow layout (L, B/G, M, H)
+    bf16 — one tiny plane per unique image, NOT ``pack_scales``-packed (the
+    kernel repeats it across the tile's lane blocks).
     """
     nlayers, b, t_len, e = k_cache.shape
     m_len = mem_k.shape[2]
@@ -840,8 +892,6 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     h = num_heads
     quantized = k_scale is not None
     if mem_group > 1:
-        if quantized:
-            raise NotImplementedError("grouped memory needs bf16/f32 caches")
         if mem_k.shape[1] * mem_group != b:
             raise ValueError(
                 f"mem rows {mem_k.shape[1]} x group {mem_group} != batch {b}")
@@ -921,9 +971,30 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
         scale_tile = pl.BlockSpec((1, 1, tt, nl),
                                   lambda i, j, s: (i, j, s[0] // tt, 0),
                                   memory_space=pltpu.VMEM)
-        in_specs += [scale_spec(t_len), scale_spec(t_len),
-                     cache_spec(m_len, e), cache_spec(m_len, e),
-                     scale_spec(m_len), scale_spec(m_len)]
+        if mem_group > 1:
+            # grouped memory: one shared (M, E) int8 block + one narrow
+            # shared (M, H) bf16 scale plane per tile (see _attend_shared)
+            mexpect = (nlayers, b // mem_group, m_len, h)
+            if mem_k_scale.shape != mexpect:
+                raise ValueError(
+                    f"grouped int8 memory scale planes must be the shared "
+                    f"(L, B/G, M, H) layout: expected {mexpect}, got "
+                    f"{mem_k_scale.shape} (do NOT pack_scales them)")
+            mem_spec_q = pl.BlockSpec(
+                (1, 1, m_len, e), lambda i, j, s: (i, (j * bt) // mem_group,
+                                                   0, 0),
+                memory_space=pltpu.VMEM)
+            mem_scale_spec = pl.BlockSpec(
+                (1, 1, m_len, h), lambda i, j, s: (i, (j * bt) // mem_group,
+                                                   0, 0),
+                memory_space=pltpu.VMEM)
+            in_specs += [scale_spec(t_len), scale_spec(t_len),
+                         mem_spec_q, mem_spec_q,
+                         mem_scale_spec, mem_scale_spec]
+        else:
+            in_specs += [scale_spec(t_len), scale_spec(t_len),
+                         cache_spec(m_len, e), cache_spec(m_len, e),
+                         scale_spec(m_len), scale_spec(m_len)]
         inputs += [k_scale, v_scale, mem_k, mem_v, mem_k_scale, mem_v_scale]
         out_shape += [jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
                       jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype)]

@@ -28,6 +28,12 @@ class RolloutConfig:
     max_actions: int
     top_k: int
     temperature: float
+    # "int8" runs the rollout decode on int8 KV caches (grouped int8
+    # monolith: +19% rollout decode at reference scale; token-identical to
+    # bf16 on trained checkpoints — docs/PERF.md). The old-policy log-probs
+    # the PPO ratio anchors on come from the same quantized decode, so the
+    # objective stays self-consistent.
+    cache_dtype: str = "bf16"
 
 
 @dataclasses.dataclass

@@ -394,10 +394,13 @@ def grpo_update(old_params, state, update_step, cfg: ViTOMRConfig,
     # (A/B note: segment_steps=64 — compaction at every 64-step boundary —
     # measured NEUTRAL warm and adds compile churn for the extra compacted
     # shapes; growth-boundary compaction stays the default. docs/PERF.md.)
+    roll_kwargs = {}
+    if getattr(rc, "cache_dtype", "bf16") == "int8":
+        roll_kwargs["cache_dtype"] = jnp.int8   # grouped int8 rollout decode
     rollouts, old_lp, rollout_mask = vitomr_lib.forward_rollout_policy(
         old_params, cfg, unexp_latent, unexp_valid, roll_rng,
         max_actions=rc.max_actions, top_k=rc.top_k, temperature=rc.temperature,
-        group_size=g, mesh=mesh, compute_dtype=compute_dtype)
+        group_size=g, mesh=mesh, compute_dtype=compute_dtype, **roll_kwargs)
     rollouts = np.asarray(rollouts)
     old_lp = np.asarray(old_lp)
     rollout_mask = np.asarray(rollout_mask)

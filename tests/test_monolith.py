@@ -442,3 +442,48 @@ def test_manual_wdma_bit_identical(setup):
             pallas_monolith.set_manual_wdma("auto")
     for a, c in zip(outs[False], outs[True]):
         np.testing.assert_array_equal(a, c)
+
+
+def test_grouped_mem_int8_matches_replicated_monolith(setup):
+    """int8 grouped cross-attention (shared (M, E) block + narrow shared
+    scale planes) is bit-identical to replicated int8 decode of the expanded
+    latent: same int8 products accumulate in int32, masked rows contribute
+    exact zeros, and the narrow mem planes carry the same bf16-rounded
+    scales the packed planes do."""
+    params, latent, valid = setup
+    lat, val = latent[:2], valid[:2]
+    g = 4
+    kwargs = dict(max_len=32, initial_segment=16, compact=False,
+                  compute_dtype=jnp.float32, cache_dtype=jnp.int8)
+    pallas_monolith.set_test_mode(force=True, interpret=True)
+    ref = decode.generate(params, CFG, jnp.repeat(lat, g, axis=0),
+                          jnp.repeat(val, g, axis=0), **kwargs)
+    out = decode.generate(params, CFG, lat, val, mem_group=g, **kwargs)
+    assert out[0].shape[0] == 2 * g
+    n = min(ref[0].shape[1], out[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])
+    np.testing.assert_allclose(np.asarray(out[1])[:, :n],
+                               np.asarray(ref[1])[:, :n], atol=2e-4,
+                               rtol=1e-4)
+
+
+def test_grouped_mem_int8_sampled_with_compaction(setup):
+    """Grouped int8 rollout decode (the GRPO path: sampled, compaction on)
+    matches the replicated layout — exercises the grouped-int8 segment
+    boundary moves (group-selected raw mem planes, re-packed self planes)."""
+    params, latent, valid = setup
+    lat, val = latent[:2], valid[:2]
+    g = 4
+    kwargs = dict(max_len=48, initial_segment=16, segment_steps=8,
+                  compute_dtype=jnp.float32, cache_dtype=jnp.int8,
+                  sampling=decode.SamplingConfig(top_k=5, temperature=1.3),
+                  rng=jax.random.PRNGKey(5))
+    pallas_monolith.set_test_mode(force=True, interpret=True)
+    ref = decode.generate(params, CFG, jnp.repeat(lat, g, axis=0),
+                          jnp.repeat(val, g, axis=0), compact=False, **kwargs)
+    out = decode.generate(params, CFG, lat, val, mem_group=g, compact=True,
+                          **kwargs)
+    n = min(ref[0].shape[1], out[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])

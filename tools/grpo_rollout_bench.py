@@ -31,11 +31,11 @@ from acai_omr_tpu.models import decode as decode_lib
 from acai_omr_tpu.models.omr_decoder import DecoderConfig, init_decoder_params
 
 
-def run(params, cfg, latent, valid, g, t, rng):
+def run(params, cfg, latent, valid, g, t, rng, cache_dtype=jnp.bfloat16):
     seqs, lps, mask = decode_lib.generate(
         params, cfg, latent, valid, max_len=t, mem_group=g,
         sampling=decode_lib.SamplingConfig(top_k=50, temperature=1.1),
-        rng=rng, compute_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16)
+        rng=rng, compute_dtype=jnp.bfloat16, cache_dtype=cache_dtype)
     jax.block_until_ready(seqs)
     return seqs
 
@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--expanded", action="store_true",
                     help="replicated-memory baseline (pre-grouped layout)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 KV caches (grouped int8 shares the memory "
+                         "block AND halves the self-cache stream)")
     args = ap.parse_args()
 
     bu, g, t, mlen = args.images, args.group, args.t, args.mem
@@ -68,15 +71,19 @@ def main():
     else:
         g_arg = g
 
+    cache_dtype = jnp.int8 if args.int8 else jnp.bfloat16
     rollouts = bu * g
-    run(params, cfg, latent, valid, g_arg, t, jax.random.PRNGKey(1))  # compile
+    run(params, cfg, latent, valid, g_arg, t, jax.random.PRNGKey(1),
+        cache_dtype)  # compile
     times = []
     for i in range(args.reps):
         t0 = time.perf_counter()
-        run(params, cfg, latent, valid, g_arg, t, jax.random.PRNGKey(2 + i))
+        run(params, cfg, latent, valid, g_arg, t, jax.random.PRNGKey(2 + i),
+            cache_dtype)
         times.append(time.perf_counter() - t0)
     best = min(times)
-    print(f"mode={'expanded' if args.expanded else 'grouped'} "
+    print(f"mode={'expanded' if args.expanded else 'grouped'}"
+          f"{'+int8' if args.int8 else ''} "
           f"images={bu} group={g} rollouts={rollouts} actions={t} mem={mlen}")
     print(f"wall={best:.3f}s  rollouts/s={rollouts / best:.2f}  "
           f"tok/s={rollouts * (t - 1) / best:.0f}  (reps: "

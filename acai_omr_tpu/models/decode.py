@@ -843,13 +843,16 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
                          f"({cfg.num_heads}) and mlp_dim ({cfg.mlp_dim}) "
                          f"divisible by the model axis size {tp}")
     if mem_group > 1 and cache_dtype == jnp.int8:
-        # single-device generate() runs grouped int8 on the monolith; this
-        # sharded wrapper still replicates (the shard_map carry/spec plumbing
-        # for the mixed packed-self/raw-mem plane layouts isn't wired yet)
-        img_latent = jnp.repeat(img_latent, mem_group, axis=0)
-        if latent_valid is not None:
-            latent_valid = jnp.repeat(latent_valid, mem_group, axis=0)
-        mem_group = 1
+        # grouped int8 is a monolith-kernel feature; the per-op path (and
+        # tensor-parallel decode) needs the replicated layout
+        if tp > 1 or not pallas_monolith.use_monolith(
+                cfg, (img_latent.shape[0] * mem_group) // n_dev,
+                min(initial_segment, max_len), img_latent.shape[1],
+                compute_dtype, cache_dtype):
+            img_latent = jnp.repeat(img_latent, mem_group, axis=0)
+            if latent_valid is not None:
+                latent_valid = jnp.repeat(latent_valid, mem_group, axis=0)
+            mem_group = 1
     g = mem_group
     bu = img_latent.shape[0]
     b = bu * g
@@ -873,12 +876,19 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
     group = None
     if packed:
         group = pallas_monolith.scale_pack_group(local_b, cache_len, m_len,
-                                                 e, heads)
-        mem = mem._replace(
-            k_scale=pallas_monolith.pack_scales(
-                mem.k_scale.astype(jnp.bfloat16), group),
-            v_scale=pallas_monolith.pack_scales(
-                mem.v_scale.astype(jnp.bfloat16), group))
+                                                 e, heads, mem_group=g)
+        if g == 1:
+            mem = mem._replace(
+                k_scale=pallas_monolith.pack_scales(
+                    mem.k_scale.astype(jnp.bfloat16), group),
+                v_scale=pallas_monolith.pack_scales(
+                    mem.v_scale.astype(jnp.bfloat16), group))
+        else:
+            # grouped int8: memory planes stay in the shared narrow
+            # (L, B/G, M, H) layout (see pallas_monolith.decode_layers)
+            mem = mem._replace(
+                k_scale=mem.k_scale.astype(jnp.bfloat16),
+                v_scale=mem.v_scale.astype(jnp.bfloat16))
     state = init_decode_state(cfg, b, max_len, cache_len, None, cache_dtype,
                               monolith=monolith, scale_group=group)
 
@@ -981,7 +991,7 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
                     # repack the memory planes to the new group too (the
                     # kernel derives G from the per-shard shapes).
                     new_group = pallas_monolith.scale_pack_group(
-                        local_b, new_len, m_len, e, heads)
+                        local_b, new_len, m_len, e, heads, mem_group=g)
 
                     def regrow(s):
                         u = pallas_monolith.unpack_scales(s, group)
@@ -992,7 +1002,9 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
 
                     carry["ks"] = regrow(carry["ks"])
                     carry["vs"] = regrow(carry["vs"])
-                    if new_group != group and "ks" in memd:
+                    # grouped (g > 1) memory planes are the raw shared
+                    # layout — independent of the pack group, no repack
+                    if g == 1 and new_group != group and "ks" in memd:
                         def remem(s):
                             return pallas_monolith.pack_scales(
                                 pallas_monolith.unpack_scales(s, group),

@@ -487,3 +487,25 @@ def test_grouped_mem_int8_sampled_with_compaction(setup):
     n = min(ref[0].shape[1], out[0].shape[1])
     np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
                                   np.asarray(ref[0])[:, :n])
+
+
+def test_sharded_grouped_int8_generate(setup):
+    """shard_map grouped int8 decode (GRPO rollout sharding with quantized
+    caches): per-shard monolith kernels on the packed-self / shared-mem
+    plane layouts, through a cache-growth boundary; greedy tokens must
+    match the single-device grouped int8 decode."""
+    from acai_omr_tpu.parallel import mesh as mesh_lib
+    params, latent, valid = setup
+    g = 2
+    kwargs = dict(max_len=48, initial_segment=32, mem_group=g,
+                  compute_dtype=jnp.float32, cache_dtype=jnp.int8)
+
+    ref = decode.generate(params, CFG, latent, valid, compact=False, **kwargs)
+
+    mesh = mesh_lib.make_mesh(2, 1, devices=jax.devices()[:2])
+    got = decode.sharded_generate(params, CFG, latent, valid, mesh, **kwargs)
+
+    assert got[0].shape[0] == latent.shape[0] * g
+    n = min(ref[0].shape[1], got[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(got[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])

@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--images", type=int, default=16)
     ap.add_argument("--group", type=int, default=8)
     ap.add_argument("--workers", type=int, default=16)
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 KV caches for the rollout decode (grouped "
+                         "int8 monolith)")
     args = ap.parse_args()
 
     from acai_omr_tpu.data.tokenizer import LmxTokenizer
@@ -71,7 +74,9 @@ def main():
     grpo_config = R.GRPOConfig(
         rollout_config=R.RolloutConfig(group_size=args.group,
                                        max_actions=args.actions,
-                                       top_k=50, temperature=1.1),
+                                       top_k=50, temperature=1.1,
+                                       cache_dtype="int8" if args.int8
+                                       else "bf16"),
         reward_config=copy.deepcopy(G.INITIAL_REWARD_CONFIG),
         loss_config=copy.deepcopy(G.INITIAL_LOSS_CONFIG),
         update_config=R.UpdateConfig(epsilon=0.2, update_epochs=2,

@@ -7,7 +7,40 @@ decode, three-stage training (MAE -> scheduled sampling -> GRPO), bucketed
 ragged batching, mesh parallelism, serving with SSE streaming.
 """
 
+import os
 from enum import Enum
+from pathlib import Path
+
+
+def _setup_jax_compilation_cache() -> None:
+    """Enable JAX's persistent compilation cache for every entrypoint.
+
+    Remote compiles through the axon TPU tunnel take minutes for the large
+    decode/training programs; the backend's own cache only helps within a
+    process (repeat cross-process compiles still pay ~1 s each for small
+    programs and the full compile for cold ones). The persistent cache
+    brings cross-process recompiles down to disk-read time (measured
+    1.44 s -> 0.07 s on a probe program; minutes -> seconds for the
+    monolith kernel). Only compiles that took >= 1 s are written, so test
+    suites full of tiny CPU programs don't flood the directory.
+
+    Opt out with ``ACAI_JAX_CACHE=0``; override the location with
+    ``ACAI_JAX_CACHE_DIR`` (default: ``<repo>/.jax_cache``).
+    """
+    if os.environ.get("ACAI_JAX_CACHE", "1") != "1":
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get("ACAI_JAX_CACHE_DIR") or str(
+            Path(__file__).resolve().parent.parent / ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # never let cache setup break an import
+        pass
+
+
+_setup_jax_compilation_cache()
 
 
 class InferenceEvent(Enum):

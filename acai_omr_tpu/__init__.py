@@ -25,15 +25,27 @@ def _setup_jax_compilation_cache() -> None:
     suites full of tiny CPU programs don't flood the directory.
 
     Opt out with ``ACAI_JAX_CACHE=0``; override the location with
-    ``ACAI_JAX_CACHE_DIR`` (default: ``<repo>/.jax_cache``).
+    ``ACAI_JAX_CACHE_DIR`` (default: ``<repo>/.jax_cache``, falling back to
+    ``~/.cache/acai_omr_tpu/jax`` when the checkout isn't writable, e.g. a
+    pip install into a read-only site-packages). Respects JAX's native
+    ``JAX_COMPILATION_CACHE_DIR`` / an already-configured cache dir — those
+    win over our default.
     """
     if os.environ.get("ACAI_JAX_CACHE", "1") != "1":
         return
     try:
         import jax
 
-        cache_dir = os.environ.get("ACAI_JAX_CACHE_DIR") or str(
-            Path(__file__).resolve().parent.parent / ".jax_cache")
+        if jax.config.jax_compilation_cache_dir:  # user already configured it
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            return
+        cache_dir = os.environ.get("ACAI_JAX_CACHE_DIR")
+        if not cache_dir:
+            repo_root = Path(__file__).resolve().parent.parent
+            if os.access(repo_root, os.W_OK):
+                cache_dir = str(repo_root / ".jax_cache")
+            else:
+                cache_dir = str(Path.home() / ".cache" / "acai_omr_tpu" / "jax")
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # never let cache setup break an import

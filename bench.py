@@ -160,7 +160,7 @@ def main():
     # configs. Measured curve (511 tok, mem 512): bf16 22.9/26.2/28.1/28.8
     # and int8 36/39.7/41.9/42.8 sys/s at B=32/64/128/192, asymptote ~29 /
     # ~43.5 — B=128 is the knee reported here.
-    b64 = {}
+    batch_rows = {}
     for bb in (64, 128):
         rngb = np.random.default_rng(2)
         memb = jnp.asarray(rngb.standard_normal((bb, MEM_LEN, cfg.hidden_dim)),
@@ -178,7 +178,7 @@ def main():
             run_bb(dt)
             t0 = time.perf_counter()
             run_bb(dt)
-            b64[name] = round(bb / (time.perf_counter() - t0), 2)
+            batch_rows[name] = round(bb / (time.perf_counter() - t0), 2)
 
     int8_p50 = measure_p50_latency(cfg, params, mem, mem_valid,
                                    cache_dtype=jnp.int8)
@@ -206,7 +206,7 @@ def main():
         "typical_systems_per_sec_256tok": round(typical_systems_per_sec, 2),
         "int8_kv_systems_per_sec": round(int8_systems_per_sec, 2),
         "int8_p50_single_system_latency_s": round(int8_p50, 3),
-        **b64,
+        **batch_rows,
         "device": str(jax.devices()[0]),
         **extras,
     }))

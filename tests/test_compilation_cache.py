@@ -18,7 +18,13 @@ _PROBE = (
 
 
 def _run(env_overrides):
-    env = dict(os.environ, **env_overrides)
+    env = dict(os.environ)
+    # An ambient cache config would leak into the probe and mask the behavior
+    # under test (ADVICE r1).
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    env.pop("ACAI_JAX_CACHE_DIR", None)
+    env.pop("ACAI_JAX_CACHE", None)
+    env.update(env_overrides)
     out = subprocess.run([sys.executable, "-c", _PROBE], check=True,
                          capture_output=True, text=True, env=env)
     return out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
@@ -31,3 +37,9 @@ def test_cache_enabled_by_default(tmp_path):
 
 def test_cache_opt_out():
     assert _run({"ACAI_JAX_CACHE": "0"}) == ""
+
+
+def test_native_jax_env_var_wins(tmp_path):
+    # JAX's own JAX_COMPILATION_CACHE_DIR must not be clobbered by our default.
+    d = str(tmp_path / "native")
+    assert _run({"JAX_COMPILATION_CACHE_DIR": d}) == d

@@ -58,7 +58,8 @@ _INTERPRET = False
 # set outside attribution runs. Read at trace time.
 _ABLATE: frozenset = frozenset()
 
-ABLATIONS = ("quantrows", "packscale", "qdotquant", "gelu")
+ABLATIONS = ("quantrows", "packscale", "qdotquant", "gelu", "selfattn",
+             "crossattn", "exp")
 
 
 def set_ablate(names=()) -> None:
@@ -103,6 +104,32 @@ def _manual_wdma(quantized: bool) -> bool:
     if _MANUAL_WDMA in ("auto",):
         return quantized
     return _MANUAL_WDMA in (True, "1")
+
+
+# manual cache-stream prefetch: the per-grid-step cache/memory/scale blocks
+# (the bulk of the int8 step's HBM traffic — ~17 MB/step at flagship shapes)
+# otherwise ride Mosaic's automatic pipelining, whose one-step lookahead was
+# measured as the residual between the int8 step and its HBM floor
+# (docs/PERF.md stage attribution: ~0.36 ms/step of imperfect DMA overlap,
+# not VPU work). This mode moves them to explicitly double-buffered VMEM
+# scratch: step g issues step g+1's eight copies at its own start, so every
+# stream has a full grid step to land and the copies are batched onto the
+# DMA engines in one burst. Needs in-order tiles (slot parity follows the
+# global grid step), same trade as the weight prefetch.
+# A/B: ACAI_MONOLITH_CDMA=1 forces on, =0 forces off, auto = int8 only.
+_MANUAL_CDMA = os.environ.get("ACAI_MONOLITH_CDMA", "auto")
+
+
+def set_manual_cdma(flag) -> None:
+    """True/False force the mode; "auto" (default) = int8 caches only."""
+    global _MANUAL_CDMA
+    _MANUAL_CDMA = flag
+
+
+def _manual_cdma(quantized: bool) -> bool:
+    if _MANUAL_CDMA in ("auto",):
+        return quantized
+    return _MANUAL_CDMA in (True, "1")
 
 # sublane tile of the cache's time axis written back per step (>= the native
 # sublane tile: 16 covers bf16/f32; int8 tiles are (32, 128))
@@ -522,6 +549,10 @@ def _attend_all(q, fresh, k_blk, v_blk, mask_add, pos, t_len, bt, h, e,
         if bias is not None:
             logits = logits + bias                             # (btt, 1) bcast
 
+    if "exp" in _ABLATE:  # timing-only: linear stand-in for the softmax exp
+        _exp = lambda z: z * 1e-4 + 1.0
+    else:
+        _exp = jnp.exp
     m = jnp.max(logits, axis=0, keepdims=True)                 # (1, nl)
     if fresh is not None:
         p_rows, v_eff = fresh
@@ -532,10 +563,10 @@ def _attend_all(q, fresh, k_blk, v_blk, mask_add, pos, t_len, bt, h, e,
         lc = jax.lax.dot_general(ones, p_big, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32) * scale
         m = jnp.maximum(m, lc)                                 # (1, nl)
-    w = jnp.exp(logits - m)                                    # (btt, nl)
+    w = _exp(logits - m)                                       # (btt, nl)
     denom = jnp.sum(w, axis=0, keepdims=True)
     if fresh is not None:
-        wc = jnp.exp(lc - m)
+        wc = _exp(lc - m)
         denom = denom + wc
 
     if quantized:
@@ -600,8 +631,12 @@ def _attend_shared(q, k_mem, v_mem, bias_col, e, scale, dtype, consts,
         big = jax.lax.dot_general(k_mem, qd, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)  # (M, nl)
         logits = big * scale + bias_col                        # (M, 1) bcast
+    if "exp" in _ABLATE:  # timing-only: linear stand-in for the softmax exp
+        _exp = lambda z: z * 1e-4 + 1.0
+    else:
+        _exp = jnp.exp
     m_ = jnp.max(logits, axis=0, keepdims=True)                # (1, nl)
-    w = jnp.exp(logits - m_)
+    w = _exp(logits - m_)
     denom = jnp.sum(w, axis=0, keepdims=True)
     if quantized:
         vp_big = pltpu.repeat(v_plane, bt, axis=1).astype(jnp.float32)
@@ -626,8 +661,16 @@ def _attend_shared(q, k_mem, v_mem, bias_col, e, scale, dtype, consts,
 def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
             nlayers: int, dtype, quantized: bool, tt: int,
             w8a8: bool = False, mem_group: int = 1,
-            manual_wdma: bool = False):
+            manual_wdma: bool = False, manual_cdma: bool = False,
+            n_tiles: int = 1, n_cslots: int = 2):
     ws_ref = None
+    ksc_buf = vsc_buf = mksc_buf = mvsc_buf = None
+    if manual_cdma:
+        if quantized:
+            *refs, kc_buf, vc_buf, ksc_buf, vsc_buf, mkc_buf, mvc_buf, \
+                mksc_buf, mvsc_buf, csem = refs
+        else:
+            *refs, kc_buf, vc_buf, mkc_buf, mvc_buf, csem = refs
     if manual_wdma:
         *refs, wq_buf, wso_buf, wcq_buf, wco_buf, wf1_buf, wf2_buf, \
             wsem = refs
@@ -686,6 +729,82 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
                 for c in wdma(i + 1, jax.lax.rem(i + 1, 2)):
                     c.start()
 
+    if manual_cdma:
+        # cache-stream prefetch: step g+S-1's blocks start copying into the
+        # next free rotation slot at step g's start, so S-1 grid steps of
+        # copies are always in flight and the DMA engines never drain at a
+        # step boundary (vs Mosaic's per-operand pipelining, measured as the
+        # int8 step's residual to its HBM floor — docs/PERF.md)
+        g = i * n_tiles + j
+        cslot = jax.lax.rem(g, n_cslots)
+
+        def cdma(gi, s):
+            li = gi // n_tiles
+            tj = jax.lax.rem(gi, n_tiles)
+            rows = pl.ds(tj * bt, bt)
+            copies = [
+                pltpu.make_async_copy(k_ref.at[li, rows], kc_buf.at[s],
+                                      csem.at[0, s]),
+                pltpu.make_async_copy(v_ref.at[li, rows], vc_buf.at[s],
+                                      csem.at[1, s]),
+            ]
+            if quantized:
+                copies += [
+                    pltpu.make_async_copy(ks_ref.at[li, tj], ksc_buf.at[s],
+                                          csem.at[2, s]),
+                    pltpu.make_async_copy(vs_ref.at[li, tj], vsc_buf.at[s],
+                                          csem.at[3, s]),
+                ]
+            if mem_group > 1:
+                gj = (tj * bt) // mem_group
+                copies += [
+                    pltpu.make_async_copy(mk_ref.at[li, gj], mkc_buf.at[s],
+                                          csem.at[4, s]),
+                    pltpu.make_async_copy(mv_ref.at[li, gj], mvc_buf.at[s],
+                                          csem.at[5, s]),
+                ]
+                if quantized:
+                    copies += [
+                        pltpu.make_async_copy(mks_ref.at[li, gj],
+                                              mksc_buf.at[s], csem.at[6, s]),
+                        pltpu.make_async_copy(mvs_ref.at[li, gj],
+                                              mvsc_buf.at[s], csem.at[7, s]),
+                    ]
+            else:
+                copies += [
+                    pltpu.make_async_copy(mk_ref.at[li, rows], mkc_buf.at[s],
+                                          csem.at[4, s]),
+                    pltpu.make_async_copy(mv_ref.at[li, rows], mvc_buf.at[s],
+                                          csem.at[5, s]),
+                ]
+                if quantized:
+                    copies += [
+                        pltpu.make_async_copy(mks_ref.at[li, tj],
+                                              mksc_buf.at[s], csem.at[6, s]),
+                        pltpu.make_async_copy(mvs_ref.at[li, tj],
+                                              mvsc_buf.at[s], csem.at[7, s]),
+                    ]
+            return copies
+
+        total = nlayers * n_tiles
+
+        @pl.when(g == 0)
+        def _():
+            # fill the pipeline: steps 0..S-2 (step S-1's copies issue below)
+            for k in range(min(n_cslots - 1, total)):
+                for c in cdma(k, k):
+                    c.start()
+
+        if total >= n_cslots:
+            @pl.when(g + n_cslots - 1 < total)
+            def _():
+                nxt = g + n_cslots - 1
+                for c in cdma(nxt, jax.lax.rem(nxt, n_cslots)):
+                    c.start()
+
+        for c in cdma(g, cslot):
+            c.wait()
+
     # per-tile init/flush keep the j grid dimension honestly parallel (no
     # cross-tile reads or writes anywhere in the kernel). The additive
     # attention masks are built once per tile at layer 0 (identical values
@@ -710,6 +829,25 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
             # per-tile padding bias is added per step; one cheap pass)
             mask_cross[...] = jnp.where((sub_c // m_len) == (lane_c // h),
                                         0.0, nn.NEG_INF).astype(jnp.bfloat16)
+
+    # unified views of the current grid step's cache/memory blocks: manual
+    # prefetch reads its parity slot of scratch; streamed mode reads the
+    # Mosaic-fetched block windows
+    if manual_cdma:
+        k_blkref, v_blkref = kc_buf.at[cslot], vc_buf.at[cslot]
+        mk_blkref, mv_blkref = mkc_buf.at[cslot], mvc_buf.at[cslot]
+        ks_pref = ksc_buf.at[cslot] if quantized else None
+        vs_pref = vsc_buf.at[cslot] if quantized else None
+        mks_pref = mksc_buf.at[cslot] if quantized else None
+        mvs_pref = mvsc_buf.at[cslot] if quantized else None
+    else:
+        k_blkref, v_blkref = k_ref.at[0], v_ref.at[0]
+        mk_blkref = mk_ref.at[0, 0] if mem_group > 1 else mk_ref.at[0]
+        mv_blkref = mv_ref.at[0, 0] if mem_group > 1 else mv_ref.at[0]
+        ks_pref = ks_ref.at[0, 0] if quantized else None
+        vs_pref = vs_ref.at[0, 0] if quantized else None
+        mks_pref = mks_ref.at[0, 0] if quantized else None
+        mvs_pref = mvs_ref.at[0, 0] if quantized else None
 
     # per-head column selector: sel_c[h, c] = 1 where c // Dh == h (feeds the
     # per-head max in _quant_rows)
@@ -768,11 +906,11 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
     if quantized:
         kt_ref[0] = jnp.where(
             sub3 == pos, kq_all[:, None, :],
-            k_ref[0, :, pl.ds(base, tt), :].astype(jnp.float32)
+            k_blkref[:, pl.ds(base, tt), :].astype(jnp.float32)
         ).astype(jnp.int8)
         vt_ref[0] = jnp.where(
             sub3 == pos, vq_all[:, None, :],
-            v_ref[0, :, pl.ds(base, tt), :].astype(jnp.float32)
+            v_blkref[:, pl.ds(base, tt), :].astype(jnp.float32)
         ).astype(jnp.int8)
         # scale planes are lane-packed (T, bt*H); pack the new row via the
         # exact MXU gadget (values are bf16-rounded by _quant_rows)
@@ -783,58 +921,67 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
             vs_row = _pack_scale_row(vs_h, consts)
         kst_ref[0, 0] = jnp.where(
             sub2 == pos, ks_row,
-            ks_ref[0, 0, pl.ds(base, tt), :].astype(jnp.float32)
+            ks_pref[pl.ds(base, tt), :].astype(jnp.float32)
         ).astype(kst_ref.dtype)
         vst_ref[0, 0] = jnp.where(
             sub2 == pos, vs_row,
-            vs_ref[0, 0, pl.ds(base, tt), :].astype(jnp.float32)
+            vs_pref[pl.ds(base, tt), :].astype(jnp.float32)
         ).astype(vst_ref.dtype)
         p_rows = (qq_all * qs_e) * (kq_all * ks_e)
-        attn32 = _attend_all(
-            (qq_all, qs_h, qs_e), (p_rows, vq_all * vs_e),
-            k_ref[0], v_ref[0], mask_self[...], pos, t_len, bt, h, e, scale,
-            dtype, consts, k_plane=ks_ref[0, 0], v_plane=vs_ref[0, 0])
+        if "selfattn" in _ABLATE:  # timing-only: skip the self-attention site
+            attn32 = qq_all * qs_e
+        else:
+            attn32 = _attend_all(
+                (qq_all, qs_h, qs_e), (p_rows, vq_all * vs_e),
+                k_blkref[...], v_blkref[...], mask_self[...], pos, t_len, bt,
+                h, e, scale, dtype, consts, k_plane=ks_pref[...],
+                v_plane=vs_pref[...])
     else:
         kt_ref[0] = jnp.where(sub3 == pos, k_all[:, None, :],
-                              k_ref[0, :, pl.ds(base, tt), :])
+                              k_blkref[:, pl.ds(base, tt), :])
         vt_ref[0] = jnp.where(sub3 == pos, v_all[:, None, :],
-                              v_ref[0, :, pl.ds(base, tt), :])
+                              v_blkref[:, pl.ds(base, tt), :])
         p_rows = q_all.astype(jnp.float32) * k_all.astype(jnp.float32)
-        attn32 = _attend_all(
-            q_all, (p_rows, v_all.astype(jnp.float32)),
-            k_ref[0], v_ref[0], mask_self[...], pos, t_len, bt, h, e, scale,
-            dtype, consts)
+        if "selfattn" in _ABLATE:  # timing-only: skip the self-attention site
+            attn32 = q_all.astype(jnp.float32)
+        else:
+            attn32 = _attend_all(
+                q_all, (p_rows, v_all.astype(jnp.float32)),
+                k_blkref[...], v_blkref[...], mask_self[...], pos, t_len, bt,
+                h, e, scale, dtype, consts)
     attn = attn32.astype(dtype)
     so = (mat(attn, w_sout_ref, 1, e) + b_sout).astype(dtype)
     x = _ln(x + so, ln1s, ln1b, 1e-5)
 
     # ---- cross-attention over the precomputed memory K/V ----
     qc = (mat(x, w_cq_ref, 2, e) + b_cq).astype(dtype)
-    if mem_group > 1 and quantized:
+    if "crossattn" in _ABLATE:  # timing-only: skip the cross-attention site
+        cattn32 = qc.astype(jnp.float32)
+    elif mem_group > 1 and quantized:
         qcq_all, qcs_e, qcs_h = _quant_rows_or_ablate(
             qc.astype(jnp.float32), dh, selnorm)
         cattn32 = _attend_shared(
-            (qcq_all, qcs_h, qcs_e), mk_ref[0, 0], mv_ref[0, 0],
+            (qcq_all, qcs_h, qcs_e), mk_blkref[...], mv_blkref[...],
             mbias_ref[...].reshape(m_len, 1), e, scale, dtype, consts,
-            bt=bt, h=h, k_plane=mks_ref[0, 0], v_plane=mvs_ref[0, 0])
+            bt=bt, h=h, k_plane=mks_pref[...], v_plane=mvs_pref[...])
     elif mem_group > 1:
         # grouped: every row of this tile shares the tile's single memory
         cattn32 = _attend_shared(
-            qc, mk_ref[0, 0], mv_ref[0, 0],
+            qc, mk_blkref[...], mv_blkref[...],
             mbias_ref[...].reshape(m_len, 1), e, scale, dtype, consts)
     elif quantized:
         bias_flat = mbias_ref[...].reshape(bt * m_len, 1)
         qcq_all, qcs_e, qcs_h = _quant_rows_or_ablate(
             qc.astype(jnp.float32), dh, selnorm)
         cattn32 = _attend_all(
-            (qcq_all, qcs_h, qcs_e), None, mk_ref[0], mv_ref[0],
+            (qcq_all, qcs_h, qcs_e), None, mk_blkref[...], mv_blkref[...],
             mask_cross[...], pos, m_len, bt, h, e, scale, dtype, consts,
-            k_plane=mks_ref[0, 0], v_plane=mvs_ref[0, 0], bias=bias_flat)
+            k_plane=mks_pref[...], v_plane=mvs_pref[...], bias=bias_flat)
     else:
         bias_flat = mbias_ref[...].reshape(bt * m_len, 1)
         cattn32 = _attend_all(
-            qc, None, mk_ref[0], mv_ref[0], mask_cross[...], pos, m_len,
-            bt, h, e, scale, dtype, consts, bias=bias_flat)
+            qc, None, mk_blkref[...], mv_blkref[...], mask_cross[...], pos,
+            m_len, bt, h, e, scale, dtype, consts, bias=bias_flat)
     cattn = cattn32.astype(dtype)
     co = (mat(cattn, w_cout_ref, 3, e) + b_cout).astype(dtype)
     x = _ln(x + co, ln2s, ln2b, 1e-5)
@@ -905,6 +1052,8 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     scalars = jnp.asarray([pos], jnp.int32)
 
     manual_wdma = _manual_wdma(quantized)
+    manual_cdma = _manual_cdma(quantized)
+    hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     def wspec(shape):
         if manual_wdma:
@@ -915,6 +1064,10 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
                             memory_space=pltpu.VMEM)
 
     def cache_spec(length, width):
+        if manual_cdma:
+            # full array stays in HBM; the kernel prefetches per-step blocks
+            # into double-buffered scratch one grid step ahead
+            return hbm_spec
         return pl.BlockSpec((1, bt, length, width),
                             lambda i, j, s: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -964,6 +1117,8 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
                 f"pallas_monolith.pack_scales(s, scale_pack_group(...))")
 
         def scale_spec(length):
+            if manual_cdma:
+                return hbm_spec
             return pl.BlockSpec((1, 1, length, nl),
                                 lambda i, j, s: (i, j, 0, 0),
                                 memory_space=pltpu.VMEM)
@@ -980,11 +1135,11 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
                     f"grouped int8 memory scale planes must be the shared "
                     f"(L, B/G, M, H) layout: expected {mexpect}, got "
                     f"{mem_k_scale.shape} (do NOT pack_scales them)")
-            mem_spec_q = pl.BlockSpec(
+            mem_spec_q = hbm_spec if manual_cdma else pl.BlockSpec(
                 (1, 1, m_len, e), lambda i, j, s: (i, (j * bt) // mem_group,
                                                    0, 0),
                 memory_space=pltpu.VMEM)
-            mem_scale_spec = pl.BlockSpec(
+            mem_scale_spec = hbm_spec if manual_cdma else pl.BlockSpec(
                 (1, 1, m_len, h), lambda i, j, s: (i, (j * bt) // mem_group,
                                                    0, 0),
                 memory_space=pltpu.VMEM)
@@ -1004,9 +1159,10 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     elif mem_group > 1:
         # one shared (M, E) memory block per tile: block index = the tile's
         # group (bt | mem_group, so a tile never straddles groups)
-        mem_spec = pl.BlockSpec((1, 1, m_len, e),
-                                lambda i, j, s: (i, (j * bt) // mem_group, 0, 0),
-                                memory_space=pltpu.VMEM)
+        mem_spec = hbm_spec if manual_cdma else pl.BlockSpec(
+            (1, 1, m_len, e),
+            lambda i, j, s: (i, (j * bt) // mem_group, 0, 0),
+            memory_space=pltpu.VMEM)
         in_specs += [mem_spec, mem_spec]
         inputs += [mem_k, mem_v]
     else:
@@ -1043,6 +1199,29 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
             pltpu.VMEM((2, e, f), wdt), pltpu.VMEM((2, f, e), wdt),
             pltpu.SemaphoreType.DMA((6, 2)),
         ]
+    n_cslots = 2
+    if manual_cdma:
+        # slot count = prefetch depth + 1: int8 blocks are small enough that
+        # three slots fit VMEM, keeping two steps of copies in flight so the
+        # DMA engines never drain at a grid-step boundary (measured: the
+        # 2-slot skeleton sat ~10% above the achieved-bandwidth floor)
+        cdt = k_cache.dtype
+        nl = bt * h
+        n_cslots = 3 if quantized else 2
+        S = n_cslots
+        scratch_shapes += [pltpu.VMEM((S, bt, t_len, e), cdt),
+                           pltpu.VMEM((S, bt, t_len, e), cdt)]
+        if quantized:
+            scratch_shapes += [pltpu.VMEM((S, t_len, nl), k_scale.dtype),
+                               pltpu.VMEM((S, t_len, nl), v_scale.dtype)]
+        mshape = (S, m_len, e) if mem_group > 1 else (S, bt, m_len, e)
+        scratch_shapes += [pltpu.VMEM(mshape, mem_k.dtype),
+                           pltpu.VMEM(mshape, mem_v.dtype)]
+        if quantized:
+            mw = h if mem_group > 1 else nl
+            scratch_shapes += [pltpu.VMEM((S, m_len, mw), mem_k_scale.dtype),
+                               pltpu.VMEM((S, m_len, mw), mem_v_scale.dtype)]
+        scratch_shapes += [pltpu.SemaphoreType.DMA((8, S))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -1053,7 +1232,8 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     kernel = functools.partial(
         _kernel, bt=bt, t_len=t_len, m_len=m_len, e=e, h=h,
         nlayers=nlayers, dtype=dtype, quantized=quantized, tt=tt, w8a8=w8a8,
-        mem_group=mem_group, manual_wdma=manual_wdma)
+        mem_group=mem_group, manual_wdma=manual_wdma,
+        manual_cdma=manual_cdma, n_tiles=n_tiles, n_cslots=n_cslots)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1069,7 +1249,8 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
             # wait at each layer's first tile) and recovers that overlap by
             # giving the weight DMA a whole layer of lookahead.
             dimension_semantics=("arbitrary",
-                                 "arbitrary" if manual_wdma else "parallel")),
+                                 "arbitrary" if (manual_wdma or manual_cdma)
+                                 else "parallel")),
         interpret=interpret,
     )(scalars, *inputs)
     x_out = outs[0][:, :bt].reshape(b, e)

@@ -444,6 +444,57 @@ def test_manual_wdma_bit_identical(setup):
         np.testing.assert_array_equal(a, c)
 
 
+def test_manual_cdma_bit_identical(setup):
+    """The manual cache-stream prefetch mode (double-buffered scratch fed a
+    grid step ahead) is a pure DMA-scheduling change: forced on vs forced off
+    must be bit-identical on the bf16 path (the int8 path runs it by default
+    under "auto" and is covered by the int8 parity tests above)."""
+    params, latent, valid = setup
+    mem_te = decode.precompute_memory_kv(params, CFG, latent, valid,
+                                         jnp.float32, jnp.float32,
+                                         layout="te")
+    x = jax.random.normal(jax.random.PRNGKey(7), (B, CFG.hidden_dim),
+                          jnp.float32)
+    mono = pallas_monolith.prepack(params, CFG, jnp.float32)
+    state = decode.init_decode_state(CFG, B, 16, T_CACHE,
+                                     cache_dtype=jnp.float32, monolith=True)
+    bias_col = mem_te.bias.reshape(B, M, 1).astype(jnp.float32)
+
+    outs = {}
+    for flag in (False, True):
+        pallas_monolith.set_manual_cdma(flag)
+        try:
+            res = pallas_monolith.decode_layers(
+                mono, x, 3, state.k_cache, state.v_cache, mem_te.k, mem_te.v,
+                bias_col, num_heads=CFG.num_heads)
+            outs[flag] = tuple(np.asarray(r) for r in res)
+        finally:
+            pallas_monolith.set_manual_cdma("auto")
+    for a, c in zip(outs[False], outs[True]):
+        np.testing.assert_array_equal(a, c)
+
+
+def test_manual_cdma_grouped_bf16_bit_identical(setup):
+    """cdma forced on vs off on the grouped-memory bf16 path (shared (M, E)
+    block per tile) — covers the grouped prefetch indexing."""
+    params, latent, valid = setup
+    lat, val = latent[:2], valid[:2]
+    g = 4
+    kwargs = dict(mem_group=g, max_len=32, initial_segment=16, compact=False,
+                  compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+    outs = {}
+    for flag in (False, True):
+        pallas_monolith.set_manual_cdma(flag)
+        try:
+            outs[flag] = decode.generate(params, CFG, lat, val, **kwargs)
+        finally:
+            pallas_monolith.set_manual_cdma("auto")
+    np.testing.assert_array_equal(np.asarray(outs[False][0]),
+                                  np.asarray(outs[True][0]))
+    np.testing.assert_array_equal(np.asarray(outs[False][1]),
+                                  np.asarray(outs[True][1]))
+
+
 def test_grouped_mem_int8_matches_replicated_monolith(setup):
     """int8 grouped cross-attention (shared (M, E) block + narrow shared
     scale planes) is bit-identical to replicated int8 decode of the expanded

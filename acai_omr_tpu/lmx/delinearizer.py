@@ -68,6 +68,10 @@ class _Note:
 class _Move:  # backup / forward
     kind: str
     quarters: Fraction
+    # last duration increment (the type token's value, then halved per dot):
+    # "backup half dot" = 2 + 1 = 3 quarters, matching the linearizer's
+    # greedy dot absorption (linearizer._decompose_move)
+    last_add: Fraction = Fraction(0)
 
 
 @dataclasses.dataclass
@@ -218,10 +222,9 @@ class Delinearizer:
                 pending["grace"] = tok
                 continue
             if tok == "print-object:no":
-                if note is not None and not pending["chord"] and pending["grace"] is None:
-                    note.print_object = False
-                else:
-                    pending["print_object"] = False
+                # always a prefix of the note it modifies (the linearizer
+                # emits it before grace/chord/pitch — linearizer.py:102)
+                pending["print_object"] = False
                 continue
 
             if G.is_pitch(tok) or tok in ("rest", "rest:measure"):
@@ -244,6 +247,7 @@ class Delinearizer:
                     # each backup/forward token carries one type (+dots);
                     # accumulate if several duration tokens follow
                     move.quarters += G.TYPE_QUARTERS[tok]
+                    move.last_add = G.TYPE_QUARTERS[tok]
                 elif note is not None:
                     if note.type_ is None:
                         note.type_ = tok
@@ -253,8 +257,9 @@ class Delinearizer:
                     minor(f"duration type '{tok}' with no note context")
                 continue
             if tok == "dot":
-                if move is not None and move.quarters > 0:
-                    move.quarters += move.quarters / 3  # dot on last type chunk
+                if move is not None and move.last_add > 0:
+                    move.last_add = move.last_add / 2  # dot halves per repeat
+                    move.quarters += move.last_add
                 elif note is not None:
                     note.dots += 1
                 else:

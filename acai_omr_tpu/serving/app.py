@@ -38,4 +38,10 @@ def create_app():
 
     from .routes import main
     app.register_blueprint(main)
+
+    @app.errorhandler(ValueError)
+    def bad_request(e):  # tmpdir validation parity with wsgi_app.py:174-176
+        from flask import jsonify
+        return jsonify({"ok": False, "error": str(e)}), 400
+
     return app

@@ -129,6 +129,46 @@ def test_full_serving_flow(tiny_model, rng):
     assert data["ok"]
 
 
+def test_multi_system_sse_ordering_and_confidence(tiny_model, rng):
+    """11 annotated systems stream strictly in numeric order (system_10 must
+    come AFTER system_2 — a lexicographic glob sort would break this;
+    reference ui/routes.py:93-104), and postprocess confidence is
+    exp(mean per-system avg log prob) (reference routes.py:190)."""
+    from pathlib import Path
+
+    c = WsgiClient()
+    _, data = c.get_json("POST", "/tmpdir/create")
+    tmpdir = data["tmpdir"]
+    hdr = {"X-Tmpdir": tmpdir}
+    mp_body, mp_ctype = _multipart(_png_bytes(rng))
+    c.get_json("POST", "/upload", body=mp_body, headers=hdr, ctype=mp_ctype)
+
+    n = 11
+    bboxes = [[0, 0, 32 + i, 32] for i in range(n)]
+    status, data = c.get_json("POST", "/inference/setup",
+                              body=json.dumps({"bboxes": bboxes}).encode(),
+                              headers=hdr, ctype="application/json")
+    assert data["num_systems"] == n
+
+    _, headers, body = c.request("GET", f"/inference/stream?tmpdir={tmpdir}")
+    finished = []
+    for block in body.decode().strip().split("\n\n"):
+        lines = block.split("\n")
+        ev = lines[0].removeprefix("event: ")
+        payload = json.loads(lines[1].removeprefix("data: "))
+        if ev == "inference_finish":
+            finished.append(payload["system"])
+    assert finished == list(range(n))
+
+    status, data = c.get_json("POST", "/inference/postprocess", headers=hdr)
+    if data["ok"]:
+        lps = [json.loads(p.read_text())["avg_log_prob"]
+               for p in Path(tmpdir).glob("system_*.meta.json")]
+        assert len(lps) == n
+        assert data["confidence"] == pytest.approx(float(np.exp(np.mean(lps))))
+    c.get_json("POST", "/clear", headers=hdr)
+
+
 def test_tmpdir_validation(tiny_model):
     c = WsgiClient()
     status, data = c.get_json("POST", "/upload", headers={"X-Tmpdir": "/etc"})

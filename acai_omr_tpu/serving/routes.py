@@ -86,6 +86,7 @@ if _FLASK:
         img = Image.open(d / "upload.png").convert("L")
         if not bboxes:
             bboxes = [[0, 0, img.width, img.height]]
+        clear_system_files(d)
         for i, (x0, y0, x1, y1) in enumerate(bboxes):
             img.crop((int(x0), int(y0), int(x1), int(y1))).save(d / f"system_{i}.png")
         return jsonify({"ok": True, "num_systems": len(bboxes)})
@@ -116,6 +117,16 @@ if _FLASK:
             p.unlink()
         d.rmdir()
         return jsonify({"ok": True})
+
+
+def clear_system_files(d: Path) -> None:
+    """Drop stale per-system artifacts before a (re-)setup: the user can edit
+    boxes and re-run setup with FEWER systems — leftover system_N.png /
+    .lmx / .meta.json from the previous run must not leak into the stream or
+    the postprocess confidence."""
+    for pat in ("system_*.png", "system_*.lmx", "system_*.meta.json"):
+        for p in d.glob(pat):
+            p.unlink()
 
 
 def _system_paths(d: Path):

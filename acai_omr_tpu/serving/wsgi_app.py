@@ -137,6 +137,7 @@ def application(environ, start_response):
             img = Image.open(d / "upload.png").convert("L")
             if not bboxes:
                 bboxes = [[0, 0, img.width, img.height]]
+            impl.clear_system_files(d)
             for i, (x0, y0, x1, y1) in enumerate(bboxes):
                 img.crop((int(x0), int(y0), int(x1), int(y1))).save(
                     d / f"system_{i}.png")

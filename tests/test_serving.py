@@ -169,6 +169,46 @@ def test_multi_system_sse_ordering_and_confidence(tiny_model, rng):
     c.get_json("POST", "/clear", headers=hdr)
 
 
+def test_setup_after_box_edit_drops_stale_systems(tiny_model, rng):
+    """The UI lets users delete/reorder boxes and re-run setup (per-box
+    editing, inference.js); a second setup with FEWER/REORDERED boxes must
+    fully replace the previous crops — stale system_2.png from a 3-box setup
+    leaking into a 2-box stream would transcribe a deleted system."""
+    from pathlib import Path
+    from PIL import Image
+
+    c = WsgiClient()
+    _, data = c.get_json("POST", "/tmpdir/create")
+    tmpdir = data["tmpdir"]
+    hdr = {"X-Tmpdir": tmpdir}
+    mp_body, mp_ctype = _multipart(_png_bytes(rng))
+    c.get_json("POST", "/upload", body=mp_body, headers=hdr, ctype=mp_ctype)
+
+    first = [[0, 0, 32, 32], [0, 0, 40, 32], [0, 0, 48, 32]]
+    _, data = c.get_json("POST", "/inference/setup",
+                         body=json.dumps({"bboxes": first}).encode(),
+                         headers=hdr, ctype="application/json")
+    assert data["num_systems"] == 3
+
+    # user deletes box 0 and swaps the remaining two -> re-setup
+    edited = [first[2], first[1]]
+    _, data = c.get_json("POST", "/inference/setup",
+                         body=json.dumps({"bboxes": edited}).encode(),
+                         headers=hdr, ctype="application/json")
+    assert data["num_systems"] == 2
+    pngs = sorted(p.name for p in Path(tmpdir).glob("system_*.png"))
+    assert pngs == ["system_0.png", "system_1.png"]  # no stale system_2
+    # crops follow the edited order (system_0 is the old third box: width 48)
+    assert Image.open(Path(tmpdir) / "system_0.png").width == 48
+    assert Image.open(Path(tmpdir) / "system_1.png").width == 40
+
+    _, _, body = c.request("GET", f"/inference/stream?tmpdir={tmpdir}")
+    finished = [b for b in body.decode().strip().split("\n\n")
+                if b.startswith("event: inference_finish")]
+    assert len(finished) == 2
+    c.get_json("POST", "/clear", headers=hdr)
+
+
 def test_tmpdir_validation(tiny_model):
     c = WsgiClient()
     status, data = c.get_json("POST", "/upload", headers={"X-Tmpdir": "/etc"})

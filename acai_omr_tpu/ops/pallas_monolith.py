@@ -131,6 +131,26 @@ def _manual_cdma(quantized: bool) -> bool:
         return quantized
     return _MANUAL_CDMA in (True, "1")
 
+
+# rotation-slot count for the manual cache prefetch: S slots keep S-1 grid
+# steps of copies in flight. int8 blocks are small enough for 3 slots at
+# bt=8 (measured: the 2-slot skeleton sat ~10% above the achieved-bandwidth
+# floor); larger row tiles need S=2 to fit VMEM.
+# A/B: ACAI_MONOLITH_CSLOTS=2|3 forces a count, auto = 3 int8 / 2 bf16.
+_N_CSLOTS = os.environ.get("ACAI_MONOLITH_CSLOTS", "auto")
+
+
+def set_cslots(flag) -> None:
+    """2/3 force the slot count; "auto" (default) = 3 int8 / 2 bf16."""
+    global _N_CSLOTS
+    _N_CSLOTS = flag
+
+
+def pick_cslots(quantized: bool) -> int:
+    if _N_CSLOTS in ("auto",):
+        return 3 if quantized else 2
+    return int(_N_CSLOTS)
+
 # sublane tile of the cache's time axis written back per step (>= the native
 # sublane tile: 16 covers bf16/f32; int8 tiles are (32, 128))
 _TIME_TILE = 16
@@ -146,12 +166,72 @@ _VMEM_LIMIT = int(119.5 * 1024 * 1024)
 _WEIGHTS_VMEM = 56 * 1024 * 1024
 _WEIGHTS_VMEM_INT8 = 30 * 1024 * 1024
 _SLACK_VMEM = 6 * 1024 * 1024
-# row-tile cap. bt=16 under W8A8 (whose halved weight residency the budget
-# model says admits it) was MEASURED as a negative: the flagship int8 compile
-# exceeds real VMEM — Mosaic's residency counts double-buffered windows for
-# the in+out aliased cache operands plus scale/mask scratch that the simple
-# per_bt model under-counts. Kept as an experiment knob for smaller shapes.
+# row-tile cap. bt=16 at the flagship shape has been MEASURED as a negative
+# twice: pre-CDMA, Mosaic's double-buffered windows for the in+out aliased
+# cache operands exceeded VMEM; post-CDMA (explicit S=2 scratch) the compile
+# still OOMs on scoped allocations — the block-diagonal attention's bt²-sized
+# f32 logits planes (~16 MB each for self and cross at bt=16 / cache 512)
+# that a streams-only budget under-counts. _cdma_vmem therefore models the
+# intermediates too. The upside was bounded anyway: ablating ALL compute
+# stages moves the int8 step only ~3% (it is DMA-bound at achieved
+# bandwidth), so a fatter tile can't buy more than that. The knob stays for
+# experiments on smaller shapes where the model admits 16.
 _MAX_BT = int(os.environ.get("ACAI_MONOLITH_MAX_BT", "8"))
+
+
+def _cdma_vmem(bt: int, t: int, m: int, e: int, h: int, s: int,
+               quantized: bool, mem_group: int, itemsize: int) -> int:
+    """VMEM bytes of the manual-CDMA kernel's explicit residency at row tile
+    ``bt``: S rotation slots of cache/memory scratch plus the bt²-sized
+    additive masks (the terms that grow with ``bt``; weights/slack are
+    accounted by the caller)."""
+    kv = 2 * s * bt * t * e * itemsize
+    if mem_group > 1:
+        mem = 2 * s * m * e * itemsize
+    else:
+        mem = 2 * s * bt * m * e * itemsize
+    scales = 0
+    if quantized:
+        scales = 2 * s * t * bt * h * 2  # lane-packed self planes, bf16
+        mw = h if mem_group > 1 else bt * h
+        scales += 2 * s * m * mw * 2
+    masks = bt * t * bt * h * 2
+    masks += 8 * 128 * 2 if mem_group > 1 else bt * m * bt * h * 2
+    # block-diagonal attention intermediates: (bt·T, bt·H) f32 logits plus
+    # bf16 softmax weights per attention site (the bt² term that OOMed the
+    # measured bt=16 compile; 6 B/elem ≈ f32 + bf16)
+    inter = bt * t * bt * h * 6
+    inter += (bt * m * h * 6 if mem_group > 1 else bt * m * bt * h * 6)
+    return kv + mem + scales + masks + inter
+
+
+def pick_cdma_plan(b: int, t: int, m: int, e: int, itemsize: int = 1,
+                   num_heads: int = 16, mem_group: int = 1,
+                   w8a8: bool | None = None) -> tuple[int, int]:
+    """(row tile, rotation slots) for the manual-CDMA kernel: the largest
+    feasible ``bt`` wins (fatter grid steps = larger contiguous copies and
+    fewer DMA issue boundaries), then the deepest slot count that still fits
+    — e.g. the flagship (B=32, cache 512) runs bt=8/S=3 but a 1536-token
+    cache segment drops to S=2 to keep bt=8 (S=3 there would exceed VMEM —
+    scratch is 2·S·bt·t·E bytes for the self streams alone)."""
+    quantized = itemsize == 1
+    if w8a8 is None:
+        w8a8 = _W8A8 and quantized
+    weights_vmem = _WEIGHTS_VMEM_INT8 if w8a8 else _WEIGHTS_VMEM
+    budget = _VMEM_LIMIT - weights_vmem - _SLACK_VMEM
+    s_pref = pick_cslots(quantized)
+    slot_choices = (s_pref,) if _N_CSLOTS not in ("auto",) \
+        else tuple(range(s_pref, 1, -1))
+    bt = max(8, min(_MAX_BT, 16)) if w8a8 else 8
+    while bt > 1:
+        if b % bt == 0 and not (mem_group > 1 and mem_group % bt):
+            for s in slot_choices:
+                if _cdma_vmem(bt, t, m, e, h=num_heads, s=s,
+                              quantized=quantized, mem_group=mem_group,
+                              itemsize=itemsize) <= budget:
+                    return bt, s
+        bt //= 2
+    return 1, slot_choices[-1]
 
 
 def set_enabled(flag: bool) -> None:
@@ -193,6 +273,12 @@ def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2,
     weights_vmem = _WEIGHTS_VMEM_INT8 if w8a8 else _WEIGHTS_VMEM
     budget = _VMEM_LIMIT - weights_vmem - _SLACK_VMEM
     bt = max(8, min(_MAX_BT, 16)) if w8a8 else 8
+    if _manual_cdma(itemsize == 1):
+        # manual prefetch: residency is the explicit scratch the kernel
+        # allocates (S rotation slots + bt²-sized masks), not Mosaic's
+        # double-buffered block windows
+        return pick_cdma_plan(b, t, m, e, itemsize, num_heads, mem_group,
+                              w8a8)[0]
     if mem_group > 1:
         budget -= 2 * m * e * itemsize * 2  # shared mem K+V, double-buffered
         per_bt = 2 * t * e * itemsize * 2   # self K+V only
@@ -1201,13 +1287,15 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
         ]
     n_cslots = 2
     if manual_cdma:
-        # slot count = prefetch depth + 1: int8 blocks are small enough that
-        # three slots fit VMEM, keeping two steps of copies in flight so the
-        # DMA engines never drain at a grid-step boundary (measured: the
-        # 2-slot skeleton sat ~10% above the achieved-bandwidth floor)
+        # slot count = prefetch depth + 1 (see pick_cslots): int8 blocks at
+        # bt=8 are small enough for three slots, keeping two steps of copies
+        # in flight so the DMA engines never drain at a grid-step boundary
+        # (measured: the 2-slot skeleton sat ~10% above the floor)
         cdt = k_cache.dtype
         nl = bt * h
-        n_cslots = 3 if quantized else 2
+        n_cslots = pick_cdma_plan(
+            b, t_len, m_len, e, jnp.dtype(k_cache.dtype).itemsize,
+            num_heads, mem_group, w8a8="wscale" in mono)[1]
         S = n_cslots
         scratch_shapes += [pltpu.VMEM((S, bt, t_len, e), cdt),
                            pltpu.VMEM((S, bt, t_len, e), cdt)]

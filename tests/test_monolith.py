@@ -346,17 +346,23 @@ def test_row_tile_picker():
     assert pallas_monolith.pick_row_tile(1, 512, 512, 1024, 2) == 1
     assert pallas_monolith.pick_row_tile(32, 1536, 512, 1024, 2) == 2
     assert pallas_monolith.pick_row_tile(64, 256, 512, 1024, 2) == 8
-    # W8A8 int8: the default cap stays bt=8 (bt=16 measured VMEM-infeasible
-    # on hardware at the flagship shape — see _MAX_BT); the halved weight
-    # residency still widens the budget for long-cache shapes
+    # W8A8 int8 rides the manual-CDMA plan: explicit S-slot scratch plus the
+    # bt²-sized masks/logits (the terms that OOMed the measured bt=16
+    # compile — see _MAX_BT / _cdma_vmem)
     assert pallas_monolith.pick_row_tile(32, 512, 512, 1024, 1) == 8
-    assert pallas_monolith.pick_row_tile(32, 1536, 512, 1024, 1) == 8
+    assert pallas_monolith.pick_cdma_plan(32, 512, 512, 1024, 1) == (8, 3)
+    # long cache segments shed slots before shrinking the tile: at 1536 the
+    # S=3 scratch would exceed VMEM at bt=8 (a scoped-VMEM OOM waiting to
+    # happen on hardware before the plan modeled it), S=2 keeps bt=8
+    assert pallas_monolith.pick_cdma_plan(32, 1536, 512, 1024, 1) == (8, 2)
     assert pallas_monolith.pick_row_tile(8, 512, 512, 1024, 1) == 8
-    # the experiment knob still raises the cap (budget-model behavior)
+    # the experiment knob raises the cap, but the model still rejects bt=16
+    # at the flagship shape (measured OOM); smaller shapes may admit it
     old = pallas_monolith._MAX_BT
     pallas_monolith._MAX_BT = 16
     try:
-        assert pallas_monolith.pick_row_tile(32, 512, 512, 1024, 1) == 16
+        assert pallas_monolith.pick_row_tile(32, 512, 512, 1024, 1) == 8
+        assert pallas_monolith.pick_row_tile(32, 256, 256, 1024, 1) == 16
         assert pallas_monolith.pick_row_tile(32, 512, 512, 1024, 1,
                                              w8a8=False) == 8
     finally:

@@ -1043,7 +1043,9 @@ class BeamState(NamedTuple):
     t: jnp.ndarray          # () int32
     k_cache: jnp.ndarray    # (L, B*K, H, Dh, T_cache)
     v_cache: jnp.ndarray
-    # int8 cache mode (per-op layout): (L, B*K, H, T_cache) dequant scales
+    # int8 dequant scales: per-op layout (L, B*K, H, T) fp32, or the int8
+    # monolith's lane-packed (L, B*K/G, T, G*H) bf16 planes (beam reordering
+    # unpacks -> row-gathers -> repacks them, ~3% of the cache-gather bytes)
     k_scale: jnp.ndarray | None = None
     v_scale: jnp.ndarray | None = None
 
@@ -1051,7 +1053,8 @@ class BeamState(NamedTuple):
 def init_beam_state(cfg: DecoderConfig, batch_size: int, beam_size: int,
                     max_len: int, cache_len: int,
                     cache_dtype=jnp.bfloat16,
-                    monolith: bool = False) -> BeamState:
+                    monolith: bool = False,
+                    scale_group: int | None = None) -> BeamState:
     b, k = batch_size, beam_size
     seqs = jnp.full((b, k, max_len), cfg.pad_idx, dtype=jnp.int32)
     seqs = seqs.at[:, :, 0].set(cfg.bos_idx)
@@ -1064,12 +1067,20 @@ def init_beam_state(cfg: DecoderConfig, batch_size: int, beam_size: int,
         shape = (cfg.num_layers, b * k, cfg.num_heads, cfg.head_dim, cache_len)
     k_scale = v_scale = None
     if cache_dtype == jnp.int8:
-        # per-op layout only (the monolith's lane-packed scale planes cannot
-        # be row-gathered for beam reordering)
-        assert not monolith
-        sshape = (cfg.num_layers, b * k, cfg.num_heads, cache_len)
-        k_scale = jnp.ones(sshape, dtype=jnp.float32)
-        v_scale = jnp.ones(sshape, dtype=jnp.float32)
+        if monolith:
+            if scale_group is None:
+                raise ValueError(
+                    "int8 monolith beams need scale_group="
+                    "pallas_monolith.scale_pack_group(b*k, cache_len, m, e, "
+                    "h, mem_group=k)")
+            sshape = (cfg.num_layers, b * k // scale_group, cache_len,
+                      scale_group * cfg.num_heads)
+            sdtype = jnp.bfloat16
+        else:
+            sshape = (cfg.num_layers, b * k, cfg.num_heads, cache_len)
+            sdtype = jnp.float32
+        k_scale = jnp.ones(sshape, dtype=sdtype)
+        v_scale = jnp.ones(sshape, dtype=sdtype)
     return BeamState(seqs, log_probs, scores, finished, jnp.int32(1),
                      jnp.zeros(shape, cache_dtype), jnp.zeros(shape, cache_dtype),
                      k_scale, v_scale)
@@ -1097,12 +1108,20 @@ def beam_decode_segment(params: Params, cfg: DecoderConfig, state: BeamState,
     monolith = state.k_cache.ndim == 4
     if monolith:
         from ..ops import pallas_monolith
-        mono = pallas_monolith.prepack(params, cfg, compute_dtype)
+        mono = pallas_monolith.prepack(
+            params, cfg, compute_dtype,
+            quantize_weights=(state.k_scale is not None
+                              and pallas_monolith.want_w8a8(state.k_cache.dtype)))
         bm, m_len = mem.k.shape[1], mem.k.shape[2]
         if mem.bias is None:
             bias_col = jnp.zeros((bm, m_len, 1), jnp.float32)
         else:
             bias_col = mem.bias.reshape(bm, m_len, 1).astype(jnp.float32)
+        scale_group = None
+        if state.k_scale is not None:
+            scale_group = pallas_monolith.scale_pack_group(
+                b * k, cache_len, m_len, cfg.hidden_dim, cfg.num_heads,
+                mem_group=mem_group)
 
     def cond(s: BeamState):
         return (s.t < stop_t) & ~jnp.all(s.finished)
@@ -1115,9 +1134,17 @@ def beam_decode_segment(params: Params, cfg: DecoderConfig, state: BeamState,
         if s.k_scale is not None:
             caches["ks"], caches["vs"] = s.k_scale, s.v_scale
         if monolith:
-            x_out, caches["k"], caches["v"] = pallas_monolith.decode_layers(
-                mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
-                bias_col, num_heads=cfg.num_heads, mem_group=mem_group)
+            if s.k_scale is not None:  # int8 lane-packed planes
+                (x_out, caches["k"], caches["v"], caches["ks"],
+                 caches["vs"]) = pallas_monolith.decode_layers(
+                    mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
+                    bias_col, num_heads=cfg.num_heads, k_scale=s.k_scale,
+                    v_scale=s.v_scale, mem_k_scale=mem.k_scale,
+                    mem_v_scale=mem.v_scale, mem_group=mem_group)
+            else:
+                x_out, caches["k"], caches["v"] = pallas_monolith.decode_layers(
+                    mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
+                    bias_col, num_heads=cfg.num_heads, mem_group=mem_group)
             x_out = nn.layernorm(params["final_norm"], x_out, eps=1e-6)
             logits = nn.dense(params["unembed"], x_out).astype(jnp.float32)
         else:
@@ -1156,8 +1183,19 @@ def beam_decode_segment(params: Params, cfg: DecoderConfig, state: BeamState,
         v_cache = jnp.take(caches["v"], flat_parent, axis=1)
         k_scale = v_scale = None
         if s.k_scale is not None:
-            k_scale = jnp.take(caches["ks"], flat_parent, axis=1)
-            v_scale = jnp.take(caches["vs"], flat_parent, axis=1)
+            if monolith:
+                # lane-packed (L, B*K/G, T, G*H) planes: beams can cross the
+                # pack groups, so unpack -> row-gather -> repack (bf16 layout
+                # permutes, ~3% of the int8 cache gathers' bytes)
+                def regroup(sc):
+                    u = pallas_monolith.unpack_scales(sc, scale_group)
+                    return pallas_monolith.pack_scales(
+                        jnp.take(u, flat_parent, axis=1), scale_group)
+                k_scale = regroup(caches["ks"])
+                v_scale = regroup(caches["vs"])
+            else:
+                k_scale = jnp.take(caches["ks"], flat_parent, axis=1)
+                v_scale = jnp.take(caches["vs"], flat_parent, axis=1)
         return BeamState(seqs, log_probs, top_scores, finished, s.t + 1,
                          k_cache, v_cache, k_scale, v_scale)
 
@@ -1184,12 +1222,11 @@ def beam_generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
 
     b = img_latent.shape[0]
     k = beam_size
+    m_len = img_latent.shape[1]
+    e, heads = cfg.hidden_dim, cfg.num_heads
     cache_len = min(initial_segment, max_len)
-    # int8 beams run the per-op fused kernels: beam reordering row-gathers the
-    # caches every step, which the monolith's lane-packed scale planes cannot
-    # support (per-op scales are row-major (L, B*K, H, T) — gatherable).
-    monolith = cache_dtype != jnp.int8 and pallas_monolith.use_monolith(
-        cfg, b * k, cache_len, img_latent.shape[1], compute_dtype, cache_dtype)
+    monolith = pallas_monolith.use_monolith(
+        cfg, b * k, cache_len, m_len, compute_dtype, cache_dtype)
     tt = pallas_monolith.time_tile(cache_dtype)
     if monolith:
         cache_len = -(-cache_len // tt) * tt
@@ -1200,8 +1237,27 @@ def beam_generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
     mem = precompute_memory_kv(params, cfg, img_latent, latent_valid,
                                compute_dtype, cache_dtype,
                                layout="te" if monolith else "hd")
+    packed = monolith and cache_dtype == jnp.int8
+    group = None
+    if packed:
+        # int8 monolith beams: SELF planes lane-packed, MEMORY planes in the
+        # grouped shared narrow (L, B, M, H) layout (as in generate()'s
+        # mem_group path; beam reordering handles the packed self planes by
+        # unpack -> gather -> repack in beam_decode_segment)
+        group = pallas_monolith.scale_pack_group(b * k, cache_len, m_len, e,
+                                                 heads, mem_group=k)
+        if k == 1:
+            mem = mem._replace(
+                k_scale=pallas_monolith.pack_scales(
+                    mem.k_scale.astype(jnp.bfloat16), group),
+                v_scale=pallas_monolith.pack_scales(
+                    mem.v_scale.astype(jnp.bfloat16), group))
+        else:
+            mem = mem._replace(
+                k_scale=mem.k_scale.astype(jnp.bfloat16),
+                v_scale=mem.v_scale.astype(jnp.bfloat16))
     state = init_beam_state(cfg, b, k, max_len, cache_len, cache_dtype,
-                            monolith=monolith)
+                            monolith=monolith, scale_group=group)
 
     steps = segment_steps or max_len
     t_known = 1
@@ -1219,22 +1275,47 @@ def beam_generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
         if t >= max_len or bool(status[1]):
             break
         if t > cache_len_of(state.k_cache):
-            new_len = _next_segment(cache_len_of(state.k_cache), max_len)
+            grown = cache_len_of(state.k_cache)
+            new_len = _next_segment(grown, max_len)
             if monolith:
                 new_len = -(-new_len // tt) * tt
-            grown = cache_len_of(state.k_cache)
             if state.k_cache.ndim == 4:
                 pad = [(0, 0), (0, 0), (0, new_len - grown), (0, 0)]
             else:
                 pad = [(0, 0)] * 4 + [(0, new_len - grown)]
-            spad = [(0, 0)] * 3 + [(0, new_len - grown)]
+
+            def grow_scales(s):
+                if s is None:
+                    return None
+                if not packed:  # per-op (L, B*K, H, T): pad the time axis
+                    return jnp.pad(s, [(0, 0)] * 3 + [(0, new_len - grown)],
+                                   constant_values=1.0)
+                # lane-packed planes: unpack -> pad T -> repack at the new
+                # segment's group (the kernel's row tile can change with T)
+                u = pallas_monolith.unpack_scales(s, group)
+                u = jnp.pad(u, [(0, 0), (0, 0), (0, new_len - grown), (0, 0)],
+                            constant_values=1.0)
+                return pallas_monolith.pack_scales(u, new_group)
+
+            new_group = group
+            if packed:
+                new_group = pallas_monolith.scale_pack_group(
+                    b * k, new_len, m_len, e, heads, mem_group=k)
             state = state._replace(
                 k_cache=jnp.pad(state.k_cache, pad),
                 v_cache=jnp.pad(state.v_cache, pad),
-                k_scale=None if state.k_scale is None else
-                jnp.pad(state.k_scale, spad, constant_values=1.0),
-                v_scale=None if state.v_scale is None else
-                jnp.pad(state.v_scale, spad, constant_values=1.0))
+                k_scale=grow_scales(state.k_scale),
+                v_scale=grow_scales(state.v_scale))
+            if packed and new_group != group:
+                if k == 1:  # packed memory planes follow the pack group
+                    mem = mem._replace(
+                        k_scale=pallas_monolith.pack_scales(
+                            pallas_monolith.unpack_scales(mem.k_scale, group),
+                            new_group),
+                        v_scale=pallas_monolith.pack_scales(
+                            pallas_monolith.unpack_scales(mem.v_scale, group),
+                            new_group))
+                group = new_group
 
     # select best beam per row by length-normalized score
     mask = create_inference_mask(state.seqs.reshape(b * k, -1), cfg.eos_idx)

@@ -151,6 +151,29 @@ def pick_cslots(quantized: bool) -> int:
         return 3 if quantized else 2
     return int(_N_CSLOTS)
 
+# dead-row DMA skip (measured NEGATIVE, default off): stream only self-cache
+# chunks whose 128-row time window intersects [0, pos) — rows at positions
+# >= pos are masked to exp=0 in-compute, so their bytes never matter. The
+# fixed-pos step bench (pos <= 128, cache 512: 75% of chunks skippable)
+# measured -4% ms/step, but the REAL 511-token decode regressed 36.3 -> 35.5
+# sys/s: most steps run at high pos where every chunk streams anyway, and
+# 4x the DMA issues per stream cost more than the few skipped bytes save.
+# int8-only even when forced (stale bf16 scratch could hold NaN/Inf; int8
+# garbage is finite and masked exactly).
+# A/B: ACAI_MONOLITH_CHUNK_SKIP=1 forces on, default/0 = off.
+_CHUNK_SKIP = os.environ.get("ACAI_MONOLITH_CHUNK_SKIP", "0")
+
+
+def set_chunk_skip(flag) -> None:
+    """True forces the (measured-slower) chunked-skip mode on; default off."""
+    global _CHUNK_SKIP
+    _CHUNK_SKIP = flag
+
+
+def _chunk_skip(quantized: bool) -> bool:
+    return quantized and _CHUNK_SKIP in (True, "1")
+
+
 # sublane tile of the cache's time axis written back per step (>= the native
 # sublane tile: 16 covers bf16/f32; int8 tiles are (32, 128))
 _TIME_TILE = 16
@@ -823,54 +846,96 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
         # int8 step's residual to its HBM floor — docs/PERF.md)
         g = i * n_tiles + j
         cslot = jax.lax.rem(g, n_cslots)
+        # self-stream time chunking: rows at positions >= pos are dead weight
+        # (masked to exp=0 in-compute), so their DMA is skipped per 128-row
+        # chunk, gated on the dynamic pos scalar. int8-only (_chunk_skip):
+        # skipped chunks leave STALE scratch behind, which is benign for int8
+        # (values finite by type, and the scale planes — whose stale bf16
+        # bits could be NaN/Inf — always stream fully), but bf16 stale
+        # garbage on a fresh VMEM allocation could poison the masked softmax
+        # with NaNs.
+        ck = 128 if _chunk_skip(quantized) and t_len > 128 else t_len
 
         def cdma(gi, s):
+            """(predicate | None, async_copy) pairs for grid step ``gi``."""
             li = gi // n_tiles
             tj = jax.lax.rem(gi, n_tiles)
             rows = pl.ds(tj * bt, bt)
-            copies = [
-                pltpu.make_async_copy(k_ref.at[li, rows], kc_buf.at[s],
-                                      csem.at[0, s]),
-                pltpu.make_async_copy(v_ref.at[li, rows], vc_buf.at[s],
-                                      csem.at[1, s]),
-            ]
+            copies = []
+            for c in range(0, t_len, ck):
+                tsl = pl.ds(c, min(ck, t_len - c))
+                pred = (pos > c) if ck < t_len else None
+                copies += [
+                    (pred, pltpu.make_async_copy(
+                        k_ref.at[li, rows, tsl], kc_buf.at[s, :, tsl],
+                        csem.at[0, s])),
+                    (pred, pltpu.make_async_copy(
+                        v_ref.at[li, rows, tsl], vc_buf.at[s, :, tsl],
+                        csem.at[1, s])),
+                ]
             if quantized:
                 copies += [
-                    pltpu.make_async_copy(ks_ref.at[li, tj], ksc_buf.at[s],
-                                          csem.at[2, s]),
-                    pltpu.make_async_copy(vs_ref.at[li, tj], vsc_buf.at[s],
-                                          csem.at[3, s]),
+                    (None, pltpu.make_async_copy(ks_ref.at[li, tj],
+                                                 ksc_buf.at[s],
+                                                 csem.at[2, s])),
+                    (None, pltpu.make_async_copy(vs_ref.at[li, tj],
+                                                 vsc_buf.at[s],
+                                                 csem.at[3, s])),
                 ]
             if mem_group > 1:
                 gj = (tj * bt) // mem_group
                 copies += [
-                    pltpu.make_async_copy(mk_ref.at[li, gj], mkc_buf.at[s],
-                                          csem.at[4, s]),
-                    pltpu.make_async_copy(mv_ref.at[li, gj], mvc_buf.at[s],
-                                          csem.at[5, s]),
+                    (None, pltpu.make_async_copy(mk_ref.at[li, gj],
+                                                 mkc_buf.at[s],
+                                                 csem.at[4, s])),
+                    (None, pltpu.make_async_copy(mv_ref.at[li, gj],
+                                                 mvc_buf.at[s],
+                                                 csem.at[5, s])),
                 ]
                 if quantized:
                     copies += [
-                        pltpu.make_async_copy(mks_ref.at[li, gj],
-                                              mksc_buf.at[s], csem.at[6, s]),
-                        pltpu.make_async_copy(mvs_ref.at[li, gj],
-                                              mvsc_buf.at[s], csem.at[7, s]),
+                        (None, pltpu.make_async_copy(mks_ref.at[li, gj],
+                                                     mksc_buf.at[s],
+                                                     csem.at[6, s])),
+                        (None, pltpu.make_async_copy(mvs_ref.at[li, gj],
+                                                     mvsc_buf.at[s],
+                                                     csem.at[7, s])),
                     ]
             else:
                 copies += [
-                    pltpu.make_async_copy(mk_ref.at[li, rows], mkc_buf.at[s],
-                                          csem.at[4, s]),
-                    pltpu.make_async_copy(mv_ref.at[li, rows], mvc_buf.at[s],
-                                          csem.at[5, s]),
+                    (None, pltpu.make_async_copy(mk_ref.at[li, rows],
+                                                 mkc_buf.at[s],
+                                                 csem.at[4, s])),
+                    (None, pltpu.make_async_copy(mv_ref.at[li, rows],
+                                                 mvc_buf.at[s],
+                                                 csem.at[5, s])),
                 ]
                 if quantized:
                     copies += [
-                        pltpu.make_async_copy(mks_ref.at[li, tj],
-                                              mksc_buf.at[s], csem.at[6, s]),
-                        pltpu.make_async_copy(mvs_ref.at[li, tj],
-                                              mvsc_buf.at[s], csem.at[7, s]),
+                        (None, pltpu.make_async_copy(mks_ref.at[li, tj],
+                                                     mksc_buf.at[s],
+                                                     csem.at[6, s])),
+                        (None, pltpu.make_async_copy(mvs_ref.at[li, tj],
+                                                     mvsc_buf.at[s],
+                                                     csem.at[7, s])),
                     ]
             return copies
+
+        def _start(pairs):
+            for pred, c in pairs:
+                if pred is None:
+                    c.start()
+                else:
+                    pl.when(pred)(lambda c=c: c.start())
+
+        def _wait(pairs):
+            # every wait mirrors its start's predicate (pos is constant for
+            # the whole call), so signal and wait counts always match
+            for pred, c in pairs:
+                if pred is None:
+                    c.wait()
+                else:
+                    pl.when(pred)(lambda c=c: c.wait())
 
         total = nlayers * n_tiles
 
@@ -878,18 +943,15 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
         def _():
             # fill the pipeline: steps 0..S-2 (step S-1's copies issue below)
             for k in range(min(n_cslots - 1, total)):
-                for c in cdma(k, k):
-                    c.start()
+                _start(cdma(k, k))
 
         if total >= n_cslots:
             @pl.when(g + n_cslots - 1 < total)
             def _():
                 nxt = g + n_cslots - 1
-                for c in cdma(nxt, jax.lax.rem(nxt, n_cslots)):
-                    c.start()
+                _start(cdma(nxt, jax.lax.rem(nxt, n_cslots)))
 
-        for c in cdma(g, cslot):
-            c.wait()
+        _wait(cdma(g, cslot))
 
     # per-tile init/flush keep the j grid dimension honestly parallel (no
     # cross-tile reads or writes anywhere in the kernel). The additive

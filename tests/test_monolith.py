@@ -501,6 +501,46 @@ def test_manual_cdma_grouped_bf16_bit_identical(setup):
                                   np.asarray(outs[True][1]))
 
 
+def test_chunk_skip_bit_identical(setup):
+    """The dead-row DMA skip (ACAI_MONOLITH_CHUNK_SKIP, default off — it
+    measured SLOWER end-to-end, see docs/PERF.md) must be a pure scheduling
+    change when forced on: skipped chunks cover only rows the attention
+    masks to exp=0, so int8 outputs are bit-identical at any pos. Cache
+    > 128 so the 128-row chunking actually engages (both a skipped-chunk
+    pos and an all-chunks-stream pos)."""
+    params, latent, valid = setup
+    t_cache = 160  # 5 int8 time tiles, 2 chunks (c=0, c=128)
+    mem_te = decode.precompute_memory_kv(params, CFG, latent, valid,
+                                         jnp.float32, jnp.int8, layout="te")
+    g = pallas_monolith.scale_pack_group(B, t_cache, M, CFG.hidden_dim,
+                                         CFG.num_heads)
+    pack = lambda s: pallas_monolith.pack_scales(s.astype(jnp.bfloat16), g)
+    x = jax.random.normal(jax.random.PRNGKey(9), (B, CFG.hidden_dim),
+                          jnp.float32)
+    bias_col = mem_te.bias.reshape(B, M, 1).astype(jnp.float32)
+    mono = pallas_monolith.prepack(params, CFG, jnp.float32)
+    state = decode.init_decode_state(CFG, B, 16, t_cache,
+                                     cache_dtype=jnp.int8, monolith=True,
+                                     scale_group=g)
+
+    for pos in (3, 140):  # chunk 1 skipped; all chunks stream
+        outs = {}
+        for flag in (False, True):
+            pallas_monolith.set_chunk_skip(flag)
+            try:
+                res = pallas_monolith.decode_layers(
+                    mono, x, pos, state.k_cache, state.v_cache, mem_te.k,
+                    mem_te.v, bias_col, num_heads=CFG.num_heads,
+                    k_scale=state.k_scale, v_scale=state.v_scale,
+                    mem_k_scale=pack(mem_te.k_scale),
+                    mem_v_scale=pack(mem_te.v_scale))
+                outs[flag] = tuple(np.asarray(r) for r in res)
+            finally:
+                pallas_monolith.set_chunk_skip("0")
+        for a, c in zip(outs[False], outs[True]):
+            np.testing.assert_array_equal(a, c)
+
+
 def test_grouped_mem_int8_matches_replicated_monolith(setup):
     """int8 grouped cross-attention (shared (M, E) block + narrow shared
     scale planes) is bit-identical to replicated int8 decode of the expanded

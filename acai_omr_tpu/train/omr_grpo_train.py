@@ -9,8 +9,14 @@ schedule over rollout/loss hyperparameters, frozen encoder + transition head.
 TPU-first differences:
 * "old policy" is simply the parameter snapshot used for the rollout — no
   module deep-copies (reference:571-576, 425-426);
-* rollouts run in the compiled decode while-loop; rewards run on the host C++
-  TEDn kernel thread pool **concurrently with nothing blocking the device**;
+* rollouts run in the compiled decode while-loop; rewards run on the host
+  C++ TEDn kernel thread pool. The phases are inherently sequential per
+  batch (update needs advantages <- rewards <- rollouts, and the NEXT
+  rollout needs the updated policy), but the NEXT batch's encoder pass —
+  update-invariant because GRPO freezes the encoder + transition head — is
+  dispatched before reward scoring starts, so the device crunches
+  encode(N+1) while the host scores batch N (encode-ahead; measured
+  breakdown in tools/grpo_outer_bench.py / docs/PERF.md);
 * the inner update is one jitted step with per-layer remat (the reference's
   checkpoint_sequential, models.py:470-478).
 """
@@ -363,31 +369,52 @@ def make_grpo_update_step(cfg: ViTOMRConfig, tx, num_groups: int,
 # outer update per minibatch
 # ---------------------------------------------------------------------------
 
+def _encode_examples(params, cfg, batch_examples, compute_dtype):
+    """Batchify + dispatch the (frozen) encoder for a batch of examples.
+
+    Dispatch is async: the returned device arrays are futures the host can
+    hold while doing other work (TEDn scoring) — encode-ahead overlap."""
+    from ..models import vit_encoder
+
+    pb = vit_encoder.batchify([ex[0] for ex in batch_examples], cfg.encoder)
+    return vitomr_lib.encode_image_jit(
+        params, cfg, jnp.asarray(pb.patches), jnp.asarray(pb.pe_idx),
+        jnp.asarray(pb.pe_w), jnp.asarray(pb.valid),
+        compute_dtype=compute_dtype)
+
+
 def grpo_update(old_params, state, update_step, cfg: ViTOMRConfig,
                 grpo_config: GRPOConfig, batch_examples, tokenizer,
                 rng, writer: MetricsWriter | None = None, step_idx: int = 0,
                 compute_dtype=jnp.bfloat16, reward_workers: int = 16,
-                mesh=None):
+                mesh=None, next_examples=None, preencoded=None):
     """One outer GRPO step on a minibatch of (img, lmx_ids, musicxml) examples
     (reference: grpo_update, omr_grpo_train.py:308-376). Returns (state,
     metrics dict). ``mesh``: shard the rollout decode across the mesh's data
     axis (one image group per device slot; len(batch_examples) must divide
-    evenly)."""
-    from ..models import vit_encoder
+    evenly).
 
+    ``next_examples``: encode-ahead overlap — the NEXT batch's images are
+    batchified and their encode dispatched right after this batch's rollouts
+    land, so the device crunches encode(N+1) while the host runs TEDn reward
+    scoring for batch N. Exact because GRPO freezes the encoder and
+    transition head (grpo_frozen_scales): latents are update-invariant. The
+    dispatched (latent, valid) pair comes back in metrics["preencoded_next"];
+    pass it to the next call as ``preencoded``."""
     rc, rwc, lc, uc = grpo_config.get_configs()
     pad_idx = cfg.decoder.pad_idx
-    imgs = [ex[0] for ex in batch_examples]
     target_seqs = [np.asarray(ex[1], np.int32) for ex in batch_examples]
     target_xml = [ex[2] for ex in batch_examples]
     num_groups = len(batch_examples)
     g = rc.group_size
+    t_start = time.perf_counter()
 
     # --- rollout with the old-policy snapshot (no grad) -------------------
-    pb = vit_encoder.batchify(imgs, cfg.encoder)
-    unexp_latent, unexp_valid = vitomr_lib.encode_image_jit(
-        old_params, cfg, jnp.asarray(pb.patches), jnp.asarray(pb.pe_idx),
-        jnp.asarray(pb.pe_w), jnp.asarray(pb.valid), compute_dtype=compute_dtype)
+    if preencoded is not None:
+        unexp_latent, unexp_valid = preencoded
+    else:
+        unexp_latent, unexp_valid = _encode_examples(
+            old_params, cfg, batch_examples, compute_dtype)
     # grouped rollout decode: cross K/V projected/streamed once per unique
     # image (decode mem_group) instead of per rollout — no latent expansion
     rng, roll_rng = jax.random.split(rng)
@@ -404,6 +431,14 @@ def grpo_update(old_params, state, update_step, cfg: ViTOMRConfig,
     rollouts = np.asarray(rollouts)
     old_lp = np.asarray(old_lp)
     rollout_mask = np.asarray(rollout_mask)
+    t_rollout = time.perf_counter()  # the asarray pulls are a device sync
+
+    # encode-ahead: dispatch the NEXT batch's encoder pass now (async) so it
+    # overlaps the host-side reward scoring below
+    preencoded_next = None
+    if next_examples is not None:
+        preencoded_next = _encode_examples(old_params, cfg, next_examples,
+                                           compute_dtype)
 
     # --- rewards (host, native TEDn) --------------------------------------
     target_lmx = expand_target_lmx_seqs(target_seqs, g, pad_idx)
@@ -411,6 +446,7 @@ def grpo_update(old_params, state, update_step, cfg: ViTOMRConfig,
         rwc, rollouts, rollout_mask, target_lmx, target_xml, num_groups, g,
         tokenizer.idxs_to_tokens, pad_idx, reward_workers)
     advantages = group_advantages(raw_rewards)
+    t_reward = time.perf_counter()
 
     rollout_inputs, input_valid = prepare_rollouts_for_policy_theta(
         rollouts, rollout_mask, pad_idx)
@@ -455,6 +491,7 @@ def grpo_update(old_params, state, update_step, cfg: ViTOMRConfig,
             unexpanded_latent_valid=unexp_valid)
 
     # --- inner updates -----------------------------------------------------
+    t_glue = time.perf_counter()
     # accumulate metrics on device; one ~29 ms host pull for all of them
     loss_acc = ce_acc = None
     for _ in range(uc.update_epochs):
@@ -467,11 +504,22 @@ def grpo_update(old_params, state, update_step, cfg: ViTOMRConfig,
                                    raw_rewards.mean().astype(jnp.float32)]))
     total_loss, total_ce, avg_reward = (float(pulled[0]), float(pulled[1]),
                                         float(pulled[2]))
+    t_update = time.perf_counter()
     out = {
         "loss": total_loss / uc.update_epochs,
         "ce_loss": total_ce / uc.update_epochs,
         "reward": avg_reward,
         "reward_components": components.avg_over_rollouts(),
+        # phase breakdown, seconds. Boundaries coincide with real host<->device
+        # syncs already present (the rollout asarray pulls; the metrics pull),
+        # so the attribution costs nothing extra.
+        "phase_times": {
+            "rollout": t_rollout - t_start,
+            "reward": t_reward - t_rollout,
+            "host_glue": t_glue - t_reward,
+            "update": t_update - t_glue,
+        },
+        "preencoded_next": preencoded_next,
     }
     if writer is not None:
         writer.scalar("train/loss", out["loss"], step_idx)
@@ -648,15 +696,22 @@ def grpo_train(cfg: ViTOMRConfig, params, dataset, tokenizer: LmxTokenizer, *,
     stats = []
     for epoch in range(epochs):
         order = np_rng.permutation(n)
-        for i in range(0, n - batch_size + 1, batch_size):
-            batch_examples = [dataset[int(j)] for j in order[i:i + batch_size]]
+        starts = list(range(0, n - batch_size + 1, batch_size))
+        batches = [[dataset[int(j)] for j in order[s:s + batch_size]]
+                   for s in starts]
+        preencoded = None  # encode-ahead chain (frozen encoder => exact)
+        for bi, batch_examples in enumerate(batches):
             old_params = state.params  # snapshot = old policy (refreshed per batch)
             rng, step_rng = jax.random.split(rng)
             t0 = time.perf_counter()
             state, metrics = grpo_update(
                 old_params, state, update_step, cfg, grpo_config,
                 batch_examples, tokenizer, step_rng, writer, step_idx,
-                compute_dtype, reward_workers, mesh=mesh)
+                compute_dtype, reward_workers, mesh=mesh,
+                next_examples=batches[bi + 1] if bi + 1 < len(batches)
+                else None,
+                preencoded=preencoded)
+            preencoded = metrics.pop("preencoded_next")
             metrics["seconds"] = time.perf_counter() - t0
             stats.append(metrics)
             curriculum.step()

@@ -244,6 +244,72 @@ def test_grpo_update_mesh_rollouts_smoke(rng):
     assert np.isfinite(metrics["reward"])
 
 
+def test_grpo_update_encode_ahead_exact(rng):
+    """The encode-ahead chain (next_examples -> preencoded) produces a
+    bit-identical update to encoding inside the step: the encoder +
+    transition head are frozen (grpo_frozen_scales), so batch N+1's latents
+    dispatched during batch N are update-invariant."""
+    import copy
+    from acai_omr_tpu.data.tokenizer import LmxTokenizer
+    from acai_omr_tpu.lmx.delinearizer import delinearize
+    from acai_omr_tpu.models import vitomr as vitomr_lib
+    from acai_omr_tpu.models.omr_decoder import DecoderConfig
+    from acai_omr_tpu.models.vit_encoder import EncoderConfig
+    from acai_omr_tpu.models.vitomr import ViTOMRConfig
+    from acai_omr_tpu.parallel import trainer
+
+    tok = LmxTokenizer()
+    cfg = ViTOMRConfig(
+        encoder=EncoderConfig(patch_size=16, pe_max_height=6, pe_max_width=8,
+                              num_layers=2, hidden_dim=16, num_heads=2,
+                              mlp_dim=24, dropout=0.0),
+        decoder=DecoderConfig.from_tokenizer(tok, max_lmx_seq_len=64,
+                                             num_layers=2, hidden_dim=16,
+                                             num_heads=2, mlp_dim=24,
+                                             dropout=0.0),
+        transition_head_dim=24, transition_head_dropout=0.0)
+    params = vitomr_lib.init_vitomr_params(jax.random.PRNGKey(0), cfg)
+
+    lmx = "measure time beats:4 beat-type:4 clef:G2 C4 voice:1 quarter rest quarter"
+    xml, _ = delinearize(lmx)
+    img = rng.random((1, 48, 64), dtype=np.float32)
+    examples = [(img, tok.encode(lmx), xml)] * 2
+
+    grpo_config = R.GRPOConfig(
+        rollout_config=R.RolloutConfig(group_size=2, max_actions=16, top_k=5,
+                                       temperature=1.1),
+        reward_config=copy.deepcopy(G.INITIAL_REWARD_CONFIG),
+        loss_config=copy.deepcopy(G.INITIAL_LOSS_CONFIG),
+        update_config=R.UpdateConfig(epsilon=0.2, update_epochs=1,
+                                     max_grad_norm=1.0),
+        mini_validation_freq=10, checkpoint_freq=10)
+
+    tx = trainer.adamw(1e-4, weight_decay=0.0, max_grad_norm=1.0,
+                       scale_tree_fn=G.grpo_frozen_scales)
+    update_step = G.make_grpo_update_step(cfg, tx, 2, 0.2, jnp.float32)
+
+    def run(preencode: bool):
+        state = trainer.create_train_state(params, tx)
+        pre = None
+        if preencode:
+            # what the epoch loop's previous iteration would have dispatched
+            # (same frozen params, same batchify)
+            pre = G._encode_examples(state.params, cfg, examples, jnp.float32)
+        new_state, metrics = G.grpo_update(
+            state.params, state, update_step, cfg, grpo_config, examples,
+            tok, jax.random.PRNGKey(1), compute_dtype=jnp.float32,
+            reward_workers=2, preencoded=pre,
+            next_examples=examples)
+        assert metrics["preencoded_next"] is not None
+        assert "phase_times" in metrics
+        return new_state
+
+    a = run(False)
+    b = run(True)
+    for ka, kb in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(ka), np.asarray(kb))
+
+
 def test_grpo_update_trains_cross_kv_weights(rng):
     """The cross-attention K/V projection weights must receive gradient from
     the GRPO objective itself, not only from the CE anchor — the per-layer

@@ -92,24 +92,36 @@ def main():
     rollouts = args.images * args.group
     rng = jax.random.PRNGKey(1)
     times, phases = [], []
+    preencoded = None  # encode-ahead chain, as in grpo_train's epoch loop
     for i in range(args.steps + 1):  # rep 0 = compile warm-up
         rng, step_rng = jax.random.split(rng)
         t0 = time.perf_counter()
         state, metrics = G.grpo_update(
             state.params, state, update_step, cfg_grpo, grpo_config,
             examples, tok, step_rng, compute_dtype=jnp.bfloat16,
-            reward_workers=args.workers)
+            reward_workers=args.workers,
+            next_examples=examples if i < args.steps else None,
+            preencoded=preencoded)
+        preencoded = metrics.pop("preencoded_next")
         dt = time.perf_counter() - t0
         if i:
             times.append(dt)
+            phases.append(metrics["phase_times"])
+        pt = metrics["phase_times"]
         print(f"rep {i}{' (compile)' if i == 0 else ''}: {dt:.2f}s "
               f"loss={float(metrics['loss']):.4f} "
-              f"reward={float(metrics['reward']):.3f}")
+              f"reward={float(metrics['reward']):.3f}  "
+              + "  ".join(f"{k}={v:.2f}s" for k, v in pt.items()))
     best = min(times)
     print(f"outer step ({rollouts} rollouts x {args.actions} actions, "
           f"2 update epochs, native TEDn x{args.workers}): "
           f"median {np.median(times):.2f}s best {best:.2f}s "
           f"-> {rollouts / np.median(times):.1f} rollouts/s end-to-end")
+    med = {k: float(np.median([p[k] for p in phases])) for k in phases[0]}
+    tot = sum(med.values())
+    print("phase breakdown (median): "
+          + "  ".join(f"{k}={v:.2f}s ({v / tot * 100:.0f}%)"
+                      for k, v in med.items()))
 
 
 if __name__ == "__main__":

@@ -1067,14 +1067,32 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
         else:
             ks_row = _pack_scale_row(ks_h, consts)         # (1, nl) f32
             vs_row = _pack_scale_row(vs_h, consts)
-        kst_ref[0, 0] = jnp.where(
-            sub2 == pos, ks_row,
-            ks_pref[pl.ds(base, tt), :].astype(jnp.float32)
-        ).astype(kst_ref.dtype)
-        vst_ref[0, 0] = jnp.where(
-            sub2 == pos, vs_row,
-            vs_pref[pl.ds(base, tt), :].astype(jnp.float32)
-        ).astype(vst_ref.dtype)
+        if nl % 128:
+            # sub-128-lane plane blocks (bt*H < 128, e.g. beam-4 tiles):
+            # Mosaic rejects memref row-slices whose lane extent is not
+            # tile-aligned, so select rows [base, base+tt) of the whole
+            # plane with a one-hot (tt, T) gadget dot instead — exact
+            # (0/1 matrix x bf16-valued f32 scales; dynamic_slice on
+            # values has no Pallas TC lowering)
+            rowsel = (jax.lax.broadcasted_iota(jnp.int32, (tt, t_len), 1)
+                      == base
+                      + jax.lax.broadcasted_iota(jnp.int32, (tt, t_len), 0)
+                      ).astype(jnp.float32)
+            ks_win = jax.lax.dot_general(
+                rowsel, ks_pref[...].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            vs_win = jax.lax.dot_general(
+                rowsel, vs_pref[...].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            ks_win = ks_pref[pl.ds(base, tt), :].astype(jnp.float32)
+            vs_win = vs_pref[pl.ds(base, tt), :].astype(jnp.float32)
+        kst_ref[0, 0] = jnp.where(sub2 == pos, ks_row,
+                                  ks_win).astype(kst_ref.dtype)
+        vst_ref[0, 0] = jnp.where(sub2 == pos, vs_row,
+                                  vs_win).astype(vst_ref.dtype)
         p_rows = (qq_all * qs_e) * (kq_all * ks_e)
         if "selfattn" in _ABLATE:  # timing-only: skip the self-attention site
             attn32 = qq_all * qs_e
@@ -1201,6 +1219,14 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
 
     manual_wdma = _manual_wdma(quantized)
     manual_cdma = _manual_cdma(quantized)
+    if quantized and (bt * h) % 128:
+        # lane-packed self scale planes narrower than one 128-lane tile
+        # (bt*H < 128, e.g. beam-4 x 16 heads = 64 lanes) cannot be
+        # .at[]-sliced for the manual cache-DMA (Mosaic rejects DMA slices
+        # not aligned to the 128-lane tiling of the lane-padded array);
+        # deliver every stream via BlockSpec windows instead — a window's
+        # lane dim equal to the array's own lane dim is always legal.
+        manual_cdma = False
     hbm_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     def wspec(shape):

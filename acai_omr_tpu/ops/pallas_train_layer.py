@@ -1248,8 +1248,13 @@ def decoder_stack_fused(stacked: Params, x: jnp.ndarray, mem_kv: jnp.ndarray,
         seeds = data.reshape(-1)[:2].astype(jnp.int32)
     bt = row_tile or _pick_row_tile(b, t, m, e, f, jnp.dtype(dt).itemsize)
     # the backward holds weights + fp32 weight-grad accumulators resident in
-    # VMEM; it runs narrow (one-image) tiles to leave room for the streams
-    bt_bwd = row_tile or 1
+    # VMEM; it runs narrow (one-image) tiles to leave room for the streams.
+    # ACAI_FUSED_BT_BWD widens the backward row tile for A/Bs (the
+    # weight-grad fold GEMMs contract over bt_bwd*T rows, so wider tiles
+    # feed the MXU better IF the extra streams still fit VMEM).
+    bt_bwd = row_tile or int(os.environ.get("ACAI_FUSED_BT_BWD", "1"))
+    while b % bt_bwd:
+        bt_bwd -= 1
     fused = _make_fused(num_heads, float(dropout_rate), bool(det), True,
                         int(bt), int(bt_bwd), _INTERPRET)
     out = fused(flat_w, x.reshape(b * t, e), mem_kv, sbias, mbias, seeds)

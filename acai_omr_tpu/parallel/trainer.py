@@ -165,6 +165,29 @@ def make_grad_fn(loss_fn: Callable):
     return grad_fn
 
 
+def make_grad_acc_fn(loss_fn: Callable):
+    """Jitted (loss, acc + grads) evaluator with a DONATED accumulator.
+
+    `grad_fn` + the eager `accumulate_grads` tree-add costs a full
+    grad-tree round trip per microbatch (write grads, re-read both trees,
+    write the sum — ~2.6 GB of fp32 HBM traffic at flagship scale) plus a
+    few hundred eager op dispatches. Fusing the add into the same jit lets
+    XLA write the summed gradients straight into the donated accumulator
+    buffer: measured ~4 ms/microbatch at the flagship seq2seq shape.
+    Use for every window microbatch after the first (the first microbatch's
+    plain `grad_fn` output IS the initial accumulator). Numerics are
+    identical to `accumulate_grads` (same fp32 adds, same order).
+    """
+
+    @functools.partial(jax.jit, donate_argnums=(3,))
+    def grad_acc_fn(params, batch, rng, acc):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng)
+        return loss, jax.tree.map(jnp.add, acc, grads)
+
+    return grad_acc_fn
+
+
 def make_apply_fn(tx: optax.GradientTransformation, donate: bool = True):
     """Jitted optimizer application for accumulated gradients.
 
@@ -259,6 +282,25 @@ def make_sharded_grad_fn(sum_loss_fn: Callable, mesh, axis: str = "data"):
         return f(params, batch, rng)
 
     return grad_fn
+
+
+def make_sharded_grad_acc_fn(sum_loss_fn: Callable, mesh, axis: str = "data"):
+    """DP analogue of :func:`make_grad_acc_fn` (donated accumulator fused
+    into the grad step — see that docstring for why)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    local = _sharded_loss_and_grads(sum_loss_fn, axis)
+
+    @functools.partial(jax.jit, donate_argnums=(3,))
+    def grad_acc_fn(params, batch, rng, acc):
+        f = shard_map(local, mesh=mesh,
+                      in_specs=(P(), _batch_specs(batch, axis), P()),
+                      out_specs=(P(), P()), check_vma=False)
+        loss, grads = f(params, batch, rng)
+        return loss, jax.tree.map(jnp.add, acc, grads)
+
+    return grad_acc_fn
 
 
 def make_sharded_train_step(sum_loss_fn: Callable,

@@ -231,9 +231,20 @@ def omr_teacher_force_train(cfg: ViTOMRConfig, params, train_dataset,
                                  compute_dtype), mesh)
             for hard in (False, True)
         }
+        grad_acc_fns = {
+            hard: trainer.make_sharded_grad_acc_fn(
+                make_sum_loss_fn(cfg, {"use_hard_sampling": hard},
+                                 compute_dtype), mesh)
+            for hard in (False, True)
+        }
     else:
         grad_fns = {
             hard: trainer.make_grad_fn(
+                make_loss_fn(cfg, {"use_hard_sampling": hard}, compute_dtype))
+            for hard in (False, True)
+        }
+        grad_acc_fns = {
+            hard: trainer.make_grad_acc_fn(
                 make_loss_fn(cfg, {"use_hard_sampling": hard}, compute_dtype))
             for hard in (False, True)
         }
@@ -264,8 +275,12 @@ def omr_teacher_force_train(cfg: ViTOMRConfig, params, train_dataset,
                 rng, step_rng = jax.random.split(rng)
                 db = _device_batch(batch, {"tf_prob": jnp.float32(tf_prob),
                                            "tau": jnp.float32(tau)}, data_sh)
-                loss_dev, grads = grad_fns[use_hard](state.params, db, step_rng)
-                grads_acc = trainer.accumulate_grads(grads_acc, grads)
+                if grads_acc is None:
+                    loss_dev, grads_acc = grad_fns[use_hard](
+                        state.params, db, step_rng)
+                else:  # fused device-side accumulate into the donated acc
+                    loss_dev, grads_acc = grad_acc_fns[use_hard](
+                        state.params, db, step_rng, grads_acc)
                 # keep the loss on device: a host pull per micro-step blocks
                 # async dispatch (and costs a ~29 ms round trip through the
                 # axon tunnel) — pull once per optimizer step for logging

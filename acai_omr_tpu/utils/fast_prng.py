@@ -19,8 +19,16 @@ import jax
 
 
 def enable() -> bool:
-    """Switch jax's default PRNG impl to the hardware ``rbg`` generator."""
-    if os.environ.get("ACAI_FAST_PRNG", "1") != "1":
+    """Switch jax's default PRNG impl to the hardware ``rbg`` generator.
+
+    ``ACAI_FAST_PRNG=unsafe`` selects ``unsafe_rbg`` instead: key *splits*
+    also bypass threefry (new keys are drawn from the hardware RNG rather
+    than derived), trading split determinism guarantees for ~2 ms/step of
+    threefry at seq2seq scale — an A/B knob, not the default.
+    """
+    mode = os.environ.get("ACAI_FAST_PRNG", "1")
+    if mode == "0":
         return False
-    jax.config.update("jax_default_prng_impl", "rbg")
+    impl = "unsafe_rbg" if mode == "unsafe" else "rbg"
+    jax.config.update("jax_default_prng_impl", impl)
     return True

@@ -138,6 +138,36 @@ def test_host_grad_accumulation_matches_fused():
                                np.asarray(s2.params["w"]), atol=1e-6)
 
 
+def test_grad_acc_fn_matches_eager_accumulation():
+    """make_grad_acc_fn (donated-accumulator fused add) == grad_fn +
+    accumulate_grads, bit for bit, across differently-shaped microbatches."""
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((3,))}
+
+    def loss_fn(p, batch, rng):
+        return (jnp.mean(jnp.sum(p["w"] * batch["x"], axis=-1))
+                + jnp.sum(p["b"] ** 2)), {}
+
+    key = jax.random.PRNGKey(0)
+    mb1 = {"x": jax.random.normal(key, (2, 4))}
+    mb2 = {"x": jax.random.normal(jax.random.PRNGKey(1), (5, 4))}
+    mb3 = {"x": jax.random.normal(jax.random.PRNGKey(2), (2, 4))}
+
+    grad_fn = trainer.make_grad_fn(loss_fn)
+    grad_acc_fn = trainer.make_grad_acc_fn(loss_fn)
+
+    acc = None
+    for mb in (mb1, mb2, mb3):
+        _, g = grad_fn(params, mb, key)
+        acc = trainer.accumulate_grads(acc, g)
+
+    _, fused = grad_fn(params, mb1, key)
+    for mb in (mb2, mb3):
+        _, fused = grad_acc_fn(params, mb, key, fused)
+
+    for a, b in zip(jax.tree.leaves(acc), jax.tree.leaves(fused)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_sharded_grad_fn_matches_single_device():
     """shard_map DP grads (exact sum/weight reduction) == single-device grads
     of the masked-mean loss, with uneven valid-token counts across shards."""

@@ -59,8 +59,9 @@ def bench_ss(batch: int, n_steps: int, img_hw=(256, 1024), lmx_len=256,
 
     tx = optax.adamw(1e-4)
     state = trainer.create_train_state(params, tx)
-    grad_fn = trainer.make_grad_fn(
-        tf_train.make_loss_fn(cfg, {"use_hard_sampling": False}))
+    loss_fn = tf_train.make_loss_fn(cfg, {"use_hard_sampling": False})
+    grad_fn = trainer.make_grad_fn(loss_fn)
+    grad_acc_fn = trainer.make_grad_acc_fn(loss_fn)
     apply_fn = trainer.make_apply_fn(tx)
 
     key = jax.random.PRNGKey(1)
@@ -71,8 +72,12 @@ def bench_ss(batch: int, n_steps: int, img_hw=(256, 1024), lmx_len=256,
         grads_acc, in_window = None, 0
         for i in range(n):
             key, sk = jax.random.split(key)
-            loss, grads = grad_fn(state.params, db, sk)
-            grads_acc = trainer.accumulate_grads(grads_acc, grads)
+            if grads_acc is None:
+                loss, grads_acc = grad_fn(state.params, db, sk)
+            else:
+                # fused accumulate: summed grads land in the donated acc
+                loss, grads_acc = grad_acc_fn(state.params, db, sk,
+                                              grads_acc)
             in_window += 1
             if in_window >= accum:
                 state = apply_fn(state, grads_acc, jnp.float32(1.0))

@@ -39,6 +39,14 @@ def create_app():
     from .routes import main
     app.register_blueprint(main)
 
+    import os
+    if os.environ.get("ACAI_DYNAMIC_BATCHING") == "1":
+        # cross-request TPU batch formation for /inference/stream
+        from .routes import enable_dynamic_batching
+        enable_dynamic_batching(
+            max_batch=int(os.environ.get("ACAI_BATCH_MAX", "32")),
+            max_wait_ms=float(os.environ.get("ACAI_BATCH_WAIT_MS", "25")))
+
     @app.errorhandler(ValueError)
     def bad_request(e):  # tmpdir validation parity with wsgi_app.py:174-176
         from flask import jsonify

@@ -36,6 +36,44 @@ MAX_INFERENCE_LEN = 1536
 FLUSH_INTERVAL = 25
 
 _MODEL = {}
+_BATCHER = {"b": None}
+
+
+def enable_dynamic_batching(max_batch: int = 32, max_wait_ms: float = 25.0,
+                            **inference_kwargs):
+    """Opt into cross-request dynamic batching for ``/inference/stream``.
+
+    With batching on, each request's system crops are submitted to a
+    process-global :class:`~acai_omr_tpu.serving.scheduler.DynamicBatcher`
+    over :func:`~acai_omr_tpu.inference.batch_inference.batch_inference`, so
+    CONCURRENT clients share TPU decode batches (docs/PERF.md batch curve:
+    B=1 pays the whole weight stream per request; B=32 amortizes it ~10x).
+    Trade-off: the SSE stream emits encoding/finish events per system but no
+    mid-decode STEP token events (results arrive per batch, not per token).
+    The reference serves strictly one request at a time (ui/routes.py).
+    Also honored by the ``ACAI_DYNAMIC_BATCHING=1`` env var at app creation.
+    """
+    from ..inference.batch_inference import batch_inference
+    from .scheduler import DynamicBatcher
+
+    disable_dynamic_batching()
+    m = _get_model()
+
+    def run(items):
+        res = batch_inference(m["params"], m["cfg"], items, m["tokenizer"],
+                              max_inference_len=MAX_INFERENCE_LEN,
+                              decode_batch=max_batch, **inference_kwargs)
+        return list(zip(res.lmx, res.avg_log_probs))
+
+    _BATCHER["b"] = DynamicBatcher(run, max_batch=max_batch,
+                                   max_wait_ms=max_wait_ms)
+    return _BATCHER["b"]
+
+
+def disable_dynamic_batching() -> None:
+    if _BATCHER["b"] is not None:
+        _BATCHER["b"].close()
+        _BATCHER["b"] = None
 
 
 def _get_model():
@@ -136,11 +174,37 @@ def _system_paths(d: Path):
 
 
 def _sse_stream(d: Path):
-    """SSE generator over every annotated system (reference:66-104)."""
+    """SSE generator over every annotated system (reference:66-104).
+
+    With dynamic batching enabled (:func:`enable_dynamic_batching`), all of
+    this request's systems are submitted to the shared batcher up front and
+    results stream back in system order — concurrent requests' systems ride
+    the same TPU batches."""
     from ..inference.vitomr_inference import streamed_inference
     from PIL import Image
     m = _get_model()
     tok = m["tokenizer"]
+    if _BATCHER["b"] is not None:
+        b = _BATCHER["b"]
+        paths = _system_paths(d)
+        handles = [b.submit(m["transform"](Image.open(p).convert("L")))
+                   for p in paths]
+        for sys_idx, h in enumerate(handles):
+            yield (f"event: {InferenceEvent.ENCODING_START.value}\n"
+                   f"data: {json.dumps({'system': sys_idx})}\n\n")
+            lmx, avg_lp = b.result(h, timeout=600.0)
+            yield (f"event: {InferenceEvent.ENCODING_FINISH.value}\n"
+                   f"data: {json.dumps({'system': sys_idx})}\n\n")
+            (d / f"system_{sys_idx}.lmx").write_text(lmx)
+            (d / f"system_{sys_idx}.meta.json").write_text(
+                json.dumps({"avg_log_prob": float(avg_lp)}))
+            data = {"system": sys_idx, "lmx": lmx,
+                    "avg_log_prob": float(avg_lp)}
+            yield (f"event: {InferenceEvent.INFERENCE_FINISH.value}\n"
+                   f"data: {json.dumps(data)}\n\n")
+        yield (f"event: {InferenceEvent.ALL_INFERENCE_FINISH.value}\n"
+               f"data: {json.dumps({})}\n\n")
+        return
     for sys_idx, path in enumerate(_system_paths(d)):
         img = m["transform"](Image.open(path).convert("L"))
         for event in streamed_inference(m["params"], m["cfg"], img,

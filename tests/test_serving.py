@@ -295,3 +295,158 @@ def test_batch_inference_quantized_kv(tiny_model, rng):
                           max_inference_len=12, bucket_multiple=8,
                           compute_dtype=jnp.float32, cache_dtype=jnp.int8)
     assert len(res.lmx) == 1 and isinstance(res.lmx[0], str)
+
+
+# ---------------------------------------------------------------------------
+# dynamic request batching (serving/scheduler.py)
+# ---------------------------------------------------------------------------
+
+def test_dynamic_batcher_batches_and_orders():
+    """Concurrent submissions are served in batches (cross-request batch
+    formation) with results correctly routed back to each request."""
+    import threading
+    import time
+    from acai_omr_tpu.serving.scheduler import DynamicBatcher
+
+    calls = []
+
+    def run_batch(items):
+        calls.append(list(items))
+        time.sleep(0.01)  # let the queue build up behind the running batch
+        return [x * 10 for x in items]
+
+    b = DynamicBatcher(run_batch, max_batch=4, max_wait_ms=15.0)
+    try:
+        results = [None] * 12
+
+        def client(i):
+            results[i] = b(i, timeout=10.0)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert results == [i * 10 for i in range(12)]
+        # batching actually happened: fewer calls than requests and at
+        # least one multi-request batch
+        assert len(calls) < 12
+        assert max(len(c) for c in calls) > 1
+        assert max(len(c) for c in calls) <= 4
+        s = b.stats.summary()
+        assert s["completed"] == 12 and s["failed"] == 0
+    finally:
+        b.close()
+
+
+def test_dynamic_batcher_max_wait_flush():
+    """A lone request flushes after ~max_wait_ms instead of waiting for a
+    full batch (tail-latency bound)."""
+    import time
+    from acai_omr_tpu.serving.scheduler import DynamicBatcher
+
+    b = DynamicBatcher(lambda xs: xs, max_batch=64, max_wait_ms=30.0)
+    try:
+        t0 = time.perf_counter()
+        assert b("only", timeout=5.0) == "only"
+        elapsed = time.perf_counter() - t0
+        assert elapsed < 2.0  # flushed by the age policy, not a full batch
+    finally:
+        b.close()
+
+
+def test_dynamic_batcher_error_propagation():
+    """A failing batch resolves every waiter with the error (no hangs)."""
+    import pytest as _pytest
+    from acai_omr_tpu.serving.scheduler import DynamicBatcher
+
+    def boom(items):
+        raise ValueError("bad batch")
+
+    b = DynamicBatcher(boom, max_batch=2, max_wait_ms=5.0)
+    try:
+        with _pytest.raises(ValueError, match="bad batch"):
+            b(1, timeout=5.0)
+        assert b.stats.failed == 1
+    finally:
+        b.close()
+
+
+def test_dynamic_batcher_over_tiny_model(tiny_model, rng):
+    """End-to-end: concurrent single-image requests ride one batched
+    inference call and every client gets ITS image's transcription
+    (cross-checked against a direct batch_inference run)."""
+    import threading
+    import jax.numpy as jnp
+    from acai_omr_tpu.inference.batch_inference import batch_inference
+    from acai_omr_tpu.serving import routes
+    from acai_omr_tpu.serving.scheduler import DynamicBatcher
+
+    m = routes._MODEL
+    imgs = [rng.random((1, 32, 48), dtype=np.float32) for _ in range(6)]
+    ref = batch_inference(m["params"], m["cfg"], imgs, m["tokenizer"],
+                          max_inference_len=12, bucket_multiple=8,
+                          compute_dtype=jnp.float32)
+
+    def run(items):
+        res = batch_inference(m["params"], m["cfg"], items, m["tokenizer"],
+                              max_inference_len=12, bucket_multiple=8,
+                              compute_dtype=jnp.float32)
+        return list(zip(res.lmx, res.avg_log_probs))
+
+    b = DynamicBatcher(run, max_batch=6, max_wait_ms=50.0)
+    try:
+        out = [None] * len(imgs)
+
+        def client(i):
+            out[i] = b(imgs[i], timeout=120.0)
+
+        threads = [threading.Thread(target=client, args=(i,))
+                   for i in range(len(imgs))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i in range(len(imgs)):
+            assert out[i][0] == ref.lmx[i]
+    finally:
+        b.close()
+
+
+def test_serving_flow_with_dynamic_batching(tiny_model, rng):
+    """Full WSGI flow with cross-request dynamic batching enabled: the SSE
+    stream completes with per-system LMX results via the shared batcher
+    (no per-token STEP events in batched mode) and postprocess still works."""
+    from acai_omr_tpu.serving import routes
+
+    b = routes.enable_dynamic_batching(max_batch=4, max_wait_ms=10.0,
+                                       bucket_multiple=8,
+                                       compute_dtype=jnp.float32)
+    try:
+        c = WsgiClient()
+        status, data = c.get_json("POST", "/tmpdir/create")
+        tmpdir = data["tmpdir"]
+        hdr = {"X-Tmpdir": tmpdir}
+        mp_body, mp_ctype = _multipart(_png_bytes(rng))
+        status, data = c.get_json("POST", "/upload", body=mp_body,
+                                  headers=hdr, ctype=mp_ctype)
+        assert data["ok"]
+        status, data = c.get_json("POST", "/inference/setup",
+                                  body=json.dumps({"bboxes": []}).encode(),
+                                  headers=hdr, ctype="application/json")
+        assert data["num_systems"] == 1
+
+        status, headers, body = c.request(
+            "GET", f"/inference/stream?tmpdir={tmpdir}")
+        text = body.decode()
+        assert "event: inference_finish" in text
+        assert "event: all_inference_finish" in text
+        assert '"lmx"' in text
+        assert b.stats.completed >= 1  # the batcher actually served it
+
+        status, data = c.get_json("POST", "/inference/postprocess",
+                                  headers=hdr)
+        assert "ok" in data
+    finally:
+        routes.disable_dynamic_batching()

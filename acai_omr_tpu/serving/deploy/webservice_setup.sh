@@ -22,6 +22,11 @@ After=network.target
 [Service]
 WorkingDirectory=${REPO_DIR}
 Environment="ACAI_WEIGHTS=${REPO_DIR}/tf_omr_train/vitomr"
+# cross-request TPU batch formation (serving/scheduler.py): concurrent
+# clients' systems share decode batches — needs threads > 1 (above)
+Environment="ACAI_DYNAMIC_BATCHING=1"
+Environment="ACAI_BATCH_MAX=32"
+Environment="ACAI_BATCH_WAIT_MS=25"
 ExecStart=$(command -v gunicorn || echo ${REPO_DIR}/.venv/bin/gunicorn) \
     --workers 1 --worker-class gthread --threads 8 \
     --timeout 300 --bind unix:${SOCK} \

@@ -54,7 +54,7 @@ def enable_dynamic_batching(max_batch: int = 32, max_wait_ms: float = 25.0,
     Also honored by the ``ACAI_DYNAMIC_BATCHING=1`` env var at app creation.
     """
     from ..inference.batch_inference import batch_inference
-    from .scheduler import DynamicBatcher
+    from .scheduler import DynamicBatcher, bucketed_runner
 
     disable_dynamic_batching()
     m = _get_model()
@@ -65,7 +65,11 @@ def enable_dynamic_batching(max_batch: int = 32, max_wait_ms: float = 25.0,
                               decode_batch=max_batch, **inference_kwargs)
         return list(zip(res.lmx, res.avg_log_probs))
 
-    _BATCHER["b"] = DynamicBatcher(run, max_batch=max_batch,
+    # power-of-2 batch bucketing bounds the compile set (see
+    # scheduler.bucketed_runner); ragged encoder shapes are already
+    # bucketed inside batch_inference
+    _BATCHER["b"] = DynamicBatcher(bucketed_runner(run),
+                                   max_batch=max_batch,
                                    max_wait_ms=max_wait_ms)
     return _BATCHER["b"]
 

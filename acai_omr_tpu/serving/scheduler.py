@@ -185,6 +185,29 @@ class DynamicBatcher:
                 r.event.set()
 
 
+def bucketed_runner(run_batch: Callable[[list], Sequence[Any]],
+                    pad_item=None) -> Callable[[list], list]:
+    """Pad batches to power-of-2 sizes before running them.
+
+    XLA programs are shape-specialized: every distinct batch size the
+    batcher forms would otherwise compile (and cache) its own encode+decode
+    program — ruinous on first contact (minutes per compile through a
+    remote-compile tunnel; measured 5x WORSE than unbatched serving on a
+    cold cache). Rounding up to the next power of two bounds the compile
+    set to ``log2(max_batch)+1`` programs, all warmable up front. The pad
+    rows are ``pad_item`` (default: the batch's first item, re-used) and
+    their results are dropped.
+    """
+    def run(items: list) -> list:
+        n = len(items)
+        b = 1
+        while b < n:
+            b *= 2
+        fill = pad_item if pad_item is not None else items[0]
+        return list(run_batch(list(items) + [fill] * (b - n)))[:n]
+    return run
+
+
 def omr_batcher(model, *, max_batch: int = 32, max_wait_ms: float = 25.0,
                 **transcribe_kwargs) -> DynamicBatcher:
     """A DynamicBatcher over ``api.OmrModel.transcribe_batch``.
@@ -194,4 +217,5 @@ def omr_batcher(model, *, max_batch: int = 32, max_wait_ms: float = 25.0,
     """
     def run(items):
         return model.transcribe_batch(items, **transcribe_kwargs)
-    return DynamicBatcher(run, max_batch=max_batch, max_wait_ms=max_wait_ms)
+    return DynamicBatcher(bucketed_runner(run), max_batch=max_batch,
+                          max_wait_ms=max_wait_ms)

@@ -44,7 +44,7 @@ def main():
     from acai_omr_tpu.data.tokenizer import LmxTokenizer
     from acai_omr_tpu.inference.batch_inference import batch_inference
     from acai_omr_tpu.models import vitomr as vitomr_lib
-    from acai_omr_tpu.serving.scheduler import DynamicBatcher
+    from acai_omr_tpu.serving.scheduler import DynamicBatcher, bucketed_runner
     from acai_omr_tpu.train.omr_teacher_force_train import set_up_vitomr
 
     tok = LmxTokenizer(str(Path(__file__).parent.parent / "lmx_vocab.txt"))
@@ -62,10 +62,16 @@ def main():
                               compute_dtype=jnp.bfloat16)
         return res.lmx
 
-    # warm both program shapes (full batch + singleton) before timing
+    # warm every power-of-2 batch bucket the batcher can form, plus B=1 for
+    # the sequential mode (persistent compile cache keeps these across runs)
     print("warming compiled programs ...", flush=True)
-    run_batch([img] * args.max_batch)
-    run_batch([img])
+    b = 1
+    while b <= args.max_batch:
+        t0 = time.perf_counter()
+        run_batch([img] * b)
+        print(f"  warmed B={b} in {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        b *= 2
 
     def drive(service_submit, service_drain):
         """Poisson arrivals; returns (wall, latencies)."""
@@ -109,7 +115,8 @@ def main():
               f"  p99 {np.percentile(lats, 99):.2f}s", flush=True)
 
     if args.mode in ("dyn", "both"):
-        b = DynamicBatcher(run_batch, max_batch=args.max_batch,
+        b = DynamicBatcher(bucketed_runner(run_batch),
+                           max_batch=args.max_batch,
                            max_wait_ms=args.wait_ms)
         try:
             wall, _ = drive(

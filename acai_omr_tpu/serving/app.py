@@ -42,10 +42,15 @@ def create_app():
     import os
     if os.environ.get("ACAI_DYNAMIC_BATCHING") == "1":
         # cross-request TPU batch formation for /inference/stream
+        import jax.numpy as jnp
         from .routes import enable_dynamic_batching
         enable_dynamic_batching(
             max_batch=int(os.environ.get("ACAI_BATCH_MAX", "32")),
-            max_wait_ms=float(os.environ.get("ACAI_BATCH_WAIT_MS", "25")))
+            max_wait_ms=float(os.environ.get("ACAI_BATCH_WAIT_MS", "25")),
+            # ACAI_BATCH_INT8=1: quantized KV decode (~1.5x, exact on
+            # trained checkpoints — docs/PERF.md)
+            cache_dtype=(jnp.int8 if os.environ.get("ACAI_BATCH_INT8") == "1"
+                         else jnp.bfloat16))
 
     @app.errorhandler(ValueError)
     def bad_request(e):  # tmpdir validation parity with wsgi_app.py:174-176

@@ -13,7 +13,10 @@ except ModuleNotFoundError:
     from acai_omr_tpu.serving.wsgi_app import application as app
     if os.environ.get("ACAI_DYNAMIC_BATCHING") == "1":
         # same opt-in as the Flask factory (serving/app.py)
+        import jax.numpy as jnp
         from acai_omr_tpu.serving.routes import enable_dynamic_batching
         enable_dynamic_batching(
             max_batch=int(os.environ.get("ACAI_BATCH_MAX", "32")),
-            max_wait_ms=float(os.environ.get("ACAI_BATCH_WAIT_MS", "25")))
+            max_wait_ms=float(os.environ.get("ACAI_BATCH_WAIT_MS", "25")),
+            cache_dtype=(jnp.int8 if os.environ.get("ACAI_BATCH_INT8") == "1"
+                         else jnp.bfloat16))

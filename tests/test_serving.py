@@ -450,3 +450,21 @@ def test_serving_flow_with_dynamic_batching(tiny_model, rng):
         assert "ok" in data
     finally:
         routes.disable_dynamic_batching()
+
+
+def test_bucketed_runner_pads_and_trims():
+    """bucketed_runner rounds batches up to powers of two (bounding the XLA
+    compile set) and drops the pad rows' results."""
+    from acai_omr_tpu.serving.scheduler import bucketed_runner
+
+    seen = []
+
+    def run(items):
+        seen.append(len(items))
+        return [x * 2 for x in items]
+
+    r = bucketed_runner(run, pad_item=0)
+    assert r([1, 2, 3]) == [2, 4, 6]          # padded to 4
+    assert r([5]) == [10]                     # stays 1
+    assert r([1, 2, 3, 4, 5]) == [2, 4, 6, 8, 10]  # padded to 8
+    assert seen == [4, 1, 8]

@@ -115,6 +115,7 @@ def fwd_vmem_fits(b: int, t: int, m: int, e: int, f: int,
     bt = _pick_row_tile(b, t, m, e, f, itemsize)
     act = bt * t * (3 * e + f + 4 * e) * itemsize + bt * t * m * 4
     act += 4 * bt * t * f * itemsize
+    act += 2 * bt * t * 3 * e * itemsize  # double-buffered qkv save window
     act += 2 * bt * m * 2 * e * itemsize
     resident = b * t * e * itemsize
     wpl = (4 * e * e + (2 * e * e if cross else 0) + 2 * e * f) * itemsize
@@ -123,15 +124,15 @@ def fwd_vmem_fits(b: int, t: int, m: int, e: int, f: int,
 
 def saves_fit(b: int, t: int, e: int, f: int, nl: int,
               itemsize: int = 2) -> bool:
-    """The forward saves (x, z1..z3, h1, GELU') per layer for the backward —
-    nl*b*t*(4e+2f) elements of HBM. Long-sequence batches (GRPO's rollout
+    """The forward saves (x, z1..z3, h1, GELU', qkv) per layer for the
+    backward — nl*b*t*(7e+2f) elements of HBM. Long-sequence batches (GRPO's rollout
     updates at max_actions=1536) must stay under a budget or the fused
     dispatch falls back to the rematerializing XLA stack."""
     try:
         budget_gb = float(os.environ.get("ACAI_FUSED_SAVES_GB", "6"))
     except ValueError:
         budget_gb = 6.0
-    return nl * b * t * (4 * e + 2 * f) * itemsize <= budget_gb * 2 ** 30
+    return nl * b * t * (7 * e + 2 * f) * itemsize <= budget_gb * 2 ** 30
 
 
 # ---------------------------------------------------------------------------
@@ -405,7 +406,7 @@ def _causal32(t: int) -> jnp.ndarray:
 
 def _fwd_kernel(seed_ref, x_in, mem_kv, sbias, mbias,
                 wqkv, wo, wqc, woc, w1, w2, vecs,
-                out, sx, sz1, sz2, sz3, sh1, sgp, xc,
+                out, sx, sz1, sz2, sz3, sh1, sgp, sqkv, xc,
                 *, nl, nt, bt, t, m, e, f, h, dt, rate, det, causal,
                 cross=True, save=True):
     l = pl.program_id(0)
@@ -438,6 +439,11 @@ def _fwd_kernel(seed_ref, x_in, mem_kv, sbias, mbias,
 
     # --- self attention ---------------------------------------------------
     qkv = (_dot(x, wqkv[0]) + bqkv).astype(dt)
+    if save:
+        # saved for the backward: streaming the (btt, 3E) projection back in
+        # is ~30 GB/s of otherwise-idle DMA, against ~0.5 TFLOP/step of
+        # recompute dots on the MXU-bound backward (see docs/PERF.md)
+        sqkv[0] = qkv
     cb = _causal32(t) if causal else jnp.zeros((t, t), jnp.float32)
     gs, gw = _group_spec(dh)  # heads per lane group, group width
     scl = 1.0 / math.sqrt(dh)
@@ -544,13 +550,14 @@ def _fwd_kernel(seed_ref, x_in, mem_kv, sbias, mbias,
 
 def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
                 wqkv_h, wo_h, wqc_h, woc_h, w1_h, w2_h, vecs,
-                sx, sz1, sz2, sz3, sh1, sgp, g_in,
+                sx, sz1, sz2, sz3, sh1, sgp, sqkv, g_in,
                 dxc, dmem_kv, dwqkv_h, dwo_h, dwqc_h, dwoc_h, dw1_h,
                 dw2_h, dvecs,
                 wqkv, wo, wqc, woc, w1c, w2c,
                 dwqkv, dwo, dwqc, dwoc, dw1, dw2, mkv, dmkv,
                 sems, osems, mk_sem, dmk_sem,
-                vx, vz1, vz2, vz3, vh1, vgp, ssems, vdx, wsems, dx_sems,
+                vx, vz1, vz2, vz3, vh1, vgp, vqkv, ssems, vdx, wsems,
+                dx_sems,
                 *, nl, nt, bt, t, m, e, f, h, dt, rate, det, causal,
                 cross=True):
     l = pl.program_id(0)
@@ -577,7 +584,7 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
     sv_pairs = [(sx, vx), (sz1, vz1)]
     if cross:
         sv_pairs.append((sz2, vz2))
-    sv_pairs += [(sz3, vz3), (sh1, vh1), (sgp, vgp)]
+    sv_pairs += [(sz3, vz3), (sh1, vh1), (sgp, vgp), (sqkv, vqkv)]
     sv_cps = []
     for idx, (hbm, vm) in enumerate(sv_pairs):
         cp = pltpu.make_async_copy(
@@ -585,9 +592,9 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
         cp.start()
         sv_cps.append(cp)
     if cross:
-        cp_x, cp_z1, cp_z2, cp_z3, cp_h1, cp_gp = sv_cps
+        cp_x, cp_z1, cp_z2, cp_z3, cp_h1, cp_gp, cp_qkv = sv_cps
     else:
-        cp_x, cp_z1, cp_z3, cp_h1, cp_gp = sv_cps
+        cp_x, cp_z1, cp_z3, cp_h1, cp_gp, cp_qkv = sv_cps
         cp_z2 = None
 
     # dx layer-carry lives in HBM (the dxc output buffer doubles as the
@@ -831,7 +838,11 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
     dsa = _apply_drop(dz1, rate, (s0, s1, lr, j, 0), det)
     cp_x.wait()
     x = vx[...]
-    qkv = (_dot(_chain(x, dsa), wqkv_v) + bqkv).astype(dt)
+    # qkv is SAVED by the forward (not recomputed): the projection dot is
+    # ~0.5 TFLOP/step on an MXU-bound kernel, while the (btt, 3E) stream
+    # rides DMA engines running at ~12% utilization.
+    cp_qkv.wait()
+    qkv = vqkv[...]
     da_s = _dot_bt(dsa, wo_v).astype(dt)
     dbo = jnp.sum(dsa.astype(jnp.float32), axis=0, keepdims=True)
     cb = _causal32(t) if causal else jnp.zeros((t, t), jnp.float32)
@@ -952,11 +963,12 @@ def _pick_row_tile(b: int, t: int, m: int, e: int, f: int, itemsize: int) -> int
     while bt > 1:
         # double-buffered mem_kv + activation working set (~8 arrays of
         # (bt*t, max(3e, f)) plus fp32 attention probs) + the 2-buffered
-        # h1/GELU' save windows (2 × (bt·t, f))
+        # h1/GELU'/qkv save windows (2 × (bt·t, 2f + 3e))
         act = bt * t * (3 * e + f + e * 4) * itemsize + bt * t * m * 4
         act += 4 * bt * t * f * itemsize
+        act += 2 * bt * t * 3 * e * itemsize
         memkv = 2 * bt * m * 2 * e * itemsize
-        if b % bt == 0 and act + memkv < 48 * 1024 * 1024:
+        if b % bt == 0 and act + memkv < 56 * 1024 * 1024:
             break
         bt -= 1
     while b % bt:
@@ -1026,6 +1038,8 @@ def _fwd_call(x, mem_kv, sbias, mbias, flat_w, seeds, *, num_heads, rate,
             if sv else any_spec,
             pl.BlockSpec((1, btt, f), lambda l, j, *_: (l, j, 0))
             if sv else any_spec,
+            pl.BlockSpec((1, btt, 3 * e), lambda l, j, *_: (l, j, 0))
+            if sv else any_spec,
         ],
         scratch_shapes=[pltpu.VMEM((btot * t, e), dt)],
     )
@@ -1039,6 +1053,7 @@ def _fwd_call(x, mem_kv, sbias, mbias, flat_w, seeds, *, num_heads, rate,
         shp((nl, btot * t, e), dt) if sv else dsh,
         shp((nl, btot * t, f), dt) if sv else dsh,
         shp((nl, btot * t, f), dt) if sv else dsh,
+        shp((nl, btot * t, 3 * e), dt) if sv else dsh,
     ]
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shapes,
@@ -1060,10 +1075,10 @@ def _bwd_call(x, mem_kv, sbias, mbias, flat_w, saved, g, seeds, *, num_heads,
     if cross:
         nl, b, m, _ = mem_kv.shape
         wqkv_w, wo_w, wqc_w, woc_w, w1_w, w2_w, vecs = flat_w
-        sx, sz1, sz2, sz3, sh1, sgp = saved
+        sx, sz1, sz2, sz3, sh1, sgp, sqkv = saved
     else:
         wqkv_w, wo_w, w1_w, w2_w, vecs = flat_w
-        sx, sz1, sz3, sh1, sgp = saved
+        sx, sz1, sz3, sh1, sgp, sqkv = saved
         nl = wqkv_w.shape[0]
         b, m = 1, 128
         dummy = jnp.zeros((1, 8, 128), dt)
@@ -1101,7 +1116,8 @@ def _bwd_call(x, mem_kv, sbias, mbias, flat_w, saved, g, seeds, *, num_heads,
         pltpu.VMEM((btt, e), dt) if cross else dvm,
         pltpu.VMEM((btt, e), dt),
         pltpu.VMEM((btt, f), dt), pltpu.VMEM((btt, f), dt),
-        pltpu.SemaphoreType.DMA((6,)),
+        pltpu.VMEM((btt, 3 * e), dt),
+        pltpu.SemaphoreType.DMA((7,)),
         # dx staging + its in/out DMA sems + w-chunk sems
         pltpu.VMEM((btt, e), dt), pltpu.SemaphoreType.DMA((4,)),
         pltpu.SemaphoreType.DMA((2,)),
@@ -1118,6 +1134,7 @@ def _bwd_call(x, mem_kv, sbias, mbias, flat_w, saved, g, seeds, *, num_heads,
             pl.BlockSpec((1, 8, w), lambda l, j, *_: (nl - 1 - l, 0, 0)),
             # saved activations: hand-DMA'd, single-buffered (see kernel)
             any_spec, any_spec, any_spec, any_spec, any_spec, any_spec,
+            any_spec,
             pl.BlockSpec((btt, e), lambda l, j, *_: (j, 0)),
         ],
         out_specs=[
@@ -1148,7 +1165,7 @@ def _bwd_call(x, mem_kv, sbias, mbias, flat_w, saved, g, seeds, *, num_heads,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(seeds, mem_kv, sbias, mbias, wqkv_w, wo_w, wqc_w, woc_w, w1_w, w2_w,
-      vecs, sx, sz1, sz2, sz3, sh1, sgp, g)
+      vecs, sx, sz1, sz2, sz3, sh1, sgp, sqkv, g)
 
 
 # ---------------------------------------------------------------------------
@@ -1170,10 +1187,10 @@ def _make_fused(num_heads: int, rate: float, det: bool, causal: bool,
         return out
 
     def fwd(flat_w, x, mem_kv, sbias, mbias, seeds):
-        out, sx, sz1, sz2, sz3, sh1, sgp = _fwd_call(
+        out, sx, sz1, sz2, sz3, sh1, sgp, sqkv = _fwd_call(
             x, mem_kv, sbias, mbias, flat_w, seeds, **cfg)
         return out, (flat_w, x, mem_kv, sbias, mbias, seeds,
-                     (sx, sz1, sz2, sz3, sh1, sgp))
+                     (sx, sz1, sz2, sz3, sh1, sgp, sqkv))
 
     def bwd(res, g):
         flat_w, x, mem_kv, sbias, mbias, seeds, saved = res
@@ -1203,9 +1220,9 @@ def _make_fused_enc(num_heads: int, rate: float, det: bool, causal: bool,
         return out
 
     def fwd(flat_w, x, sbias, seeds):
-        out, sx, sz1, _, sz3, sh1, sgp = _fwd_call(
+        out, sx, sz1, _, sz3, sh1, sgp, sqkv = _fwd_call(
             x, None, sbias, None, flat_w, seeds, **cfg)
-        return out, (flat_w, x, sbias, seeds, (sx, sz1, sz3, sh1, sgp))
+        return out, (flat_w, x, sbias, seeds, (sx, sz1, sz3, sh1, sgp, sqkv))
 
     def bwd(res, g):
         flat_w, x, sbias, seeds, saved = res

@@ -168,6 +168,46 @@ def test_grad_acc_fn_matches_eager_accumulation():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_window_step_matches_host_driven_window():
+    """make_window_step_fn (one jit: scan microbatches + apply) produces the
+    same parameters as the host-driven grad_fn/accumulate/apply window when
+    given the same per-microbatch rng keys."""
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((3,))}
+    tx = trainer.adamw(1e-1, weight_decay=0.0)
+    accum = 3
+
+    def loss_fn(p, batch, rng):
+        noise = jax.random.normal(rng, ())
+        return (jnp.mean(jnp.sum(p["w"] * batch["x"], axis=-1))
+                + jnp.sum(p["b"] ** 2) + 0.01 * noise * jnp.sum(p["w"])), {}
+
+    mbs = [{"x": jax.random.normal(jax.random.PRNGKey(i), (2, 4))}
+           for i in range(accum)]
+    key = jax.random.PRNGKey(7)
+    sks = jax.random.split(key, accum)
+
+    # host-driven oracle window with the same keys
+    grad_fn = trainer.make_grad_fn(loss_fn)
+    apply_fn = trainer.make_apply_fn(tx)
+    s1 = trainer.create_train_state(jax.tree.map(jnp.array, params), tx)
+    acc = None
+    for mb, sk in zip(mbs, sks):
+        _, g = grad_fn(s1.params, mb, sk)
+        acc = trainer.accumulate_grads(acc, g)
+    s1 = apply_fn(s1, acc, jnp.float32(1.0))
+
+    window_fn = trainer.make_window_step_fn(loss_fn, tx, accum)
+    s2 = trainer.create_train_state(jax.tree.map(jnp.array, params), tx)
+    s2, losses = window_fn(s2, trainer.stack_microbatches(mbs), key,
+                           jnp.float32(1.0))
+
+    assert losses.shape == (accum,)
+    assert int(s2.step) == 1
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-7, rtol=1e-6)
+
+
 def test_sharded_grad_fn_matches_single_device():
     """shard_map DP grads (exact sum/weight reduction) == single-device grads
     of the masked-mean loss, with uneven valid-token counts across shards."""

@@ -25,7 +25,7 @@ fast_prng.enable()
 
 
 def bench_ss(batch: int, n_steps: int, img_hw=(256, 1024), lmx_len=256,
-             accum: int = 1):
+             accum: int = 1, window: bool = False):
     """Scheduled-sampling seq2seq step at flagship size (the docs/PERF.md
     training-study config: img budget 1024 patches, lmx 256).
 
@@ -65,6 +65,33 @@ def bench_ss(batch: int, n_steps: int, img_hw=(256, 1024), lmx_len=256,
     apply_fn = trainer.make_apply_fn(tx)
 
     key = jax.random.PRNGKey(1)
+
+    if window and accum > 1:
+        # fused whole-window step: scan over the microbatches in ONE jit
+        window_fn = trainer.make_window_step_fn(loss_fn, tx, accum)
+        stacked = trainer.stack_microbatches([db] * accum)
+
+        def run(n):
+            nonlocal state, key
+            losses = []
+            for i in range(n // accum):
+                key, sk = jax.random.split(key)
+                state, window_losses = window_fn(state, stacked, sk,
+                                                 jnp.float32(1.0))
+                losses.append(jnp.sum(window_losses))
+                if (i + 1) % 4 == 0 and (i + 1) * accum < n:
+                    float(losses[-1])  # bound in-flight buffers
+            return float(sum(losses))  # ONE pull
+
+        run(2 * accum)
+        t0 = time.perf_counter()
+        run(n_steps)
+        el = (time.perf_counter() - t0) / (n_steps // accum * accum)
+        h, w = img_hw
+        print(f"scheduled-sampling step B={batch} img {h}x{w} lmx {lmx_len} "
+              f"(fused window, accum {accum}): {el * 1e3:.1f} ms/microbatch "
+              f"-> {batch / el:.1f} img/s", flush=True)
+        return
 
     def run(n):
         nonlocal state, key
@@ -146,10 +173,14 @@ if __name__ == "__main__":
     ap.add_argument("mode", choices=["ss", "mae"], nargs="?", default="ss")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--window", action="store_true",
+                    help="fuse the whole accumulation window into one jit "
+                         "(lax.scan over microbatches + apply)")
     ap.add_argument("--accum", type=int, default=1,
                     help="microbatches per optimizer step (reference: 8)")
     args = ap.parse_args()
     if args.mode == "ss":
-        bench_ss(args.batch or 8, args.steps, accum=args.accum)
+        bench_ss(args.batch or 8, args.steps, accum=args.accum,
+                 window=args.window)
     else:
         bench_mae(args.batch or 64, args.steps)

@@ -450,13 +450,14 @@ def _embed_token(params: Params, tok: jnp.ndarray, pos: jnp.ndarray,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_steps", "sampling",
                                              "compute_dtype", "mem_group",
-                                             "tp_axis"))
+                                             "tp_axis", "pe_offset"))
 def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
                    mem: MemoryKV, num_steps: int,
                    sampling: SamplingConfig | None = None,
                    compute_dtype=jnp.bfloat16,
                    mem_group: int = 1,
-                   tp_axis: str | None = None) -> DecodeState:
+                   tp_axis: str | None = None,
+                   pe_offset: int = 0) -> DecodeState:
     """Run up to ``num_steps`` decode steps inside one lax.while_loop.
 
     Stops early when all sequences are finished or the segment budget, the
@@ -488,7 +489,7 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
 
     def body(s: DecodeState):
         prev_tok = jnp.take_along_axis(s.seqs, (s.t - 1)[None, None], axis=1)[:, 0]
-        x = _embed_token(params, prev_tok, s.t - 1, compute_dtype)
+        x = _embed_token(params, prev_tok, s.t - 1 + pe_offset, compute_dtype)
         caches = {"k": s.k_cache, "v": s.v_cache}
         if s.k_scale is not None:
             caches["ks"] = s.k_scale
@@ -568,7 +569,7 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
              *, max_len: int = 1536, sampling: SamplingConfig | None = None,
              rng=None, initial_segment: int = 256, segment_steps: int | None = None,
              compute_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16,
-             compact: bool = True, mem_group: int = 1):
+             compact: bool = True, mem_group: int = 1, pe_offset: int = 0):
     """Batched KV-cached generation (greedy or sampled).
 
     Equivalent of ``ViTOMR.cached_greedy_generate`` /
@@ -581,6 +582,14 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
     cross K/V are projected and streamed once per unique image; returns
     G * img_latent.shape[0] rows, ordered group-major (row i*G+g is image i's
     g-th rollout), identical to decoding a ``jnp.repeat``-expanded latent.
+
+    ``pe_offset=1`` reproduces the reference's *cached* decode PE indexing,
+    which embeds token ``seqs[:, t-1]`` with ``pos_embedding[t]``
+    (models.py:576 passes ``time_step=t``; models.py:523 indexes with it) —
+    one row ahead of the reference's own training/uncached forward. Required
+    for bit-identical decode against checkpoints run through the reference's
+    ``cached_greedy_generate`` (tools/reference_identity.py proves this).
+    The default 0 keeps our decode consistent with the training forward.
     """
     import numpy as np
     from ..ops import pallas_monolith
@@ -650,7 +659,7 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
     t_known = 1  # host-side mirror of state.t, refreshed by the status pull
     while True:
         state = decode_segment(params, cfg, state, mem, steps, sampling,
-                               compute_dtype, mem_group=g)
+                               compute_dtype, mem_group=g, pe_offset=pe_offset)
         master_seqs, master_lps = write_back(master_seqs, master_lps, state, row_map)
         # Every device->host pull is a full round trip (~29 ms through the
         # axon tunnel — tools/sync probe); when this segment's stop bound
@@ -798,7 +807,7 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
                      initial_segment: int = 256,
                      segment_steps: int | None = None,
                      compute_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16,
-                     mem_group: int = 1, tp_params=None):
+                     mem_group: int = 1, tp_params=None, pe_offset: int = 0):
     """Batch-sharded KV-cached generation over a named mesh axis.
 
     Each device runs the complete decode loop — including the monolithic
@@ -950,7 +959,8 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
         s = decode_segment(params=p, cfg=cfg, state=st, mem=mm,
                            num_steps=steps, sampling=sampling,
                            compute_dtype=compute_dtype, mem_group=g,
-                           tp_axis=model_axis if tp > 1 else None)
+                           tp_axis=model_axis if tp > 1 else None,
+                           pe_offset=pe_offset)
         out = {"seqs": s.seqs, "lps": s.log_probs, "fin": s.finished,
                "t": s.t[None], "k": s.k_cache, "v": s.v_cache,
                "key": s.rng[None]}
@@ -1087,11 +1097,12 @@ def init_beam_state(cfg: DecoderConfig, batch_size: int, beam_size: int,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_steps",
-                                             "compute_dtype", "mem_group"))
+                                             "compute_dtype", "mem_group",
+                                             "pe_offset"))
 def beam_decode_segment(params: Params, cfg: DecoderConfig, state: BeamState,
                         mem: MemoryKV, num_steps: int,
                         compute_dtype=jnp.bfloat16,
-                        mem_group: int = 1) -> BeamState:
+                        mem_group: int = 1, pe_offset: int = 0) -> BeamState:
     """Run up to ``num_steps`` beam-search steps in one lax.while_loop.
 
     Standard batched beam search: each step scores all (K x V) continuations
@@ -1129,7 +1140,7 @@ def beam_decode_segment(params: Params, cfg: DecoderConfig, state: BeamState,
     def body(s: BeamState):
         prev_tok = jax.lax.dynamic_slice_in_dim(
             s.seqs, s.t - 1, 1, axis=2)[:, :, 0].reshape(b * k)
-        x = _embed_token(params, prev_tok, s.t - 1, compute_dtype)
+        x = _embed_token(params, prev_tok, s.t - 1 + pe_offset, compute_dtype)
         caches = {"k": s.k_cache, "v": s.v_cache}
         if s.k_scale is not None:
             caches["ks"], caches["vs"] = s.k_scale, s.v_scale
@@ -1207,7 +1218,7 @@ def beam_generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
                   length_penalty: float = 0.6, initial_segment: int = 256,
                   segment_steps: int | None = None,
                   compute_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16,
-                  return_all_beams: bool = False):
+                  return_all_beams: bool = False, pe_offset: int = 0):
     """Batched beam-search generation over the KV-cached decoder.
 
     Hypotheses are ranked in-loop by cumulative log-prob; the returned beam
@@ -1263,7 +1274,8 @@ def beam_generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
     t_known = 1
     while True:
         state = beam_decode_segment(params, cfg, state, mem, steps,
-                                    compute_dtype, mem_group=k)
+                                    compute_dtype, mem_group=k,
+                                    pe_offset=pe_offset)
         stop_bound = min(t_known + steps, cache_len_of(state.k_cache) + 1,
                          max_len)
         if stop_bound >= max_len:
@@ -1334,7 +1346,8 @@ def beam_generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
 
 def streamed_generate(params: Params, cfg: DecoderConfig, img_latent,
                       latent_valid, *, max_len: int = 1536,
-                      flush_interval: int = 25, compute_dtype=jnp.bfloat16):
+                      flush_interval: int = 25, compute_dtype=jnp.bfloat16,
+                      pe_offset: int = 0):
     """Greedy generation yielding token chunks every ``flush_interval`` steps.
 
     Generator analogue of ``streamed_cached_greedy_generate``
@@ -1366,7 +1379,7 @@ def streamed_generate(params: Params, cfg: DecoderConfig, img_latent,
                 new_len = -(-new_len // 16) * 16
             state = grow_cache(state, new_len)
         state = decode_segment(params, cfg, state, mem, flush_interval,
-                               None, compute_dtype)
+                               None, compute_dtype, pe_offset=pe_offset)
         # single device->host round trip per flush (~29 ms each through the
         # axon tunnel): [t, all_finished, flush window of tokens]
         win = min(flush_interval, max_len - start_t)

@@ -65,7 +65,8 @@ def keep_bucket_len(seq_bucket: int, mask_ratio: float, multiple: int = 128) -> 
 
 def forward(params: Params, cfg: MaeConfig, rng, patches, pe_idx, pe_w, valid,
             lengths, target_patches, *, compute_dtype=jnp.float32,
-            deterministic: bool = True, dropout_rng=None, remat: bool = False):
+            deterministic: bool = True, dropout_rng=None, remat: bool = False,
+            mask_noise=None):
     """Full MAE forward on a packed batch.
 
     patches/pe_idx/pe_w/valid/lengths come from ``vit_encoder.batchify``;
@@ -80,7 +81,8 @@ def forward(params: Params, cfg: MaeConfig, rng, patches, pe_idx, pe_w, valid,
     kb = min(l, keep_bucket_len(l, cfg.mask_ratio))
 
     # --- mask + encode visible patches ------------------------------------
-    mask = vit_encoder.mae_mask(rng, valid, lengths, cfg.mask_ratio, kb)
+    mask = vit_encoder.mae_mask(rng, valid, lengths, cfg.mask_ratio, kb,
+                                noise=mask_noise)
     x = vit_encoder.embed_patches(params["encoder"], patches, pe_idx, pe_w,
                                   valid, compute_dtype)
     x_kept = vit_encoder.gather_kept(x, mask)                       # (B, K, E)

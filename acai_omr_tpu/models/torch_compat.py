@@ -151,3 +151,127 @@ def vitomr_params_from_torch(sd) -> dict:
         },
         "decoder": omr_decoder_params_from_torch(sd, "decoder."),
     }
+
+
+# ---------------------------------------------------------------------------
+# reverse direction: parameter pytree -> PyTorch state dict
+# ---------------------------------------------------------------------------
+# Exact inverses of the converters above, producing state dicts that load
+# with ``strict=True`` into the reference's module layouts (reference:
+# acai_omr/models/models.py:14-36 Encoder, 197-213 MAE, 378-428 OMRDecoder,
+# 649-660 TeacherForcedViTOMR incl. the FineTuneOMREncoder frozen/fine-tune
+# split, models.py:334-360). Used by the code-level token-identity proof
+# (tools/reference_identity.py): our randomly initialized flagship params are
+# loaded into the reference's own torch modules so both implementations can
+# be run side by side on CPU. Values are numpy float32; callers wrap them in
+# torch tensors.
+
+def _unstack(stacked: dict, i: int) -> dict:
+    import jax
+    return jax.tree.map(lambda x: np.asarray(x[i], dtype=np.float32), stacked)
+
+
+def _dense_sd(out, p, prefix):
+    out[prefix + ".weight"] = np.asarray(p["kernel"], np.float32).T
+    out[prefix + ".bias"] = np.asarray(p["bias"], np.float32)
+
+
+def _norm_sd(out, p, prefix):
+    out[prefix + ".weight"] = np.asarray(p["scale"], np.float32)
+    out[prefix + ".bias"] = np.asarray(p["bias"], np.float32)
+
+
+def _mha_sd(out, p, prefix):
+    out[prefix + ".in_proj_weight"] = np.asarray(p["in_kernel"], np.float32).T
+    out[prefix + ".in_proj_bias"] = np.asarray(p["in_bias"], np.float32)
+    _dense_sd(out, p["out"], prefix + ".out_proj")
+
+
+def _encoder_layer_sd(out, layer, prefix):
+    _mha_sd(out, layer["self_attn"], prefix + ".self_attn")
+    _dense_sd(out, layer["linear1"], prefix + ".linear1")
+    _dense_sd(out, layer["linear2"], prefix + ".linear2")
+    _norm_sd(out, layer["norm1"], prefix + ".norm1")
+    _norm_sd(out, layer["norm2"], prefix + ".norm2")
+
+
+def _decoder_layer_sd(out, layer, prefix):
+    _mha_sd(out, layer["self_attn"], prefix + ".self_attn")
+    _mha_sd(out, layer["cross_attn"], prefix + ".multihead_attn")
+    _dense_sd(out, layer["linear1"], prefix + ".linear1")
+    _dense_sd(out, layer["linear2"], prefix + ".linear2")
+    _norm_sd(out, layer["norm1"], prefix + ".norm1")
+    _norm_sd(out, layer["norm2"], prefix + ".norm2")
+    _norm_sd(out, layer["norm3"], prefix + ".norm3")
+
+
+def encoder_state_dict_from_params(params: dict, prefix: str = "",
+                                   fine_tune_depth: int | None = None) -> dict:
+    """Encoder pytree -> reference Encoder/OMREncoder/FineTuneOMREncoder
+    state dict. ``fine_tune_depth=None`` emits the plain ``encoder_blocks``
+    layout; an int splits the stacked layers into ``frozen_blocks`` (first
+    ``num_layers - fine_tune_depth``) + ``fine_tune_blocks`` exactly like the
+    reference constructor (models.py:334-360; the final norm lives on
+    fine_tune_blocks)."""
+    out = {}
+    out[prefix + "pos_embedding"] = np.asarray(params["pos_embedding"], np.float32)
+    _dense_sd(out, params["projection"], prefix + "projection")
+    num_layers = np.asarray(params["blocks"]["norm1"]["scale"]).shape[0]
+    if fine_tune_depth is None:
+        for i in range(num_layers):
+            _encoder_layer_sd(out, _unstack(params["blocks"], i),
+                              f"{prefix}encoder_blocks.layers.{i}")
+        _norm_sd(out, params["final_norm"], prefix + "encoder_blocks.norm")
+    else:
+        num_frozen = num_layers - fine_tune_depth
+        for i in range(num_frozen):
+            _encoder_layer_sd(out, _unstack(params["blocks"], i),
+                              f"{prefix}frozen_blocks.layers.{i}")
+        for j in range(fine_tune_depth):
+            _encoder_layer_sd(out, _unstack(params["blocks"], num_frozen + j),
+                              f"{prefix}fine_tune_blocks.layers.{j}")
+        _norm_sd(out, params["final_norm"], prefix + "fine_tune_blocks.norm")
+    return out
+
+
+def mae_state_dict_from_params(params: dict) -> dict:
+    """MAE pytree -> reference ``MAE`` state dict (models.py:197-213)."""
+    out = encoder_state_dict_from_params(params["encoder"], "encoder.")
+    _dense_sd(out, params["decoder_embed"], "decoder_embed")
+    n_dec = np.asarray(params["decoder_blocks"]["norm1"]["scale"]).shape[0]
+    for i in range(n_dec):
+        _encoder_layer_sd(out, _unstack(params["decoder_blocks"], i),
+                          f"decoder.decoder_blocks.layers.{i}")
+    _norm_sd(out, params["decoder_norm"], "decoder.decoder_blocks.norm")
+    _dense_sd(out, params["decoder_unembed"], "decoder_unembed")
+    out["mask_token"] = np.asarray(params["mask_token"], np.float32).reshape(1, 1, -1)
+    out["decoder_pos_embedding"] = np.asarray(params["decoder_pos_embedding"],
+                                              np.float32)
+    return out
+
+
+def omr_decoder_state_dict_from_params(params: dict, prefix: str = "") -> dict:
+    out = {}
+    out[prefix + "vocab_embedding.weight"] = np.asarray(
+        params["vocab_embedding"]["table"], np.float32)
+    out[prefix + "pos_embedding"] = np.asarray(params["pos_embedding"], np.float32)
+    n = np.asarray(params["blocks"]["norm1"]["scale"]).shape[0]
+    for i in range(n):
+        _decoder_layer_sd(out, _unstack(params["blocks"], i),
+                          f"{prefix}decoder_blocks.layers.{i}")
+    _norm_sd(out, params["final_norm"], prefix + "decoder_blocks.norm")
+    _dense_sd(out, params["unembed"], prefix + "unembed")
+    return out
+
+
+def vitomr_state_dict_from_params(params: dict,
+                                  fine_tune_depth: int | None = None) -> dict:
+    """ViTOMR pytree -> reference TeacherForced/GRPO ViTOMR state dict
+    (models.py:649-660). ``fine_tune_depth`` selects the FineTuneOMREncoder
+    key layout; None emits plain OMREncoder keys."""
+    out = encoder_state_dict_from_params(params["encoder"], "encoder.",
+                                         fine_tune_depth)
+    _dense_sd(out, params["transition_head"]["linear1"], "transition_head.0")
+    _dense_sd(out, params["transition_head"]["linear2"], "transition_head.3")
+    out.update(omr_decoder_state_dict_from_params(params["decoder"], "decoder."))
+    return out

@@ -196,7 +196,8 @@ class MaeMask:
 
 
 def mae_mask(rng, valid: jnp.ndarray, lengths: jnp.ndarray,
-             mask_ratio: float, keep_bucket: int) -> MaeMask:
+             mask_ratio: float, keep_bucket: int,
+             noise: jnp.ndarray | None = None) -> MaeMask:
     """Vectorized per-example shuffle/mask (reference: models.py:106-125).
 
     valid: (B, L) patch validity; lengths: (B,) true lengths. ``keep_bucket``
@@ -204,9 +205,16 @@ def mae_mask(rng, valid: jnp.ndarray, lengths: jnp.ndarray,
     positions receive +inf noise so each example's argsort orders its real
     patches (randomly) first; the first ``keep_len[i]`` shuffled slots are the
     kept patches, exactly the reference's semantics with static shapes.
+
+    ``noise``: optional (B, L) shuffle noise overriding the rng draw — used
+    by the reference-identity proof (tools/reference_identity.py) to drive
+    this and the reference's ``torch.rand``-based ``mask_sequence``
+    (models.py:106-125) with the same permutation.
     """
     b, l = valid.shape
-    noise = jax.random.uniform(rng, (b, l))
+    if noise is None:
+        noise = jax.random.uniform(rng, (b, l))
+    noise = jnp.asarray(noise, jnp.float32)
     noise = jnp.where(valid, noise, jnp.inf)
     ids_shuffle = jnp.argsort(noise, axis=-1)           # (B, L) valid-first random order
     ids_restore = jnp.argsort(ids_shuffle, axis=-1)     # inverse permutation

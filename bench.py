@@ -159,9 +159,10 @@ def main():
     # scale with B, the 336 MB of weights do not) — the throughput-oriented
     # configs. Measured curve (511 tok, mem 512): bf16 22.9/26.2/28.1/28.8
     # and int8 36/39.7/41.9/42.8 sys/s at B=32/64/128/192, asymptote ~29 /
-    # ~43.5 — B=128 is the knee reported here.
+    # ~43.5; B=128 is the knee. B=192/256 rows capture the asymptote in the
+    # driver artifact.
     batch_rows = {}
-    for bb in (64, 128):
+    for bb in (64, 128, 192, 256):
         rngb = np.random.default_rng(2)
         memb = jnp.asarray(rngb.standard_normal((bb, MEM_LEN, cfg.hidden_dim)),
                            dtype=jnp.bfloat16)

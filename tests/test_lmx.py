@@ -290,3 +290,93 @@ def test_tedn_native_speed_sane():
     dt = (time.perf_counter() - t0) / 5
     assert cost == 0.0
     assert dt < 1.0, f"TEDn too slow: {dt:.2f}s per call"
+
+
+# ---------------------------------------------------------------------------
+# Independent exact-TED oracle (VERDICT: a subtle TED bug would silently skew
+# every GRPO reward — reference omr_grpo_train.py:15 TEDn_lmx_xml backbone).
+# The oracle is a from-first-principles recursive ordered-forest edit
+# distance (exponential with memoization, tiny trees only), sharing no code
+# or algorithmic structure with the Zhang-Shasha implementations it checks.
+# ---------------------------------------------------------------------------
+
+def _brute_forest_ed(f1, f2, memo):
+    """Exact edit distance between ordered forests of (label, children) tuples.
+
+    Unit costs; rename cost 0/1. Textbook recursion on the rightmost roots:
+    delete v (children splice into the forest), insert w, or match the two
+    rightmost subtrees (roots paired, child forests compared recursively).
+    """
+    key = (f1, f2)
+    if key in memo:
+        return memo[key]
+
+    def forest_size(f):
+        return sum(1 + forest_size(c) for (_, c) in f)
+
+    if not f1:
+        r = forest_size(f2)
+    elif not f2:
+        r = forest_size(f1)
+    else:
+        (la, ca), (lb, cb) = f1[-1], f2[-1]
+        delete = _brute_forest_ed(f1[:-1] + ca, f2, memo) + 1
+        insert = _brute_forest_ed(f1, f2[:-1] + cb, memo) + 1
+        match = (_brute_forest_ed(f1[:-1], f2[:-1], memo)
+                 + _brute_forest_ed(ca, cb, memo)
+                 + (0 if la == lb else 1))
+        r = min(delete, insert, match)
+    memo[key] = r
+    return r
+
+
+def _random_tuple_tree(rng, n_nodes, n_labels):
+    """Random ordered tree as nested (label, children) tuples + the same
+    tree as an ET.Element (for the public tree_edit_distance path)."""
+    labels = [f"n{rng.integers(0, n_labels)}" for _ in range(n_nodes)]
+    children = [[] for _ in range(n_nodes)]
+    for i in range(1, n_nodes):
+        children[int(rng.integers(0, i))].append(i)
+
+    def tup(i):
+        return (labels[i], tuple(tup(c) for c in children[i]))
+
+    def elem(i, parent=None):
+        el = ET.Element(labels[i]) if parent is None else ET.SubElement(parent, labels[i])
+        for c in children[i]:
+            elem(c, el)
+        return el
+
+    return tup(0), elem(0)
+
+
+def test_ted_matches_brute_force_oracle(rng):
+    """Property test: Zhang-Shasha (native C++ when built, else the Python
+    fallback — tree_edit_distance picks automatically) equals the independent
+    brute-force exact TED on ~1000 random tiny tree pairs, including
+    single-node and heavily-renamed cases."""
+    mismatches = []
+    for trial in range(1000):
+        na = int(rng.integers(1, 9))
+        nb = int(rng.integers(1, 9))
+        n_labels = int(rng.integers(1, 4)) if trial % 3 else 8
+        ta, ea = _random_tuple_tree(rng, na, n_labels)
+        tb, eb = _random_tuple_tree(rng, nb, n_labels)
+        expect = _brute_forest_ed((ta,), (tb,), {})
+        got = tedn_lib.tree_edit_distance(ea, eb)
+        if got != expect:
+            mismatches.append((trial, expect, got, ta, tb))
+    assert not mismatches, mismatches[:3]
+
+
+def test_ted_oracle_pure_python_path(rng):
+    """Same oracle against the pure-Python Zhang-Shasha fallback explicitly
+    (covers deployments without the native kernel)."""
+    for trial in range(200):
+        ta, ea = _random_tuple_tree(rng, int(rng.integers(1, 8)), 3)
+        tb, eb = _random_tuple_tree(rng, int(rng.integers(1, 8)), 3)
+        intern = {}
+        la, lla = tedn_lib.element_to_postorder(ea, intern)
+        lb, llb = tedn_lib.element_to_postorder(eb, intern)
+        expect = _brute_forest_ed((ta,), (tb,), {})
+        assert tedn_lib._py_ted(la, lla, lb, llb) == expect, (trial, ta, tb)

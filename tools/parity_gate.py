@@ -137,10 +137,18 @@ def main():
     lmx_dir = os.environ.get("ACAI_REF_LMX_DIR")
     lmx_dir = Path(lmx_dir) if lmx_dir else None
 
+    from tools import reference_identity
+
     result = {
         "mae_mse": check_loss("mae", mae_pth, batch),
         "vitomr_ce": check_loss("vitomr", vit_pth, batch),
         "decode": check_decode(vit_pth, docs, lmx_dir, max_len),
+        # Code-level half of the north star: our flagship-config params loaded
+        # into the reference's own torch modules, both stacks run end to end
+        # on CPU — identical greedy tokens + equal CE/MAE losses
+        # (tools/reference_identity.py). Runs whenever /root/reference is
+        # mounted; needs no trained artifacts.
+        "code_level_identity": reference_identity.run_all(tiny=args.fast),
     }
     statuses = [v["status"] for v in result.values()]
     ran = [s for s in statuses if not s.startswith("skipped")]

@@ -61,10 +61,13 @@ def build_vitomr_test_sets(tokenizer):
     return ds_lib.ConcatDataset(sets)
 
 
-def eval_mae(weights: str, batch_size: int = 64, num_workers: int = 16):
+def eval_mae(weights: str, batch_size: int = 64, num_workers: int = 16,
+             cfg=None):
+    """``cfg`` overrides the flagship config (tiny-config CI smoke tests);
+    ``weights`` is always loaded through the checkpoint layer."""
     from .train.pre_train import _device_batch, make_eval_fn, set_up_mae
 
-    cfg = set_up_mae()
+    cfg = cfg or set_up_mae()
     params = jax.tree.map(jnp.asarray, ckpt_lib.load_params(weights))
     test_ds = build_mae_test_sets()
     sampler = BucketBatchSampler(test_ds, default_bucket_boundaries(),
@@ -84,11 +87,13 @@ def eval_mae(weights: str, batch_size: int = 64, num_workers: int = 16):
     return loss
 
 
-def eval_vitomr(weights: str, batch_size: int = 64, num_workers: int = 16):
+def eval_vitomr(weights: str, batch_size: int = 64, num_workers: int = 16,
+                cfg=None):
+    """``cfg`` overrides the flagship config (tiny-config CI smoke tests)."""
     from .train.omr_teacher_force_train import (make_eval_fn, set_up_vitomr,
                                                 _device_batch)
     tokenizer = LmxTokenizer()
-    cfg = set_up_vitomr(tokenizer)
+    cfg = cfg or set_up_vitomr(tokenizer)
     params = jax.tree.map(jnp.asarray, ckpt_lib.load_params(weights))
     test_ds = build_vitomr_test_sets(tokenizer)
     sampler = BucketBatchSampler(test_ds, default_bucket_boundaries(),

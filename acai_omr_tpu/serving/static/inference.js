@@ -161,6 +161,27 @@ document.addEventListener("keydown", (e) => {
 });
 $("clear-boxes").onclick = () => { boxes = []; selected = -1; draw(); };
 
+// status line with an optional pulsing dot loader (styles in main.css)
+function setStatus(text, busy) {
+  const el = $("status");
+  el.textContent = text;
+  if (busy) {
+    const dots = document.createElement("span");
+    dots.className = "dots";
+    for (let i = 0; i < 3; i++) dots.appendChild(document.createElement("span"));
+    el.appendChild(dots);
+  }
+}
+
+// append a streamed chunk as its own span so it fades in (.tok in main.css)
+function appendTokens(text) {
+  const span = document.createElement("span");
+  span.className = "tok";
+  span.textContent = text;
+  $("token-stream").appendChild(span);
+  $("token-stream").scrollTop = $("token-stream").scrollHeight;
+}
+
 $("run-btn").onclick = async () => {
   await api("/inference/setup", {
     method: "POST",
@@ -169,24 +190,23 @@ $("run-btn").onclick = async () => {
   });
   $("stream-section").hidden = false;
   $("token-stream").textContent = "";
-  $("status").textContent = "Encoding…";
+  setStatus("Encoding…", true);
   events = new EventSource(`/inference/stream?tmpdir=${encodeURIComponent(tmpdir)}`);
-  events.addEventListener("encoding_start", () => $("status").textContent = "Encoding image…");
-  events.addEventListener("encoding_finish", () => $("status").textContent = "Decoding…");
+  events.addEventListener("encoding_start", () => setStatus("Encoding image…", true));
+  events.addEventListener("encoding_finish", () => setStatus("Decoding…", true));
   events.addEventListener("step", (e) => {
     const d = JSON.parse(e.data);
-    $("token-stream").textContent += d.tokens.join(" ") + " ";
-    $("token-stream").scrollTop = $("token-stream").scrollHeight;
+    appendTokens(d.tokens.join(" ") + " ");
   });
   events.addEventListener("inference_finish", (e) => {
     const d = JSON.parse(e.data);
-    $("token-stream").textContent += `\n--- system ${d.system + 1} done ---\n`;
+    appendTokens(`\n--- system ${d.system + 1} done ---\n`);
   });
   events.addEventListener("all_inference_finish", async () => {
     events.close();
-    $("status").textContent = "Post-processing…";
+    setStatus("Post-processing…", true);
     const res = await api("/inference/postprocess", { method: "POST" });
-    $("status").textContent = "Done";
+    setStatus("Done", false);
     $("result-section").hidden = false;
     if (res.ok) {
       $("confidence").textContent = res.confidence != null
@@ -201,7 +221,7 @@ $("run-btn").onclick = async () => {
       $("confidence").textContent = `Delinearization failed: ${res.error}`;
     }
   });
-  events.onerror = () => { $("status").textContent = "Stream error"; events.close(); };
+  events.onerror = () => { setStatus("Stream error", false); events.close(); };
 };
 
 $("download-btn").onclick = () => {

@@ -51,12 +51,9 @@ def main():
     Path("/tmp/ss_grad_hlo.txt").write_text(text)
     print(f"HLO: {len(text)} chars -> /tmp/ss_grad_hlo.txt")
 
-    # summarize each top-level fusion: name, shapes, op kinds inside
+    # summarize each top-level fusion: print the definition line of each
+    # fusion instruction (optionally filtered to names given on argv)
     want = set(sys.argv[1:]) or None
-    for m in re.finditer(r"^\s*(?:ROOT )?[%\w.-]+ = [^\n]* fusion\([^\n]*calls=([%\w.-]+)",
-                         text, re.M):
-        pass
-    # simpler: print the definition line of each fusion instruction
     lines = text.splitlines()
     for i, ln in enumerate(lines):
         m = re.search(r"(fusion[.\d]*) = ([^ ]+) fusion\(", ln)

@@ -39,14 +39,23 @@ def main():
         b = ptl.pack_weights_enc(enc, jnp.bfloat16)
         return a, b
 
-    # chain N packs -> one device pull (tunnel rule: never sync per step)
+    # chain N packs -> one device pull (tunnel rule: never sync per step).
+    # The carry perturbs one weight leaf before packing so each iteration
+    # does fresh work (loop-invariant packs would be hoisted/DCE'd by the
+    # very simplifier this probe is bounding), and the reduction feeds the
+    # carry for real so nothing is dead.
     @jax.jit
     def pack_n(dec, enc, n):
+        leaf_path = next(iter(sorted(dec)))  # any dense kernel subtree
+
         def body(c, _):
-            a = ptl.pack_weights(dec, jnp.bfloat16)
+            d2 = dict(dec)
+            d2[leaf_path] = jax.tree.map(
+                lambda x: x + c.astype(x.dtype) * 1e-30, dec[leaf_path])
+            a = ptl.pack_weights(d2, jnp.bfloat16)
             b = ptl.pack_weights_enc(enc, jnp.bfloat16)
             s = sum(jnp.sum(t[-1].astype(jnp.float32)) for t in (a, b))
-            return c + s * 0, None
+            return c + s * 1e-30, None
         out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return out
 

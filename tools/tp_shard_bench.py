@@ -66,24 +66,30 @@ def shard0_slice(params, cfg, tp: int = 2):
     return out, ea
 
 
-def chain_steps(mono, x, caches, mem_k, mem_v, bias_col, h_loc, steps, t0):
+def make_chain(h_loc: int, steps: int, t0: int):
     from acai_omr_tpu.ops import pallas_monolith
 
-    def body(i, carry):
-        x, kc, vc = carry
-        x_out, kc, vc = pallas_monolith.decode_layers(
-            mono, x, t0 + i, kc, vc, mem_k, mem_v, bias_col,
-            num_heads=h_loc)
-        return (x_out.astype(x.dtype), kc, vc)
+    def chain_steps(mono, x, caches, mem_k, mem_v, bias_col):
+        def body(i, carry):
+            x, kc, vc = carry
+            # cycle pos inside a 64-slot window at mid-cache so arbitrarily
+            # many steps stay in bounds (timing is pos-uniform per segment)
+            x_out, kc, vc = pallas_monolith.decode_layers(
+                mono, x, t0 + jax.lax.rem(i, 64), kc, vc, mem_k, mem_v,
+                bias_col, num_heads=h_loc)
+            return (x_out.astype(x.dtype), kc, vc)
 
-    return jax.lax.fori_loop(0, steps, body, (x, *caches))
+        return jax.lax.fori_loop(0, steps, body, (x, *caches))
+
+    return chain_steps
 
 
 def measure(fn, *args):
-    out = jax.jit(fn)(*args)
+    f = jax.jit(fn)
+    out = f(*args)
     float(jnp.sum(out[0].astype(jnp.float32)))  # sync through the tunnel
     t0 = time.perf_counter()
-    out = jax.jit(fn)(*args)
+    out = f(*args)
     float(jnp.sum(out[0].astype(jnp.float32)))
     return time.perf_counter() - t0
 
@@ -115,25 +121,27 @@ def main():
 
     def setup(p, cfg_eff, ea, h_loc):
         mono = pallas_monolith.prepack(p, cfg, jnp.bfloat16, e_attn=ea)
-        mem = decode_lib.precompute_memory_kv(p, cfg, latent, valid,
+        # memory K/V always project from the FULL weights (sharded_generate
+        # does the same — the tp shard then takes its contiguous head lanes)
+        mem = decode_lib.precompute_memory_kv(params, cfg, latent, valid,
                                               jnp.bfloat16, jnp.bfloat16,
                                               layout="te")
+        mem_k, mem_v = mem.k[..., :ea], mem.v[..., :ea]
         kc = jnp.zeros((cfg.num_layers, b, t_len, ea), jnp.bfloat16)
         vc = jnp.zeros_like(kc)
         bias_col = jnp.zeros((b, m_len, 1), jnp.float32)
-        return mono, (kc, vc), mem.k, mem.v, bias_col
+        return mono, (kc, vc), mem_k, mem_v, bias_col
 
     # --- full-shape monolith -------------------------------------------------
     mono, caches, mk, mv, bc = setup(params, cfg, e, h)
-    wall = measure(chain_steps, mono, x, caches, mk, mv, bc, h,
-                   args.steps, t0)
+    wall = measure(make_chain(h, args.steps, t0), mono, x, caches, mk, mv, bc)
     results["full_step_us"] = wall / args.steps * 1e6
 
     # --- shard-shape monolith (the per-chip TP-2 work) -----------------------
     sparams, ea = shard0_slice(params, cfg, 2)
     mono_s, caches_s, mk_s, mv_s, bc_s = setup(sparams, cfg, ea, h // 2)
-    wall_s = measure(chain_steps, mono_s, x, caches_s, mk_s, mv_s, bc_s,
-                     h // 2, args.steps, t0)
+    wall_s = measure(make_chain(h // 2, args.steps, t0), mono_s, x, caches_s,
+                     mk_s, mv_s, bc_s)
     results["shard_step_us"] = wall_s / args.steps * 1e6
 
     comm = 3 * cfg.num_layers * ICI_US_PER_EXCHANGE

@@ -5,22 +5,35 @@ analogue: a per-phase FLOPs + bytes ledger for the stage-2 scheduled-sampling
 microbatch (B=8, img T=1024/E=768 ViT-B encoder, lmx T=256/E=1024 12-layer
 decoder, reference regime — omr_teacher_force_train.py hyperparameters), a
 derived floor in img/s, and the achieved fraction against the measured
-128.8 ms/microbatch (62.1 img/s).
+128.8 ms/microbatch (62.1 img/s) and the round-2 per-kernel trace
+(profile_train_step.py: enc fwd 14.9 / enc bwd 34.1 / dec fwd 6.7 x2 /
+dec bwd 19.8 x2 ms).
 
-Method:
-* FLOPs: analytic GEMM counts per phase (attention dots included). The
-  backward is 2x the forward's GEMM FLOPs plus the dots-saveable remat
-  recompute (~1x the non-dot forward work) — the EXECUTED-FLOPs multiplier
-  is listed per phase, not hidden.
-* ceilings: the chip's GEMM rate is SHAPE-DEPENDENT — each phase's ceiling
-  is measured on-chip with a chained dot probe at that phase's dominant
-  (M, K, N) (tools/gemm_probe.py method: ~157 TF/s at large square shapes,
-  less at thin ones). HBM bytes use the measured streaming bandwidth
-  (~690 GB/s achieved of 819 peak).
-* floor_phase = max(flops / rate(shape), bytes / bw); phases are assumed
-  perfectly overlapped within themselves but sequential across (they are:
-  each is one fused grid or one XLA fusion chain with a data dependence on
-  the previous).
+Method (the decode study's "price every resource, take the max", kept a
+strict LOWER bound):
+* MXU time per phase = projection FLOPs at the measured large-GEMM rate
+  (~160 TF/s at the model's projection (M, K, N)s — two-dot chained probe)
+  PLUS attention-dot FLOPs at the best measured rate for the K=64 dot
+  family (85.9 TF/s; see the RECORDED_ATTN note). The probe's (m, k, n) +
+  (m, n, k) pair IS `_attend`'s logits-dot + out-dot pair
+  (ops/pallas_train_layer.py): K=64 contractions half-fill the 128x128
+  MXU, so a GEMM-only floor at 160 TF/s would be dishonest about where
+  attention FLOPs can actually run. Summing proj + attn MXU time is
+  correct for a bound: both serialize on the one MXU.
+* The backward multiplier is explicit, not a blanket 2.5x: projections pay
+  dgrad + wgrad (2x fwd); attention pays a full forward RECOMPUTE (the
+  dots-saveable remat saves qkv/LN/FFN-hidden but not the (T, S) probs —
+  tools/remat_ab.py; no-remat OOMs) plus the 4-dot backward (`_attend_bwd`)
+  = 3x the forward's attention-dot FLOPs.
+* VPU work (softmax exp, LN, GELU, dropout) is left UNPRICED: at VPU
+  element throughput (tens of TB/s on VMEM-resident data) it is minor and
+  overlaps the MXU, so omitting it keeps the floor a valid lower bound.
+  (An earlier revision priced it with a chained-LN probe — that probe was
+  HBM-bound at ~760 GB/s and over-priced VMEM-resident elementwise work
+  ~40x; the XLA-sequential attention stage similarly measures SLOWER than
+  the fused kernels and is a roofline for unfused execution, not a floor.)
+* floor_phase = max(mxu_t, hbm_bytes / bw); phases are sequential (each is
+  one fused grid with a data dependence on the previous).
 
 Usage: python tools/train_floor_model.py [--measure] (measure = run the
 on-chip shape probes; otherwise use the recorded rates). One JSON line.
@@ -40,44 +53,58 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 B = 8
 T_IMG, E_ENC, H_ENC, F_ENC, L_ENC = 1024, 768, 12, 3072, 12
 T_LMX, E_DEC, H_DEC, F_DEC, L_DEC = 256, 1024, 16, 4096, 12
+DH = 64
 M_MEM = T_IMG  # decoder cross-attends the full image latent
 HBM_BW = 690e9  # achieved streaming B/s (tools/narrow_lane_dma_probe.py)
+MEASURED_US_MS = 128.8      # measured microbatch (tools/train_step_bench.py)
+MEASURED_IMG_S = 62.1
 
-# measured GEMM ceilings (TF/s) per dominant phase shape, v5e-1, bf16 inputs
-# fp32 accum — chained-dot probe (--measure refreshes these)
-RECORDED_RATES = {
-    # (M, K, N): TF/s
-    (8192, 768, 2304): 124.0,   # encoder qkv-class GEMMs (B*T_IMG rows)
-    (8192, 768, 3072): 130.0,   # encoder FF
-    (2048, 1024, 3072): 93.0,   # decoder qkv (B*T_LMX rows)
-    (2048, 1024, 4096): 100.0,  # decoder FF
-    (2048, 4096, 1024): 100.0,  # decoder FF2 / weight-grad folds
-    (1024, 1024, 1024): 60.0,   # attention-sized dots
+# measured rates, v5e-1 (refreshed by --measure), two-dot chained probe.
+# projection GEMMs at the phase's dominant (M, K, N):
+RECORDED_GEMM = {
+    (8192, 768, 3072): 163.4,    # encoder projections/FF (B*T_IMG rows)
+    (2048, 1024, 4096): 162.0,   # decoder projections/FF (B*T_LMX rows)
+    (8192, 1024, 2048): 159.8,   # mem_kv projection rows
 }
+# attention dot pairs at the kernel's exact shapes. The floor prices ALL
+# attention FLOPs at the BEST of these (the enc pair, 85.9): the small-
+# shape sequential probes are per-op-overhead-bound (a (256,64,256) dot is
+# ~0.17 us of MXU time vs ~1 us of XLA per-iteration overhead), so their
+# rates under-state what the hardware can do — inside a fused grid there is
+# no per-op overhead, and a floor must use the highest demonstrated rate
+# for the dot family (K=64 half-fills the 128x128 MXU, capping the family
+# at ~half the ~163 TF/s projection rate; 85.9 is right at that cap).
+RECORDED_ATTN = {
+    (1024, 64, 1024): 85.9,   # encoder self (T_IMG, DH, T_IMG)
+    (256, 64, 256): 16.9,     # decoder self (T_LMX, DH, T_LMX)
+    (256, 64, 1024): 43.3,    # decoder cross (T_LMX, DH, M_MEM)
+}
+# measured per-kernel times, round-2 trace (docs/PERF.md; ms)
+MEASURED_PHASE = {"enc_fwd": 14.9, "enc_bwd": 34.1, "dec_fwd_pass1": 6.7,
+                  "dec_fwd_pass2": 6.7, "dec_bwd_pass1": 19.8,
+                  "dec_bwd_pass2": 19.8}
 
 
 def gemm_flops(m, k, n):
     return 2.0 * m * k * n
 
 
-def enc_layer_fwd_flops():
+def attn_fwd_flops(t, s):
+    # per head-instance: logits dot + out dot
+    return 2.0 * (2.0 * t * s * DH)
+
+
+def enc_layer_proj_flops():
     rows = B * T_IMG
-    f = gemm_flops(rows, E_ENC, 3 * E_ENC)          # qkv
-    f += gemm_flops(rows, E_ENC, E_ENC)             # attn out
-    f += 2 * 2.0 * B * H_ENC * T_IMG * T_IMG * (E_ENC // H_ENC)  # qk^T + av
-    f += gemm_flops(rows, E_ENC, F_ENC) + gemm_flops(rows, F_ENC, E_ENC)
-    return f
+    return (gemm_flops(rows, E_ENC, 3 * E_ENC) + gemm_flops(rows, E_ENC, E_ENC)
+            + gemm_flops(rows, E_ENC, F_ENC) + gemm_flops(rows, F_ENC, E_ENC))
 
 
-def dec_layer_fwd_flops():
+def dec_layer_proj_flops():
     rows = B * T_LMX
-    f = gemm_flops(rows, E_DEC, 3 * E_DEC)          # self qkv
-    f += gemm_flops(rows, E_DEC, E_DEC)             # self out
-    f += 2 * 2.0 * B * H_DEC * T_LMX * T_LMX * (E_DEC // H_DEC)
-    f += gemm_flops(rows, E_DEC, E_DEC) * 2         # cross q + cross out
-    f += 2 * 2.0 * B * H_DEC * T_LMX * M_MEM * (E_DEC // H_DEC)
-    f += gemm_flops(rows, E_DEC, F_DEC) + gemm_flops(rows, F_DEC, E_DEC)
-    return f
+    return (gemm_flops(rows, E_DEC, 3 * E_DEC)
+            + gemm_flops(rows, E_DEC, E_DEC) * 3   # self out, cross q, cross out
+            + gemm_flops(rows, E_DEC, F_DEC) + gemm_flops(rows, F_DEC, E_DEC))
 
 
 def mem_kv_flops():
@@ -88,118 +115,141 @@ def mem_kv_flops():
 
 def phase_bytes():
     """HBM bytes per phase: weights (bf16) + saved activations (bf16,
-    written fwd / read bwd) + the layer-carry traffic."""
+    written fwd / read bwd) + the cross-K/V reads."""
     enc_w = L_ENC * (E_ENC * 3 * E_ENC + E_ENC * E_ENC + 2 * E_ENC * F_ENC) * 2
     dec_w = L_DEC * (E_DEC * 3 * E_DEC + 3 * E_DEC * E_DEC
                      + 2 * E_DEC * F_DEC) * 2
-    # fused-kernel saves per pass: x, z1..z3, h1, gelu' (~4E + 2F per row
-    # per layer — ops/pallas_train_layer.py saves_fit model)
-    enc_saves = L_ENC * B * T_IMG * (4 * E_ENC + 2 * F_ENC) * 2
-    dec_saves = L_DEC * B * T_LMX * (4 * E_DEC + 2 * F_DEC) * 2
+    # fused-kernel saves per pass: x, z1..z3, h1, gelu', qkv
+    # (~7E + 2F per row per layer — ops/pallas_train_layer.py saves model)
+    enc_saves = L_ENC * B * T_IMG * (7 * E_ENC + 2 * F_ENC) * 2
+    dec_saves = L_DEC * B * T_LMX * (7 * E_DEC + 2 * F_DEC) * 2
     mem_kv = L_DEC * B * M_MEM * 2 * E_DEC * 2      # K+V bf16, read per pass
     return {
         "enc_fwd": enc_w + enc_saves,               # weights read + saves out
         "enc_bwd": 2 * enc_w + enc_saves,           # weights + grads + saves in
         "dec_fwd": dec_w + dec_saves + mem_kv,
         "dec_bwd": 2 * dec_w + dec_saves + mem_kv,
-        "mem_kv": dec_w / 6 + B * M_MEM * E_DEC * 2,
+        "mem_kv": dec_w / 6 * 3 + 3 * B * M_MEM * E_DEC * 2,  # fwd + 2x bwd
     }
 
 
-def probe_rate(m, k, n, reps=50):
+def probe_gemm(m, k, n, min_tflop=30.0):
+    """Chained-GEMM rate at (m, k, n): each iteration runs the (m, k, n) dot
+    and an (m, n, k) feedback dot (both counted — together they are exactly
+    an attention logits+out pair, and resemble a fwd+bwd contraction pair),
+    the carry is the left operand (nothing is loop-invariant or sliceable
+    into a smaller dot), and ``reps`` is scaled so total compute swamps the
+    ~29 ms tunnel pull (docs/PERF.md)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    a = jnp.ones((m, k), jnp.bfloat16)
-    b = jnp.ones((k, n), jnp.bfloat16)
+    per_iter = 2 * gemm_flops(m, k, n)
+    reps = max(30, int(min_tflop * 1e12 / per_iter))
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((m, k)) * 0.01, jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal((k, n)) * 0.01, jnp.bfloat16)
+    c = jnp.asarray(rng.standard_normal((n, k)) * 0.01, jnp.bfloat16)
 
-    def chain(a, b):
-        def body(i, acc):
-            return acc + jnp.dot(a, b, preferred_element_type=jnp.float32)[0, 0]
-        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+    @jax.jit
+    def chain(a, b, c):
+        def body(_, acc):
+            y = jnp.dot(acc, b,
+                        preferred_element_type=jnp.float32).astype(acc.dtype)
+            z = jnp.dot(y, c, preferred_element_type=jnp.float32)
+            return acc + (z * 1e-9).astype(acc.dtype)
+        return jax.lax.fori_loop(0, reps, body, a)
 
-    f = jax.jit(chain)
-    float(f(a, b))
+    float(jnp.sum(chain(a, b, c).astype(jnp.float32)))
     t0 = time.perf_counter()
-    float(f(a, b))
+    float(jnp.sum(chain(a, b, c).astype(jnp.float32)))
     dt = time.perf_counter() - t0
-    return gemm_flops(m, k, n) * reps / dt / 1e12
+    return per_iter * reps / dt / 1e12
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure", action="store_true",
-                    help="refresh the per-shape GEMM ceilings on-chip")
+                    help="refresh the per-shape rates on-chip")
     args = ap.parse_args()
 
-    rates = dict(RECORDED_RATES)
+    gemm = dict(RECORDED_GEMM)
+    attn = dict(RECORDED_ATTN)
     if args.measure:
-        for shape in list(rates):
-            rates[shape] = round(probe_rate(*shape), 1)
+        for shape in list(gemm):
+            gemm[shape] = round(probe_gemm(*shape), 1)
+        for shape in list(attn):
+            attn[shape] = round(probe_gemm(*shape), 1)
 
-    def rate_for(kind):
-        if kind == "enc":
-            return rates[(8192, 768, 3072)]
-        if kind == "dec":
-            return rates[(2048, 1024, 4096)]
-        return rates[(1024, 1024, 1024)]
+    enc_rate = gemm[(8192, 768, 3072)] * 1e12
+    dec_rate = gemm[(2048, 1024, 4096)] * 1e12
+    mkv_rate = gemm[(8192, 1024, 2048)] * 1e12
+    # best demonstrated rate for the K=64 attention-dot family (see the
+    # RECORDED_ATTN note) — used for every attention term in the floor
+    attn_rate = max(attn.values()) * 1e12
+    enc_attn_rate = dself_rate = dcross_rate = attn_rate
 
-    enc_fwd_f = L_ENC * enc_layer_fwd_flops()
-    dec_fwd_f = L_DEC * dec_layer_fwd_flops()
+    n_attn_enc = B * H_ENC * L_ENC
+    n_attn_dec = B * H_DEC * L_DEC
+    enc_proj = L_ENC * enc_layer_proj_flops()
+    dec_proj = L_DEC * dec_layer_proj_flops()
+    enc_attn_f = n_attn_enc * attn_fwd_flops(T_IMG, T_IMG)
+    dself_f = n_attn_dec * attn_fwd_flops(T_LMX, T_LMX)
+    dcross_f = n_attn_dec * attn_fwd_flops(T_LMX, M_MEM)
     by = phase_bytes()
 
-    # Two floors per backward phase:
-    # * nominal — 2x the forward's GEMM FLOPs (the textbook backward; what
-    #   an infinite-memory chip would execute);
-    # * practical — 2.5x: + the dots-saveable remat recompute (qkv /
-    #   attention / LN redone in the backward). The recompute is FORCED by
-    #   HBM capacity (the no-remat step OOMs — tools/remat_ab.py), so it
-    #   belongs in the practical floor of THIS chip, not in the slack.
+    # (proj seconds, attn seconds, hbm bytes); bwd: proj x2, attn x3
+    dec_attn_fwd_t = dself_f / dself_rate + dcross_f / dcross_rate
     phases = {
-        # (fwd flops, bwd?, bytes, rate kind)
-        "enc_fwd": (enc_fwd_f, False, by["enc_fwd"], "enc"),
-        "enc_bwd": (enc_fwd_f, True, by["enc_bwd"], "enc"),
-        "dec_fwd_pass1": (dec_fwd_f, False, by["dec_fwd"], "dec"),
-        "dec_fwd_pass2": (dec_fwd_f, False, by["dec_fwd"], "dec"),
-        "dec_bwd_pass1": (dec_fwd_f, True, by["dec_bwd"], "dec"),
-        "dec_bwd_pass2": (dec_fwd_f, True, by["dec_bwd"], "dec"),
-        "mem_kv": (mem_kv_flops(), False, by["mem_kv"], "dec"),
+        "enc_fwd": (enc_proj / enc_rate, enc_attn_f / enc_attn_rate,
+                    by["enc_fwd"]),
+        "enc_bwd": (2 * enc_proj / enc_rate, 3 * enc_attn_f / enc_attn_rate,
+                    by["enc_bwd"]),
     }
-    ledger = {}
-    nominal_s = practical_s = 0.0
-    for name, (fl, is_bwd, byts, kind) in phases.items():
-        nom_fl = (2.0 * fl) if is_bwd else fl
-        prac_fl = (2.5 * fl) if is_bwd else fl
-        r = rate_for(kind) * 1e12
-        t_m = byts / HBM_BW
-        t_nom = max(nom_fl / r, t_m)
-        t_prac = max(prac_fl / r, t_m)
-        nominal_s += t_nom
-        practical_s += t_prac
-        ledger[name] = {"gflops_nominal": round(nom_fl / 1e9, 1),
-                        "gflops_executed": round(prac_fl / 1e9, 1),
-                        "mbytes": round(byts / 1e6, 1),
-                        "floor_ms": round(t_prac * 1e3, 2),
-                        "bound": "compute" if prac_fl / r >= t_m else "memory"}
-    # measured non-floor-modeled glue (CE loss, residual stacking, key
-    # splits, optimizer amortized over 8 microbatches): from the round-2
-    # profile_train_step.py trace
-    glue_ms = 7.0
-    nominal_ms = nominal_s * 1e3 + glue_ms
-    practical_ms = practical_s * 1e3 + glue_ms
-    measured_ms = 128.8
+    for p in ("pass1", "pass2"):
+        phases[f"dec_fwd_{p}"] = (dec_proj / dec_rate, dec_attn_fwd_t,
+                                  by["dec_fwd"])
+        phases[f"dec_bwd_{p}"] = (2 * dec_proj / dec_rate, 3 * dec_attn_fwd_t,
+                                  by["dec_bwd"])
+    phases["mem_kv"] = (3 * mem_kv_flops() / mkv_rate, 0.0, by["mem_kv"])
+
+    ledger, floor_s = {}, 0.0
+    for name, (proj_t, at, byts) in phases.items():
+        mxu_t = proj_t + at
+        t = max(mxu_t, byts / HBM_BW)
+        floor_s += t
+        row = {"floor_ms": round(t * 1e3, 2),
+               "proj_ms": round(proj_t * 1e3, 2),
+               "attn_ms": round(at * 1e3, 2),
+               "hbm_ms": round(byts / HBM_BW * 1e3, 2),
+               "bound": "mxu" if mxu_t >= byts / HBM_BW else "memory"}
+        if name in MEASURED_PHASE:
+            row["measured_ms"] = MEASURED_PHASE[name]
+            row["achieved"] = round(t * 1e3 / MEASURED_PHASE[name], 3)
+        ledger[name] = row
+    # measured non-floor-modeled glue (CE loss + gather, residual stacking,
+    # key splits, weight-pack casts, grad-accum add, optimizer amortized
+    # over 8 microbatches): measured microbatch minus the traced kernels
+    # and the mem_kv ledger line — carried as MEASURED time (like the
+    # decode study's fixed epilogue), so the floor is "kernels at their
+    # bound + today's glue".
+    glue_ms = (MEASURED_US_MS - sum(MEASURED_PHASE.values())
+               - ledger["mem_kv"]["floor_ms"])
+    floor_ms = floor_s * 1e3 + glue_ms
+    kernels_floor = sum(v["floor_ms"] for k, v in ledger.items()
+                        if k in MEASURED_PHASE)
+    kernels_measured = sum(MEASURED_PHASE.values())
     out = {
         "phases": ledger,
-        "glue_ms_measured": glue_ms,
-        "nominal_floor_ms": round(nominal_ms, 1),
-        "nominal_floor_img_per_s": round(B / (nominal_ms / 1e3), 1),
-        "practical_floor_ms": round(practical_ms, 1),
-        "practical_floor_img_per_s": round(B / (practical_ms / 1e3), 1),
-        "measured_ms": measured_ms,
-        "measured_img_per_s": 62.1,
-        "achieved_of_practical": round(practical_ms / measured_ms, 3),
-        "achieved_of_nominal": round(nominal_ms / measured_ms, 3),
-        "rates_tf_s": {str(k): v for k, v in rates.items()},
+        "glue_ms_measured": round(glue_ms, 1),
+        "floor_ms": round(floor_ms, 1),
+        "floor_img_per_s": round(B / (floor_ms / 1e3), 1),
+        "measured_ms": MEASURED_US_MS,
+        "measured_img_per_s": MEASURED_IMG_S,
+        "achieved_of_floor": round(floor_ms / MEASURED_US_MS, 3),
+        "kernels_achieved_of_floor": round(kernels_floor / kernels_measured, 3),
+        "gemm_rates_tf_s": {str(k): v for k, v in gemm.items()},
+        "attn_rates_tf_s": {str(k): v for k, v in attn.items()},
         "measured_rates": bool(args.measure),
     }
     print(json.dumps(out))

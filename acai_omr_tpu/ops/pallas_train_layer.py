@@ -349,6 +349,20 @@ def _group_spec(dh: int) -> tuple[int, int]:
     return gs, gs * dh
 
 
+def _bwd_head_ilp() -> int:
+    """How many consecutive attention-head backward iterations may be in
+    flight before a `_chain` gate serializes on the previous group
+    (ACAI_BWD_HEAD_ILP, default 1 = fully serial). The full serialization
+    exists to cap the concurrent live set (Mosaic spilled ~56 MB when all
+    heads scheduled together — see `_chain`); small groups trade a bounded
+    live-set increase for MXU/VPU overlap between neighbouring heads."""
+    try:
+        v = int(os.environ.get("ACAI_BWD_HEAD_ILP", "1"))
+    except ValueError:
+        v = 1
+    return max(1, v)
+
+
 def _head_col_mask(gs: int, hh: int, dh: int, dt):
     """(1, gs*dh) 0/1 plane selecting head ``hh``'s lanes within a group.
 
@@ -795,9 +809,10 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
                 dq_heads, o_heads = [], []
                 pend = None  # (dk, dv) of the even head, written pairwise
                 dep = None
+                ilp = _bwd_head_ilp()
                 for hh in range(h):
                     q_h = qc[i * t:(i + 1) * t, hh * dh:(hh + 1) * dh]
-                    if dep is not None:
+                    if dep is not None and hh % ilp == 0:
                         q_h = _chain(q_h, dep)
                     k_h = mk[:, hh * dh:(hh + 1) * dh]
                     v_h = mk[:, e + hh * dh:e + (hh + 1) * dh]
@@ -865,7 +880,7 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
         for g in range(h // gs):
             if gs == 1:
                 q_h = qkv_i[:, g * dh:(g + 1) * dh]
-                if dep is not None:
+                if dep is not None and g % _bwd_head_ilp() == 0:
                     q_h = _chain(q_h, dep)
                 k_h = qkv_i[:, e + g * dh:e + (g + 1) * dh]
                 v_h = qkv_i[:, 2 * e + g * dh:2 * e + (g + 1) * dh]
@@ -893,7 +908,7 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
             for hh in range(gs):
                 mrow = _head_col_mask(gs, hh, dh, dt)
                 k_m = k_g * mrow
-                if dep is not None:
+                if dep is not None and (g * gs + hh) % _bwd_head_ilp() == 0:
                     k_m = _chain(k_m, dep)
                 q_m = q_g * mrow
                 v_m = v_g * mrow

@@ -67,6 +67,9 @@ def main():
         return x, memory, self_valid, mem_valid, w
 
     # ---- XLA grouped path (current GRPO update) ----------------------------
+    # decoder_stack dispatches to the fused kernel by default; pin the XLA
+    # arms to XLA (the fused arm calls ptl.decoder_stack_fused directly)
+    ptl.set_enabled(False)
     r_x = args.rollouts_xla
     x, memory, self_valid, mem_valid, w = build(r_x)
 

@@ -51,6 +51,13 @@ def main():
     mem_valid = jnp.arange(M)[None, :] < jnp.asarray(lens_m)[:, None]
     w = jax.random.normal(ks[2], (B, T, E), jnp.bfloat16)
 
+    # transformer.decoder_stack dispatches to the fused kernel BY DEFAULT
+    # (default-on since round 2) — without this the "xla" arm silently runs
+    # the fused kernel too and the A/B compares fused vs fused (bit-identical
+    # losses/grads gave it away). The fused arm calls ptl directly, so the
+    # global disable only pins the ref.
+    ptl.set_enabled(False)
+
     def mem_kv_of(st):
         return transformer.precompute_memory_kv(st, memory)
 

@@ -44,7 +44,9 @@ def main():
     # does fresh work (loop-invariant packs would be hoisted/DCE'd by the
     # very simplifier this probe is bounding), and the reduction feeds the
     # carry for real so nothing is dead.
-    @jax.jit
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=2)
     def pack_n(dec, enc, n):
         leaf_path = next(iter(sorted(dec)))  # any dense kernel subtree
 

@@ -484,8 +484,16 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
         h_loc = ea // cfg.head_dim
         mono = pallas_monolith.prepack(
             params, cfg, compute_dtype,
+            # W8A8 defaults off under tp: its per-row activation max spans
+            # the contraction axis TP splits, so sharded W8A8 quantizes
+            # differently than a single chip (int8 CACHES compose exactly —
+            # per-(row, head) scales, whole heads per shard). ACAI_TP_W8A8=1
+            # opts in to per-shard W8A8 — the B=1 latency winner (see
+            # pallas_monolith.want_tp_w8a8).
             quantize_weights=(state.k_scale is not None
-                              and pallas_monolith.want_w8a8(state.k_cache.dtype)),
+                              and pallas_monolith.want_w8a8(state.k_cache.dtype)
+                              and (not tp_mono
+                                   or pallas_monolith.want_tp_w8a8())),
             e_attn=ea if tp_mono else None)
         b, m_len = mem.k.shape[1], mem.k.shape[2]
         if mem.bias is None:
@@ -508,9 +516,11 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
                 (x_out, caches["k"], caches["v"], caches["ks"],
                  caches["vs"]) = pallas_monolith.decode_layers(
                     mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
-                    bias_col, num_heads=cfg.num_heads, k_scale=s.k_scale,
+                    bias_col, num_heads=h_loc, k_scale=s.k_scale,
                     v_scale=s.v_scale, mem_k_scale=mem.k_scale,
-                    mem_v_scale=mem.v_scale, mem_group=mem_group)
+                    mem_v_scale=mem.v_scale, mem_group=mem_group,
+                    tp=2 if tp_mono else 1,
+                    tp_peer=tp_peer if tp_mono else None)
             else:
                 x_out, caches["k"], caches["v"] = pallas_monolith.decode_layers(
                     mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
@@ -884,11 +894,13 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
     e, heads = cfg.hidden_dim, cfg.num_heads
     cache_len = min(initial_segment, max_len)
     # per-device shapes decide the kernel dispatch and the scale-pack group.
-    # tp=2 bf16 ungrouped decode rides the monolith too: heads/MLP split per
-    # shard with the kernel's in-kernel ICI all-reduce (pallas_monolith
-    # tp_allreduce); other TP compositions use the per-op path.
+    # tp=2 ungrouped decode rides the monolith: heads/MLP split per shard
+    # with the kernel's in-kernel ICI all-reduce (pallas_monolith
+    # tp_allreduce). int8 caches compose bit-identically (per-(row, head)
+    # scales, whole heads per shard; weights stay bf16 under tp — see
+    # decode_segment); grouped memories use the per-op path.
     tp_mono = (tp == 2 and g == 1
-               and cache_dtype in (jnp.bfloat16, jnp.float32)
+               and cache_dtype in (jnp.bfloat16, jnp.float32, jnp.int8)
                and (e // 2) % 128 == 0 and (cfg.mlp_dim // 2) % 128 == 0)
     monolith = (tp == 1 or tp_mono) and pallas_monolith.use_monolith(
         cfg, local_b, cache_len, m_len, compute_dtype, cache_dtype)
@@ -900,15 +912,36 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
                                layout="te" if monolith else "hd")
     packed = monolith and cache_dtype == jnp.int8
     group = None
+
+    def _pack_group(t_len):
+        # the group must equal the row tile the KERNEL will pick per shard:
+        # under tp that is at SHARD widths, with W8A8 off unless the
+        # ACAI_TP_W8A8 opt-in is set (prepack keys wscale on the same
+        # condition, and pick_row_tile keys its VMEM plan on it)
+        if tp_mono:
+            return pallas_monolith.scale_pack_group(
+                local_b, t_len, m_len, e // tp, heads // tp, mem_group=g,
+                w8a8=(pallas_monolith.want_w8a8(jnp.int8)
+                      and pallas_monolith.want_tp_w8a8()))
+        return pallas_monolith.scale_pack_group(local_b, t_len, m_len,
+                                                e, heads, mem_group=g)
+
+    def _pack(sc, grp):
+        if tp_mono:
+            return pallas_monolith.pack_scales_tp(sc, grp, tp)
+        return pallas_monolith.pack_scales(sc, grp)
+
+    def _unpack(sc, grp):
+        if tp_mono:
+            return pallas_monolith.unpack_scales_tp(sc, grp, tp)
+        return pallas_monolith.unpack_scales(sc, grp)
+
     if packed:
-        group = pallas_monolith.scale_pack_group(local_b, cache_len, m_len,
-                                                 e, heads, mem_group=g)
+        group = _pack_group(cache_len)
         if g == 1:
             mem = mem._replace(
-                k_scale=pallas_monolith.pack_scales(
-                    mem.k_scale.astype(jnp.bfloat16), group),
-                v_scale=pallas_monolith.pack_scales(
-                    mem.v_scale.astype(jnp.bfloat16), group))
+                k_scale=_pack(mem.k_scale.astype(jnp.bfloat16), group),
+                v_scale=_pack(mem.v_scale.astype(jnp.bfloat16), group))
         else:
             # grouped int8: memory planes stay in the shared narrow
             # (L, B/G, M, H) layout (see pallas_monolith.decode_layers)
@@ -1031,16 +1064,17 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
                     # lane-packed (L, B/G, T, G*H): growth can change the
                     # row-tile group, so unpack -> pad T -> repack, and
                     # repack the memory planes to the new group too (the
-                    # kernel derives G from the per-shard shapes).
-                    new_group = pallas_monolith.scale_pack_group(
-                        local_b, new_len, m_len, e, heads, mem_group=g)
+                    # kernel derives G from the per-shard shapes). Under tp
+                    # the un/repack runs per head-half (pack_scales_tp) so
+                    # each model shard keeps its own valid pack.
+                    new_group = _pack_group(new_len)
 
                     def regrow(s):
-                        u = pallas_monolith.unpack_scales(s, group)
+                        u = _unpack(s, group)
                         u = jnp.pad(
                             u, [(0, 0), (0, 0), (0, new_len - cache_len),
                                 (0, 0)], constant_values=1.0)
-                        return pallas_monolith.pack_scales(u, new_group)
+                        return _pack(u, new_group)
 
                     carry["ks"] = regrow(carry["ks"])
                     carry["vs"] = regrow(carry["vs"])
@@ -1048,9 +1082,7 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
                     # layout — independent of the pack group, no repack
                     if g == 1 and new_group != group and "ks" in memd:
                         def remem(s):
-                            return pallas_monolith.pack_scales(
-                                pallas_monolith.unpack_scales(s, group),
-                                new_group)
+                            return _pack(_unpack(s, group), new_group)
                         memd["ks"] = remem(memd["ks"])
                         memd["vs"] = remem(memd["vs"])
                     group = new_group

@@ -325,7 +325,8 @@ def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2,
 
 
 def scale_pack_group(b: int, t: int, m: int, e: int,
-                     num_heads: int = 16, mem_group: int = 1) -> int:
+                     num_heads: int = 16, mem_group: int = 1,
+                     w8a8: bool | None = None) -> int:
     """Lane-pack group for int8 SELF-cache scale planes == the kernel's row
     tile.
 
@@ -336,7 +337,7 @@ def scale_pack_group(b: int, t: int, m: int, e: int,
     planes then stay in the shared narrow layout (L, B/G_mem, M, H) — one
     tiny plane per unique image, repeated across lanes in-kernel.
     """
-    return pick_row_tile(b, t, m, e, 1, num_heads, mem_group)
+    return pick_row_tile(b, t, m, e, 1, num_heads, mem_group, w8a8=w8a8)
 
 
 def pack_scales(s: jnp.ndarray, group: int) -> jnp.ndarray:
@@ -353,6 +354,27 @@ def unpack_scales(s: jnp.ndarray, group: int) -> jnp.ndarray:
     h = gh // group
     s = s.reshape(l, j, t, group, h)
     return jnp.transpose(s, (0, 1, 3, 2, 4)).reshape(l, j * group, t, h)
+
+
+def pack_scales_tp(s: jnp.ndarray, group: int, tp: int) -> jnp.ndarray:
+    """Tensor-parallel lane-pack: pack each contiguous head block of ``s``
+    ((L, B, T, H), head-major — tp_shuffle gives shard i heads
+    [i*H/tp, (i+1)*H/tp)) independently and concatenate on lanes, so a
+    model-axis shard of the result IS that shard's own (L, B/G, T, G*H/tp)
+    pack — a plain :func:`pack_scales` would interleave row groups across
+    the lane split and shard into garbage."""
+    hl = s.shape[-1] // tp
+    return jnp.concatenate(
+        [pack_scales(s[..., i * hl:(i + 1) * hl], group) for i in range(tp)],
+        axis=-1)
+
+
+def unpack_scales_tp(s: jnp.ndarray, group: int, tp: int) -> jnp.ndarray:
+    """Inverse of :func:`pack_scales_tp` -> (L, B, T, H) head-major."""
+    w = s.shape[-1] // tp
+    return jnp.concatenate(
+        [unpack_scales(s[..., i * w:(i + 1) * w], group) for i in range(tp)],
+        axis=-1)
 
 
 def use_monolith(cfg, batch: int, t_cache: int, m_len: int,
@@ -453,11 +475,29 @@ def prepack(params: Params, cfg, compute_dtype=jnp.bfloat16,
 
 
 _W8A8 = os.environ.get("ACAI_W8A8_DECODE", "1") == "1"
+_TP_W8A8 = os.environ.get("ACAI_TP_W8A8", "0") == "1"
 
 
 def want_w8a8(cache_dtype) -> bool:
     """int8 decode quantizes the weights too (W8A8) unless opted out."""
     return _W8A8 and cache_dtype == jnp.int8
+
+
+def want_tp_w8a8() -> bool:
+    """Opt-in W8A8 under tensor-parallel monolith decode (ACAI_TP_W8A8=1).
+
+    Off by default because sharded W8A8 is a DIFFERENT quantization than
+    single-chip W8A8: weight scales are per-shard-slice and the per-row
+    activation maxes span only the shard's half of the contraction axis, so
+    tokens are not bit-comparable to the single-chip int8 decode (they are
+    an equally principled quantization — validate decode quality for your
+    weights before enabling). Why you'd want it: B=1 TP-2 decode is weight-
+    stream-bound, and per-shard W8A8 quarters the per-chip weight bytes —
+    measured at shard shapes: 270 µs/step vs 396 µs for the best single-chip
+    config (W8A8) and 394 µs for tp-bf16-weights, i.e. the only composition
+    that beats one chip at B=1 (tools/tp_shard_bench.py --int8 --shard-w8a8,
+    docs/PERF.md)."""
+    return _TP_W8A8
 
 
 def _qdot(x, w8, s_row):
@@ -1248,12 +1288,17 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     h = num_heads            # LOCAL head count under tp
     quantized = k_scale is not None
     if tp > 1:
-        # in-kernel all-reduce tensor parallelism (tp=2 only): bf16 caches,
-        # ungrouped memory — the quantized/grouped compositions stay on the
-        # per-op TP path
-        if tp != 2 or quantized or mem_group > 1:
-            raise ValueError("monolith tp requires tp=2, bf16 caches, "
-                             "mem_group=1")
+        # in-kernel all-reduce tensor parallelism (tp=2 only). int8 caches
+        # compose: cache/scale quantization is per-(row, head) and heads are
+        # whole per shard, so shard-local quantization is bit-identical to
+        # the single-device int8 kernel; the three row-parallel partial
+        # outputs all-reduce in fp32 exactly as in the bf16 path. W8A8 stays
+        # per-op-TP-only (its per-row activation max spans the contraction
+        # axis TP splits, so sharded W8A8 would be a DIFFERENT quantization
+        # than single-chip — decode_segment keeps weights bf16 under tp).
+        # Grouped memories stay on the per-op TP path.
+        if tp != 2 or mem_group > 1:
+            raise ValueError("monolith tp requires tp=2, mem_group=1")
     if mem_group > 1:
         if mem_k.shape[1] * mem_group != b:
             raise ValueError(
@@ -1427,13 +1472,15 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
                    jnp.bfloat16),
     ]
     if manual_wdma:
+        # double-buffered weight slots at the OPERANDS' own shapes (the
+        # attention widths are ea, not e, when decoding sliced shards —
+        # e.g. tools/tp_shard_bench.py's single-chip shard-shape runs)
         wdt = mono["w_qkv"].dtype
         scratch_shapes += [
-            pltpu.VMEM((2, e, 3 * e), wdt), pltpu.VMEM((2, e, e), wdt),
-            pltpu.VMEM((2, e, e), wdt), pltpu.VMEM((2, e, e), wdt),
-            pltpu.VMEM((2, e, f), wdt), pltpu.VMEM((2, f, e), wdt),
-            pltpu.SemaphoreType.DMA((6, 2)),
-        ]
+            pltpu.VMEM((2,) + mono[k].shape[1:], wdt)
+            for k in ("w_qkv", "w_self_out", "w_cross_q", "w_cross_out",
+                      "w_ff1", "w_ff2")
+        ] + [pltpu.SemaphoreType.DMA((6, 2))]
     n_cslots = 2
     if manual_cdma:
         # slot count = prefetch depth + 1 (see pick_cslots): int8 blocks at
@@ -1446,12 +1493,15 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
             b, t_len, m_len, e, jnp.dtype(k_cache.dtype).itemsize,
             num_heads, mem_group, w8a8="wscale" in mono)[1]
         S = n_cslots
-        scratch_shapes += [pltpu.VMEM((S, bt, t_len, e), cdt),
-                           pltpu.VMEM((S, bt, t_len, e), cdt)]
+        cw = k_cache.shape[-1]                  # == ea (cache lane width)
+        scratch_shapes += [pltpu.VMEM((S, bt, t_len, cw), cdt),
+                           pltpu.VMEM((S, bt, t_len, cw), cdt)]
         if quantized:
             scratch_shapes += [pltpu.VMEM((S, t_len, nl), k_scale.dtype),
                                pltpu.VMEM((S, t_len, nl), v_scale.dtype)]
-        mshape = (S, m_len, e) if mem_group > 1 else (S, bt, m_len, e)
+        mw_lane = mem_k.shape[-1]
+        mshape = ((S, m_len, mw_lane) if mem_group > 1
+                  else (S, bt, m_len, mw_lane))
         scratch_shapes += [pltpu.VMEM(mshape, mem_k.dtype),
                            pltpu.VMEM(mshape, mem_v.dtype)]
         if quantized:

@@ -95,3 +95,95 @@ def test_tp2_monolith_segment_growth(setup):
     n = min(ref[0].shape[1], out[0].shape[1])
     np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
                                   np.asarray(ref[0])[:, :n])
+
+
+def _reference_int8(params, latent, valid, max_len=16):
+    """Single-device int8-MONOLITH decode (fp32 weights, int8 caches)."""
+    out = decode.generate(params, CFG, latent, valid, max_len=max_len,
+                          initial_segment=max_len, compute_dtype=jnp.float32,
+                          cache_dtype=jnp.int8, compact=False)
+    return out
+
+
+def test_tp2_monolith_int8_bit_identical(setup, monkeypatch):
+    """int8 KV caches ride the tp=2 monolith TOKEN-IDENTICALLY to the
+    single-device int8 monolith, with scale-exact quantization: cache/scale
+    quantization is per-(row, head) and heads are whole per shard, so
+    shard-local quantization produces the same scales. Log-probs differ only
+    by fp32 summation order through the split-K all-reduce (measured
+    <=5e-4). W8A8 is disabled for BOTH arms (under tp the weights stay bf16
+    by design — per-row activation maxes span the split contraction axis;
+    see decode_segment)."""
+    monkeypatch.setattr(pallas_monolith, "_W8A8", False)
+    params, latent, valid = setup
+    mesh = mesh_lib.make_mesh(1, 2)
+    ref = _reference_int8(params, latent, valid)
+    out = decode.sharded_generate(
+        params, CFG, latent, valid, mesh, axis=mesh_lib.DATA_AXIS,
+        model_axis=mesh_lib.MODEL_AXIS, max_len=16, initial_segment=16,
+        compute_dtype=jnp.float32, cache_dtype=jnp.int8)
+    n = min(ref[0].shape[1], out[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])
+    np.testing.assert_allclose(np.asarray(out[1])[:, :n],
+                               np.asarray(ref[1])[:, :n], atol=2e-3)
+
+
+def test_tp2_monolith_int8_segment_growth(setup, monkeypatch):
+    """int8 TP monolith through a cache-growth boundary: the host loop
+    unpacks/repacks the lane-packed scale planes PER HEAD-HALF
+    (pack_scales_tp) so each model shard keeps a valid pack."""
+    monkeypatch.setattr(pallas_monolith, "_W8A8", False)
+    params, latent, valid = setup
+    mesh = mesh_lib.make_mesh(1, 2)
+    ref = _reference_int8(params, latent, valid, max_len=24)
+    out = decode.sharded_generate(
+        params, CFG, latent, valid, mesh, axis=mesh_lib.DATA_AXIS,
+        model_axis=mesh_lib.MODEL_AXIS, max_len=24, initial_segment=16,
+        compute_dtype=jnp.float32, cache_dtype=jnp.int8)
+    n = min(ref[0].shape[1], out[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])
+
+
+def test_pack_scales_tp_roundtrip():
+    """pack_scales_tp shards into per-half packs and inverts exactly."""
+    rng = np.random.default_rng(0)
+    s = jnp.asarray(rng.random((2, 4, 8, 4)), jnp.bfloat16)  # (L, B, T, H)
+    g, tp = 2, 2
+    packed = pallas_monolith.pack_scales_tp(s, g, tp)
+    # each lane half IS the plain pack of that head half
+    hl = s.shape[-1] // tp
+    for i in range(tp):
+        half = pallas_monolith.pack_scales(s[..., i * hl:(i + 1) * hl], g)
+        np.testing.assert_array_equal(
+            np.asarray(packed[..., i * half.shape[-1]:(i + 1) * half.shape[-1]]),
+            np.asarray(half))
+    np.testing.assert_array_equal(
+        np.asarray(pallas_monolith.unpack_scales_tp(packed, g, tp)),
+        np.asarray(s))
+
+
+def test_tp2_monolith_w8a8_opt_in(setup, monkeypatch):
+    """ACAI_TP_W8A8=1 runs per-shard W8A8 under the tp monolith (the B=1
+    latency composition — per-chip weight bytes quartered). Per-shard
+    weight/activation scales are a DIFFERENT (equally principled)
+    quantization than single-chip int8, so the bar is decode QUALITY:
+    high token agreement with the bf16-weight tp-int8 decode, not
+    bit-identity."""
+    monkeypatch.setattr(pallas_monolith, "_W8A8", True)
+    monkeypatch.setattr(pallas_monolith, "_TP_W8A8", True)
+    params, latent, valid = setup
+    mesh = mesh_lib.make_mesh(1, 2)
+    out = decode.sharded_generate(
+        params, CFG, latent, valid, mesh, axis=mesh_lib.DATA_AXIS,
+        model_axis=mesh_lib.MODEL_AXIS, max_len=16, initial_segment=16,
+        compute_dtype=jnp.float32, cache_dtype=jnp.int8)
+    monkeypatch.setattr(pallas_monolith, "_W8A8", False)
+    ref = decode.sharded_generate(
+        params, CFG, latent, valid, mesh, axis=mesh_lib.DATA_AXIS,
+        model_axis=mesh_lib.MODEL_AXIS, max_len=16, initial_segment=16,
+        compute_dtype=jnp.float32, cache_dtype=jnp.int8)
+    n = min(ref[0].shape[1], out[0].shape[1])
+    agree = (np.asarray(ref[0])[:, :n] == np.asarray(out[0])[:, :n]).mean()
+    assert agree > 0.85, agree

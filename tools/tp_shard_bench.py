@@ -66,16 +66,25 @@ def shard0_slice(params, cfg, tp: int = 2):
     return out, ea
 
 
-def make_chain(h_loc: int, steps: int, t0: int):
+def make_chain(h_loc: int, steps: int, t0: int, int8: bool = False,
+               mem_scales=None):
     from acai_omr_tpu.ops import pallas_monolith
 
     def chain_steps(mono, x, caches, mem_k, mem_v, bias_col):
         def body(i, carry):
-            x, kc, vc = carry
             # cycle pos inside a 64-slot window at mid-cache so arbitrarily
             # many steps stay in bounds (timing is pos-uniform per segment)
+            pos = t0 + jax.lax.rem(i, 64)
+            if int8:
+                x, kc, vc, ks, vs = carry
+                x_out, kc, vc, ks, vs = pallas_monolith.decode_layers(
+                    mono, x, pos, kc, vc, mem_k, mem_v, bias_col,
+                    num_heads=h_loc, k_scale=ks, v_scale=vs,
+                    mem_k_scale=mem_scales[0], mem_v_scale=mem_scales[1])
+                return (x_out.astype(x.dtype), kc, vc, ks, vs)
+            x, kc, vc = carry
             x_out, kc, vc = pallas_monolith.decode_layers(
-                mono, x, t0 + jax.lax.rem(i, 64), kc, vc, mem_k, mem_v,
+                mono, x, pos, kc, vc, mem_k, mem_v,
                 bias_col, num_heads=h_loc)
             return (x_out.astype(x.dtype), kc, vc)
 
@@ -100,6 +109,14 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--cache", type=int, default=256)
     ap.add_argument("--mem", type=int, default=512)
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 KV caches (+ packed scale planes) at both "
+                         "shapes; weights stay bf16, as the tp monolith "
+                         "path runs them (W8A8 off under tp)")
+    ap.add_argument("--shard-w8a8", action="store_true",
+                    help="with --int8: ALSO quantize the shard arm's "
+                         "weights (per-shard W8A8 scales) — the "
+                         "hypothetical tp x W8A8 composition")
     args = ap.parse_args()
 
     from acai_omr_tpu.models import decode as decode_lib
@@ -119,29 +136,48 @@ def main():
     t0 = t_len // 2  # mid-segment position
     results = {}
 
-    def setup(p, cfg_eff, ea, h_loc):
-        mono = pallas_monolith.prepack(p, cfg, jnp.bfloat16, e_attn=ea)
+    cache_dt = jnp.int8 if args.int8 else jnp.bfloat16
+
+    def setup(p, cfg_eff, ea, h_loc, w8a8=False):
+        # the FULL arm runs the production single-chip int8 config (W8A8 int8
+        # weights, env-default on); the SHARD arm mirrors the tp monolith
+        # semantics (weights stay bf16 — see decode_segment)
+        mono = pallas_monolith.prepack(p, cfg, jnp.bfloat16, e_attn=ea,
+                                       quantize_weights=w8a8)
         # memory K/V always project from the FULL weights (sharded_generate
         # does the same — the tp shard then takes its contiguous head lanes)
         mem = decode_lib.precompute_memory_kv(params, cfg, latent, valid,
-                                              jnp.bfloat16, jnp.bfloat16,
+                                              jnp.bfloat16, cache_dt,
                                               layout="te")
         mem_k, mem_v = mem.k[..., :ea], mem.v[..., :ea]
-        kc = jnp.zeros((cfg.num_layers, b, t_len, ea), jnp.bfloat16)
+        kc = jnp.zeros((cfg.num_layers, b, t_len, ea), cache_dt)
         vc = jnp.zeros_like(kc)
         bias_col = jnp.zeros((b, m_len, 1), jnp.float32)
-        return mono, (kc, vc), mem_k, mem_v, bias_col
+        if not args.int8:
+            return mono, (kc, vc), mem_k, mem_v, bias_col, None
+        group = pallas_monolith.scale_pack_group(b, t_len, m_len, ea, h_loc,
+                                                 w8a8=w8a8)
+        ones = jnp.ones((cfg.num_layers, b, t_len, h_loc), jnp.bfloat16)
+        ks = pallas_monolith.pack_scales(ones, group)
+        mem_sc = tuple(
+            pallas_monolith.pack_scales(
+                sc.astype(jnp.bfloat16)[..., :h_loc], group)
+            for sc in (mem.k_scale, mem.v_scale))
+        return mono, (kc, vc, ks, ks), mem_k, mem_v, bias_col, mem_sc
 
     # --- full-shape monolith -------------------------------------------------
-    mono, caches, mk, mv, bc = setup(params, cfg, e, h)
-    wall = measure(make_chain(h, args.steps, t0), mono, x, caches, mk, mv, bc)
+    mono, caches, mk, mv, bc, msc = setup(
+        params, cfg, e, h, w8a8=args.int8 and pallas_monolith.want_w8a8(cache_dt))
+    wall = measure(make_chain(h, args.steps, t0, args.int8, msc),
+                   mono, x, caches, mk, mv, bc)
     results["full_step_us"] = wall / args.steps * 1e6
 
     # --- shard-shape monolith (the per-chip TP-2 work) -----------------------
     sparams, ea = shard0_slice(params, cfg, 2)
-    mono_s, caches_s, mk_s, mv_s, bc_s = setup(sparams, cfg, ea, h // 2)
-    wall_s = measure(make_chain(h // 2, args.steps, t0), mono_s, x, caches_s,
-                     mk_s, mv_s, bc_s)
+    mono_s, caches_s, mk_s, mv_s, bc_s, msc_s = setup(
+        sparams, cfg, ea, h // 2, w8a8=args.int8 and args.shard_w8a8)
+    wall_s = measure(make_chain(h // 2, args.steps, t0, args.int8, msc_s),
+                     mono_s, x, caches_s, mk_s, mv_s, bc_s)
     results["shard_step_us"] = wall_s / args.steps * 1e6
 
     comm = 3 * cfg.num_layers * ICI_US_PER_EXCHANGE
@@ -151,7 +187,7 @@ def main():
         results["tp2_step_estimate_us"]
     results = {k: round(v, 2) for k, v in results.items()}
     results.update(b=b, steps=args.steps, cache=t_len, mem=m_len,
-                   device=str(jax.devices()[0]))
+                   int8=bool(args.int8), device=str(jax.devices()[0]))
     print(json.dumps(results))
 
 

@@ -167,14 +167,99 @@ def probe_gemm(m, k, n, min_tflop=30.0):
     return per_iter * reps / dt / 1e12
 
 
+def mae_ledger(gemm, attn_rate, probe=False):
+    """The MAE-pretrain-step analogue (B=64: ViT-B encoder at kept length
+    128, dh=32 decoder at T=512 — masked 64-lane head-group attention
+    EXECUTES 2x the nominal attention FLOPs, a Mosaic lane-slicing
+    constraint priced into the practical floor like the remat recompute).
+    Measured step: 162.2 ms (394.5 img/s, tools/train_step_bench.py mae);
+    measured decoder grad pass: 80.4 ms (tools/fused_enc_ab.py --mae-dec).
+    """
+    Bm, keep = 64, 128
+    dT, dE, dH, dF, dL = 512, 512, 16, 3072, 8
+    enc_rows, dec_rows = Bm * keep, Bm * dT
+    enc_rate = gemm[(8192, 768, 3072)] * 1e12
+    dec_shape = (8192, 512, 3072)
+    if probe:
+        gemm[dec_shape] = round(probe_gemm(*dec_shape), 1)
+    dec_rate = gemm.get(dec_shape, 160.0) * 1e12
+
+    enc_proj = L_ENC * (
+        gemm_flops(enc_rows, E_ENC, 3 * E_ENC)
+        + gemm_flops(enc_rows, E_ENC, E_ENC)
+        + 2 * gemm_flops(enc_rows, E_ENC, F_ENC))
+    dec_proj = dL * (gemm_flops(dec_rows, dE, 3 * dE)
+                     + gemm_flops(dec_rows, dE, dE)
+                     + 2 * gemm_flops(dec_rows, dE, dF))
+    # per head-instance attention dots; decoder executes gs=2 groups at
+    # 64 lanes (dh=32) => 2x the nominal dot FLOPs
+    enc_attn = Bm * H_ENC * L_ENC * 2.0 * (2.0 * keep * keep * 64)
+    dec_attn_exec = 2.0 * Bm * dH * dL * 2.0 * (2.0 * dT * dT * 32)
+
+    enc_w = L_ENC * (E_ENC * 3 * E_ENC + E_ENC * E_ENC
+                     + 2 * E_ENC * F_ENC) * 2
+    dec_w = dL * (dE * 3 * dE + dE * dE + 2 * dE * dF) * 2
+    enc_saves = L_ENC * enc_rows * (7 * E_ENC + 2 * F_ENC) * 2
+    dec_saves = dL * dec_rows * (7 * dE + 2 * dF) * 2
+
+    phases = {
+        "enc_fwd": (enc_proj / enc_rate + enc_attn / attn_rate,
+                    enc_w + enc_saves),
+        "enc_bwd": (2 * enc_proj / enc_rate + 3 * enc_attn / attn_rate,
+                    2 * enc_w + enc_saves),
+        "dec_fwd": (dec_proj / dec_rate + dec_attn_exec / attn_rate,
+                    dec_w + dec_saves),
+        "dec_bwd": (2 * dec_proj / dec_rate + 3 * dec_attn_exec / attn_rate,
+                    2 * dec_w + dec_saves),
+    }
+    ledger, floor_s = {}, 0.0
+    for name, (mxu_t, byts) in phases.items():
+        t = max(mxu_t, byts / HBM_BW)
+        floor_s += t
+        ledger[name] = {"floor_ms": round(t * 1e3, 2),
+                        "mxu_ms": round(mxu_t * 1e3, 2),
+                        "hbm_ms": round(byts / HBM_BW * 1e3, 2),
+                        "bound": "mxu" if mxu_t >= byts / HBM_BW
+                                 else "memory"}
+    measured_ms, dec_grad_measured = 162.2, 80.4
+    dec_floor = (ledger["dec_fwd"]["floor_ms"]
+                 + ledger["dec_bwd"]["floor_ms"])
+    # glue (embed, unshuffle gathers, masked-pixel loss, optimizer) carried
+    # as measured: total minus the two traced stacks' measured times is not
+    # available per-phase for the encoder, so glue here = measured - floor
+    # phases is NOT used; report the kernel-phase fractions instead.
+    out = {
+        "phases": ledger,
+        "floor_ms_kernels": round(floor_s * 1e3, 1),
+        "measured_ms": measured_ms,
+        "measured_img_per_s": 394.5,
+        "dec_grad_floor_ms": round(dec_floor, 1),
+        "dec_grad_measured_ms": dec_grad_measured,
+        "dec_grad_achieved": round(dec_floor / dec_grad_measured, 3),
+        "kernels_floor_of_measured_step": round(floor_s * 1e3 / measured_ms,
+                                                3),
+        "note": ("dec attention priced at the EXECUTED 2x masked-group "
+                 "FLOPs (dh=32 -> 64-lane pairs); nominal-FLOP floor "
+                 "would be lower but is not achievable on this chip's "
+                 "64-lane slicing floor"),
+    }
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure", action="store_true",
                     help="refresh the per-shape rates on-chip")
+    ap.add_argument("--mae", action="store_true",
+                    help="emit the MAE-pretrain-step ledger instead")
     args = ap.parse_args()
 
     gemm = dict(RECORDED_GEMM)
     attn = dict(RECORDED_ATTN)
+    if args.mae:
+        print(json.dumps(mae_ledger(gemm, max(attn.values()) * 1e12,
+                                    probe=args.measure)))
+        return
     if args.measure:
         for shape in list(gemm):
             gemm[shape] = round(probe_gemm(*shape), 1)

@@ -1459,3 +1459,190 @@ def streamed_generate(params: Params, cfg: DecoderConfig, img_latent,
 
     yield ("finish", mask_and_clip_seqs(state.seqs, state.log_probs,
                                         cfg.eos_idx, cfg.pad_idx))
+
+
+def sharded_beam_generate(params: Params, cfg: DecoderConfig, img_latent,
+                          latent_valid, mesh, *, axis: str = "data",
+                          beam_size: int = 4, max_len: int = 1536,
+                          length_penalty: float = 0.6,
+                          initial_segment: int = 256,
+                          segment_steps: int | None = None,
+                          compute_dtype=jnp.bfloat16,
+                          cache_dtype=jnp.bfloat16, pe_offset: int = 0):
+    """Batch-sharded beam search over a named mesh axis.
+
+    DP analogue of :func:`sharded_generate` for :func:`beam_generate`: each
+    device runs the complete beam loop — top-K reordering, parent cache
+    gathers, and (on TPU) the monolithic Pallas kernel at per-shard widths —
+    on its local batch rows under ``shard_map``. Beam reordering only
+    permutes *within* a row's K hypotheses, so shards never exchange beams:
+    the decode loop has zero cross-chip traffic and scales linearly, like
+    greedy DP decode (SURVEY §2.5(b); reference decode protocol
+    kv_caching.py:258-302 — the reference has neither beams nor sharding).
+
+    int8 caches compose exactly as in :func:`beam_generate`: self scale
+    planes lane-packed at the PER-SHARD pack group (pack groups never
+    straddle shard boundaries because the group divides the per-shard row
+    count), memory planes in the grouped shared narrow layout for K>1.
+    Tensor-parallel beams are not supported here (use ``beam_generate`` with
+    per-op TP via ``batch_inference``). Returns the best beam per row as
+    ``(seqs, log_probs, mask)``, identical to :func:`beam_generate` run
+    unsharded (same order of per-row reductions).
+    """
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec
+    from ..ops import pallas_monolith
+
+    P = PartitionSpec
+    n_dev = mesh.shape[axis]
+    b = img_latent.shape[0]
+    k = beam_size
+    if b % n_dev:
+        raise ValueError(f"batch of {b} rows does not shard over {n_dev} "
+                         f"devices — pad the batch")
+    local_b = b // n_dev
+    m_len = img_latent.shape[1]
+    e, heads = cfg.hidden_dim, cfg.num_heads
+    cache_len = min(initial_segment, max_len)
+    # kernel dispatch + scale pack group at PER-SHARD widths
+    monolith = pallas_monolith.use_monolith(
+        cfg, local_b * k, cache_len, m_len, compute_dtype, cache_dtype)
+    tt = pallas_monolith.time_tile(cache_dtype)
+    if monolith:
+        cache_len = -(-cache_len // tt) * tt
+    mem = precompute_memory_kv(params, cfg, img_latent, latent_valid,
+                               compute_dtype, cache_dtype,
+                               layout="te" if monolith else "hd")
+    packed = monolith and cache_dtype == jnp.int8
+    group = None
+
+    def _pack_group(t_len):
+        return pallas_monolith.scale_pack_group(local_b * k, t_len, m_len,
+                                                e, heads, mem_group=k)
+
+    if packed:
+        group = _pack_group(cache_len)
+        if k == 1:
+            mem = mem._replace(
+                k_scale=pallas_monolith.pack_scales(
+                    mem.k_scale.astype(jnp.bfloat16), group),
+                v_scale=pallas_monolith.pack_scales(
+                    mem.v_scale.astype(jnp.bfloat16), group))
+        else:
+            mem = mem._replace(k_scale=mem.k_scale.astype(jnp.bfloat16),
+                               v_scale=mem.v_scale.astype(jnp.bfloat16))
+    state = init_beam_state(cfg, b, k, max_len, cache_len, cache_dtype,
+                            monolith=monolith, scale_group=group)
+
+    def cache_p(x):
+        return P(*((None, axis) + (None,) * (x.ndim - 2)))
+
+    carry = {"seqs": state.seqs, "lps": state.log_probs,
+             "scores": state.scores, "fin": state.finished,
+             "t": jnp.ones((n_dev,), jnp.int32),
+             "k": state.k_cache, "v": state.v_cache}
+    carry_p = {"seqs": P(axis, None, None), "lps": P(axis, None, None),
+               "scores": P(axis, None), "fin": P(axis, None), "t": P(axis),
+               "k": cache_p(state.k_cache), "v": cache_p(state.v_cache)}
+    if state.k_scale is not None:
+        carry["ks"], carry["vs"] = state.k_scale, state.v_scale
+        carry_p["ks"] = carry_p["vs"] = cache_p(state.k_scale)
+    memd = {"k": mem.k, "v": mem.v}
+    mem_p = {"k": cache_p(mem.k), "v": cache_p(mem.v)}
+    if mem.bias is not None:
+        memd["bias"], mem_p["bias"] = mem.bias, P(axis, None)
+    if mem.k_scale is not None:
+        memd["ks"], memd["vs"] = mem.k_scale, mem.v_scale
+        mem_p["ks"] = mem_p["vs"] = cache_p(mem.k_scale)
+    param_p = jax.tree.map(lambda _: P(), params)
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    params_s = jax.tree.map(put, params, param_p)
+    carry = jax.tree.map(put, carry, carry_p)
+    memd = jax.tree.map(put, memd, mem_p)
+
+    steps = segment_steps or max_len
+
+    def seg_fn(p, c, md):
+        st = BeamState(c["seqs"], c["lps"], c["scores"], c["fin"], c["t"][0],
+                       c["k"], c["v"], c.get("ks"), c.get("vs"))
+        mm = MemoryKV(md["k"], md["v"], md.get("bias"), md.get("ks"),
+                      md.get("vs"))
+        s = beam_decode_segment(p, cfg, st, mm, steps, compute_dtype,
+                                mem_group=k, pe_offset=pe_offset)
+        out = {"seqs": s.seqs, "lps": s.log_probs, "scores": s.scores,
+               "fin": s.finished, "t": s.t[None], "k": s.k_cache,
+               "v": s.v_cache, "done": jnp.all(s.finished)[None]}
+        if s.k_scale is not None:
+            out["ks"], out["vs"] = s.k_scale, s.v_scale
+        return out
+
+    out_p = dict(carry_p, done=P(axis))
+    seg = jax.jit(shard_map(seg_fn, mesh=mesh,
+                            in_specs=(param_p, carry_p, mem_p),
+                            out_specs=out_p, check_vma=False))
+    while True:
+        carry = seg(params_s, carry, memd)
+        done = carry.pop("done")
+        # one pull: per-shard t + per-shard all-finished flags
+        status = np.asarray(jnp.concatenate(
+            [carry["t"], done.astype(jnp.int32)]))
+        t_all, fin = status[:n_dev], status[n_dev:].astype(bool)
+        if fin.all():
+            break
+        t_max = int(t_all[~fin].max())
+        if t_max >= max_len:
+            break
+        if t_max > cache_len:
+            new_len = _next_segment(cache_len, max_len)
+            if monolith:
+                new_len = -(-new_len // tt) * tt
+            if carry["k"].ndim == 4:
+                pad = [(0, 0), (0, 0), (0, new_len - cache_len), (0, 0)]
+            else:
+                pad = [(0, 0)] * 4 + [(0, new_len - cache_len)]
+            carry["k"] = jnp.pad(carry["k"], pad)
+            carry["v"] = jnp.pad(carry["v"], pad)
+            if "ks" in carry:
+                if packed:
+                    new_group = _pack_group(new_len)
+
+                    def regrow(s):
+                        u = pallas_monolith.unpack_scales(s, group)
+                        u = jnp.pad(
+                            u, [(0, 0), (0, 0), (0, new_len - cache_len),
+                                (0, 0)], constant_values=1.0)
+                        return pallas_monolith.pack_scales(u, new_group)
+
+                    carry["ks"] = regrow(carry["ks"])
+                    carry["vs"] = regrow(carry["vs"])
+                    if k == 1 and new_group != group and "ks" in memd:
+                        def remem(s):
+                            return pallas_monolith.pack_scales(
+                                pallas_monolith.unpack_scales(s, group),
+                                new_group)
+                        memd["ks"] = remem(memd["ks"])
+                        memd["vs"] = remem(memd["vs"])
+                    group = new_group
+                else:
+                    spad = [(0, 0)] * 3 + [(0, new_len - cache_len)]
+                    carry["ks"] = jnp.pad(carry["ks"], spad,
+                                          constant_values=1.0)
+                    carry["vs"] = jnp.pad(carry["vs"], spad,
+                                          constant_values=1.0)
+            cache_len = new_len
+
+    # best-beam selection, identical to beam_generate's tail
+    seqs, log_probs, scores = carry["seqs"], carry["lps"], carry["scores"]
+    mask = create_inference_mask(seqs.reshape(b * k, -1), cfg.eos_idx)
+    lengths = jnp.sum(mask.reshape(b, k, -1), axis=-1) - 1
+    norm = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
+    final_scores = scores / jnp.maximum(norm, 1e-6)
+    best = jnp.argmax(final_scores, axis=-1)
+    take = lambda x: jnp.take_along_axis(
+        x, best.reshape((b,) + (1,) * (x.ndim - 1)), axis=1)[:, 0]
+    return mask_and_clip_seqs(take(seqs), take(log_probs),
+                              cfg.eos_idx, cfg.pad_idx)

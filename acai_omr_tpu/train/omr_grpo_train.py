@@ -732,6 +732,15 @@ def grpo_train(cfg: ViTOMRConfig, params, dataset, tokenizer: LmxTokenizer, *,
                 if val["components"] is not None:
                     writer.scalars("mini_val/reward/components",
                                    val["components"].to_dict(), step_idx)
+                # surface mini-val in the returned stats too (not just TB):
+                # evidence artifacts must be reconstructible from the return
+                # value alone (tools/grpo_evidence_run.py)
+                metrics["mini_val"] = {
+                    "step": step_idx, "reward": val["reward"],
+                    "ce_loss": val["ce_loss"],
+                    "components": (val["components"].to_dict()
+                                   if val["components"] is not None else None),
+                }
         writer.flush()
 
     ckpt_lib.save_pytree(model_dir / "grpo_vitomr", state.params)

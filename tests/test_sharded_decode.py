@@ -208,3 +208,53 @@ def test_tp_decode_rejects_indivisible_heads():
         decode_lib.sharded_generate(
             params, CFG, mem, mem_valid, mesh,
             model_axis=mesh_lib.MODEL_AXIS, max_len=16)
+
+
+def test_sharded_beam_matches_single_device_beam():
+    """sharded_beam_generate (per-device beam loops under shard_map) must
+    match single-device beam_generate exactly — beams never cross shards, so
+    the per-row top-K reductions are identical; includes segment growth."""
+    mesh = mesh_lib.make_mesh(8, 1)
+    params = omr_decoder.init_decoder_params(jax.random.PRNGKey(3), CFG)
+    b, m = 16, 12
+    mem = jax.random.normal(jax.random.PRNGKey(4), (b, m, CFG.hidden_dim))
+    mem_valid = jnp.asarray(
+        np.arange(m)[None, :] < (np.arange(b) % 4 * 2 + 5)[:, None])
+
+    ref = decode_lib.beam_generate(params, CFG, mem, mem_valid, beam_size=3,
+                                   max_len=24, initial_segment=8,
+                                   compute_dtype=jnp.float32,
+                                   cache_dtype=jnp.float32)
+    out = decode_lib.sharded_beam_generate(params, CFG, mem, mem_valid, mesh,
+                                           beam_size=3, max_len=24,
+                                           initial_segment=8,
+                                           compute_dtype=jnp.float32,
+                                           cache_dtype=jnp.float32)
+    n = min(ref[0].shape[1], out[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])
+    np.testing.assert_allclose(np.asarray(out[1])[:, :n],
+                               np.asarray(ref[1])[:, :n], atol=1e-5)
+
+
+def test_sharded_beam_int8_matches_single_device_beam_int8():
+    """int8 cache quantization composes with sharded beams (per-op layout on
+    CPU; the per-shard scale-plane pack groups are exercised on TPU)."""
+    mesh = mesh_lib.make_mesh(8, 1)
+    params = omr_decoder.init_decoder_params(jax.random.PRNGKey(5), CFG)
+    b, m = 8, 12
+    mem = jax.random.normal(jax.random.PRNGKey(6), (b, m, CFG.hidden_dim))
+    mem_valid = jnp.ones((b, m), dtype=bool)
+
+    ref = decode_lib.beam_generate(params, CFG, mem, mem_valid, beam_size=2,
+                                   max_len=16, initial_segment=8,
+                                   compute_dtype=jnp.float32,
+                                   cache_dtype=jnp.int8)
+    out = decode_lib.sharded_beam_generate(params, CFG, mem, mem_valid, mesh,
+                                           beam_size=2, max_len=16,
+                                           initial_segment=8,
+                                           compute_dtype=jnp.float32,
+                                           cache_dtype=jnp.int8)
+    n = min(ref[0].shape[1], out[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])

@@ -159,11 +159,14 @@ def main():
                                                  w8a8=w8a8)
         ones = jnp.ones((cfg.num_layers, b, t_len, h_loc), jnp.bfloat16)
         ks = pallas_monolith.pack_scales(ones, group)
+        # distinct array for the v plane: ks/vs are donated/aliased kernel
+        # inputs, so seeding both from one buffer aliases them on step 1
+        vs = pallas_monolith.pack_scales(ones, group)
         mem_sc = tuple(
             pallas_monolith.pack_scales(
                 sc.astype(jnp.bfloat16)[..., :h_loc], group)
             for sc in (mem.k_scale, mem.v_scale))
-        return mono, (kc, vc, ks, ks), mem_k, mem_v, bias_col, mem_sc
+        return mono, (kc, vc, ks, vs), mem_k, mem_v, bias_col, mem_sc
 
     # --- full-shape monolith -------------------------------------------------
     mono, caches, mk, mv, bc, msc = setup(

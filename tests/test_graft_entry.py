@@ -17,6 +17,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_driver_invocation():
     env = dict(os.environ)
     # Simulate the driver's world: jax initializes with a single device before

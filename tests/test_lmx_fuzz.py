@@ -336,6 +336,7 @@ def test_token_soup_never_crashes():
     assert catastrophic > 0  # empty/measure-less streams are in the sample
 
 
+@pytest.mark.slow
 def test_corpus_mutation_fuzz():
     """2k random mutants of the real sequences: no crashes, and the reward
     path (TEDn vs the clean target) stays finite and non-catastrophic for

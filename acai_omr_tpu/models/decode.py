@@ -474,9 +474,9 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
     stop_t = jnp.minimum(state.t + num_steps, min(max_len, cache_len + 1))
     monolith = state.k_cache.ndim == 4
     # tensor-parallel monolith: tp_axis with a 4-D cache marks a TP shard
-    # (heads split over tp_axis, cache width = hidden_dim/2); the kernel's
-    # in-kernel ICI all-reduce needs the peer's logical device id
-    # (sharded_generate computes it and passes ``tp_peer``)
+    # (heads split over tp_axis, cache width = hidden_dim/tp); the kernel's
+    # in-kernel ICI all-reduce needs the per-round peer logical device ids
+    # (sharded_generate computes them and passes ``tp_peer``)
     tp_mono = monolith and tp_axis is not None
     if monolith:
         from ..ops import pallas_monolith
@@ -519,13 +519,13 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
                     bias_col, num_heads=h_loc, k_scale=s.k_scale,
                     v_scale=s.v_scale, mem_k_scale=mem.k_scale,
                     mem_v_scale=mem.v_scale, mem_group=mem_group,
-                    tp=2 if tp_mono else 1,
+                    tp=cfg.hidden_dim // ea if tp_mono else 1,
                     tp_peer=tp_peer if tp_mono else None)
             else:
                 x_out, caches["k"], caches["v"] = pallas_monolith.decode_layers(
                     mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
                     bias_col, num_heads=h_loc, mem_group=mem_group,
-                    tp=2 if tp_mono else 1,
+                    tp=cfg.hidden_dim // ea if tp_mono else 1,
                     tp_peer=tp_peer if tp_mono else None)
             x_out = nn.layernorm(params["final_norm"], x_out, eps=1e-6)
             logits = nn.dense(params["unembed"], x_out).astype(jnp.float32)
@@ -872,10 +872,24 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
         raise ValueError(f"tensor-parallel decode needs num_heads "
                          f"({cfg.num_heads}) and mlp_dim ({cfg.mlp_dim}) "
                          f"divisible by the model axis size {tp}")
+    e_chk, heads_chk = cfg.hidden_dim, cfg.num_heads
+    # tp=2 / tp=4 decode rides the monolith when the per-shard widths stay
+    # lane-aligned: heads/MLP split per shard with the kernel's in-kernel
+    # recursive-doubling ICI all-reduce (pallas_monolith tp_allreduce).
+    # int8 caches compose bit-identically (per-(row, head) scales, whole
+    # heads per shard; weights stay bf16 under tp unless ACAI_TP_W8A8);
+    # grouped memories (mem_group > 1) ride the kernel too — the shared
+    # (M, E/tp) memory block and its narrow scale planes are per-shard
+    # slices, orthogonal to the all-reduce.
+    tp_mono = (tp in (2, 4)
+               and cache_dtype in (jnp.bfloat16, jnp.float32, jnp.int8)
+               and heads_chk % tp == 0
+               and (e_chk // tp) % 128 == 0
+               and (cfg.mlp_dim // tp) % 128 == 0)
     if mem_group > 1 and cache_dtype == jnp.int8:
-        # grouped int8 is a monolith-kernel feature; the per-op path (and
-        # tensor-parallel decode) needs the replicated layout
-        if tp > 1 or not pallas_monolith.use_monolith(
+        # grouped int8 is a monolith-kernel feature; the per-op path needs
+        # the replicated layout
+        if (tp > 1 and not tp_mono) or not pallas_monolith.use_monolith(
                 cfg, (img_latent.shape[0] * mem_group) // n_dev,
                 min(initial_segment, max_len), img_latent.shape[1],
                 compute_dtype, cache_dtype):
@@ -893,15 +907,9 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
     m_len = img_latent.shape[1]
     e, heads = cfg.hidden_dim, cfg.num_heads
     cache_len = min(initial_segment, max_len)
-    # per-device shapes decide the kernel dispatch and the scale-pack group.
-    # tp=2 ungrouped decode rides the monolith: heads/MLP split per shard
-    # with the kernel's in-kernel ICI all-reduce (pallas_monolith
-    # tp_allreduce). int8 caches compose bit-identically (per-(row, head)
-    # scales, whole heads per shard; weights stay bf16 under tp — see
-    # decode_segment); grouped memories use the per-op path.
-    tp_mono = (tp == 2 and g == 1
-               and cache_dtype in (jnp.bfloat16, jnp.float32, jnp.int8)
-               and (e // 2) % 128 == 0 and (cfg.mlp_dim // 2) % 128 == 0)
+    # per-device shapes decide the kernel dispatch and the scale-pack group
+    # (see the tp_mono note above: tp in (2, 4) and grouped memories all
+    # ride the monolith kernel when the shard widths stay lane-aligned)
     monolith = (tp == 1 or tp_mono) and pallas_monolith.use_monolith(
         cfg, local_b, cache_len, m_len, compute_dtype, cache_dtype)
     tt = pallas_monolith.time_tile(cache_dtype)
@@ -922,7 +930,8 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
             return pallas_monolith.scale_pack_group(
                 local_b, t_len, m_len, e // tp, heads // tp, mem_group=g,
                 w8a8=(pallas_monolith.want_w8a8(jnp.int8)
-                      and pallas_monolith.want_tp_w8a8()))
+                      and pallas_monolith.want_tp_w8a8()),
+                manual_cdma=False)  # tp shards deliver via BlockSpec windows
         return pallas_monolith.scale_pack_group(local_b, t_len, m_len,
                                                 e, heads, mem_group=g)
 
@@ -1012,15 +1021,19 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
                       md.get("vs"))
         tp_peer = None
         if tp > 1 and monolith:
-            # peer's row-major logical device id in the mesh (the model
-            # coordinate flipped) for the kernel's remote-DMA all-reduce
-            idx = jnp.int32(0)
-            for a in mesh.axis_names:
-                c_a = jax.lax.axis_index(a)
-                if a == model_axis:
-                    c_a = (c_a + 1) % 2
-                idx = idx * mesh.shape[a] + c_a
-            tp_peer = idx
+            # per-round peers' row-major logical device ids in the mesh
+            # (model coordinate XOR (1<<r)) for the kernel's remote-DMA
+            # recursive-doubling all-reduce
+            peers = []
+            for r in range(tp.bit_length() - 1):
+                idx = jnp.int32(0)
+                for a in mesh.axis_names:
+                    c_a = jax.lax.axis_index(a)
+                    if a == model_axis:
+                        c_a = jnp.bitwise_xor(c_a, 1 << r)
+                    idx = idx * mesh.shape[a] + c_a
+                peers.append(idx)
+            tp_peer = jnp.stack(peers)
         s = decode_segment(params=p, cfg=cfg, state=st, mem=mm,
                            num_steps=steps, sampling=sampling,
                            compute_dtype=compute_dtype, mem_group=g,
@@ -1162,11 +1175,13 @@ def init_beam_state(cfg: DecoderConfig, batch_size: int, beam_size: int,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "num_steps",
                                              "compute_dtype", "mem_group",
-                                             "pe_offset"))
+                                             "pe_offset", "tp_axis"))
 def beam_decode_segment(params: Params, cfg: DecoderConfig, state: BeamState,
                         mem: MemoryKV, num_steps: int,
                         compute_dtype=jnp.bfloat16,
-                        mem_group: int = 1, pe_offset: int = 0) -> BeamState:
+                        mem_group: int = 1, pe_offset: int = 0,
+                        tp_axis: str | None = None,
+                        tp_peer=None) -> BeamState:
     """Run up to ``num_steps`` beam-search steps in one lax.while_loop.
 
     Standard batched beam search: each step scores all (K x V) continuations
@@ -1181,12 +1196,19 @@ def beam_decode_segment(params: Params, cfg: DecoderConfig, state: BeamState,
     cache_len = cache_len_of(state.k_cache)
     stop_t = jnp.minimum(state.t + num_steps, min(max_len, cache_len + 1))
     monolith = state.k_cache.ndim == 4
+    tp_mono = monolith and tp_axis is not None
     if monolith:
         from ..ops import pallas_monolith
+        ea = state.k_cache.shape[-1]
+        h_loc = ea // cfg.head_dim
+        tp = cfg.hidden_dim // ea if tp_mono else 1
         mono = pallas_monolith.prepack(
             params, cfg, compute_dtype,
             quantize_weights=(state.k_scale is not None
-                              and pallas_monolith.want_w8a8(state.k_cache.dtype)))
+                              and pallas_monolith.want_w8a8(state.k_cache.dtype)
+                              and (not tp_mono
+                                   or pallas_monolith.want_tp_w8a8())),
+            e_attn=ea if tp_mono else None)
         bm, m_len = mem.k.shape[1], mem.k.shape[2]
         if mem.bias is None:
             bias_col = jnp.zeros((bm, m_len, 1), jnp.float32)
@@ -1194,9 +1216,15 @@ def beam_decode_segment(params: Params, cfg: DecoderConfig, state: BeamState,
             bias_col = mem.bias.reshape(bm, m_len, 1).astype(jnp.float32)
         scale_group = None
         if state.k_scale is not None:
+            # per-SHARD group: within a model shard the lane-packed plane is
+            # that shard's own valid pack (pack_scales_tp), so the in-loop
+            # beam-reorder regroup uses the plain pack/unpack at shard widths
             scale_group = pallas_monolith.scale_pack_group(
-                b * k, cache_len, m_len, cfg.hidden_dim, cfg.num_heads,
-                mem_group=mem_group)
+                b * k, cache_len, m_len, ea, h_loc, mem_group=mem_group,
+                w8a8=(pallas_monolith.want_w8a8(state.k_cache.dtype)
+                      and pallas_monolith.want_tp_w8a8()) if tp_mono
+                else None,
+                manual_cdma=False if tp_mono else None)
 
     def cond(s: BeamState):
         return (s.t < stop_t) & ~jnp.all(s.finished)
@@ -1213,18 +1241,21 @@ def beam_decode_segment(params: Params, cfg: DecoderConfig, state: BeamState,
                 (x_out, caches["k"], caches["v"], caches["ks"],
                  caches["vs"]) = pallas_monolith.decode_layers(
                     mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
-                    bias_col, num_heads=cfg.num_heads, k_scale=s.k_scale,
+                    bias_col, num_heads=h_loc, k_scale=s.k_scale,
                     v_scale=s.v_scale, mem_k_scale=mem.k_scale,
-                    mem_v_scale=mem.v_scale, mem_group=mem_group)
+                    mem_v_scale=mem.v_scale, mem_group=mem_group,
+                    tp=tp, tp_peer=tp_peer if tp_mono else None)
             else:
                 x_out, caches["k"], caches["v"] = pallas_monolith.decode_layers(
                     mono, x, s.t - 1, s.k_cache, s.v_cache, mem.k, mem.v,
-                    bias_col, num_heads=cfg.num_heads, mem_group=mem_group)
+                    bias_col, num_heads=h_loc, mem_group=mem_group,
+                    tp=tp, tp_peer=tp_peer if tp_mono else None)
             x_out = nn.layernorm(params["final_norm"], x_out, eps=1e-6)
             logits = nn.dense(params["unembed"], x_out).astype(jnp.float32)
         else:
             logits, caches = _decode_step_logits(
-                params, cfg, x, s.t, caches, mem, compute_dtype, mem_group)
+                params, cfg, x, s.t, caches, mem, compute_dtype, mem_group,
+                tp_axis)
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         lp = lp.reshape(b, k, v)
 
@@ -1463,12 +1494,14 @@ def streamed_generate(params: Params, cfg: DecoderConfig, img_latent,
 
 def sharded_beam_generate(params: Params, cfg: DecoderConfig, img_latent,
                           latent_valid, mesh, *, axis: str = "data",
+                          model_axis: str | None = None,
                           beam_size: int = 4, max_len: int = 1536,
                           length_penalty: float = 0.6,
                           initial_segment: int = 256,
                           segment_steps: int | None = None,
                           compute_dtype=jnp.bfloat16,
-                          cache_dtype=jnp.bfloat16, pe_offset: int = 0):
+                          cache_dtype=jnp.bfloat16, tp_params=None,
+                          pe_offset: int = 0):
     """Batch-sharded beam search over a named mesh axis.
 
     DP analogue of :func:`sharded_generate` for :func:`beam_generate`: each
@@ -1484,29 +1517,43 @@ def sharded_beam_generate(params: Params, cfg: DecoderConfig, img_latent,
     planes lane-packed at the PER-SHARD pack group (pack groups never
     straddle shard boundaries because the group divides the per-shard row
     count), memory planes in the grouped shared narrow layout for K>1.
-    Tensor-parallel beams are not supported here (use ``beam_generate`` with
-    per-op TP via ``batch_inference``). Returns the best beam per row as
-    ``(seqs, log_probs, mask)``, identical to :func:`beam_generate` run
-    unsharded (same order of per-row reductions).
+    Tensor-parallel beams (``model_axis``): the per-shard beam loop rides
+    the TP monolith kernel — heads/MLP split per shard with the in-kernel
+    recursive-doubling ICI all-reduce, beams as grouped memories
+    (mem_group=K per-shard slices), int8 scale planes packed PER HEAD-BLOCK
+    (``pack_scales_tp``) so each model shard reorders its own valid pack.
+    Returns the best beam per row as ``(seqs, log_probs, mask)``, identical
+    to :func:`beam_generate` run unsharded (same order of per-row
+    reductions).
     """
     import numpy as np
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec
     from ..ops import pallas_monolith
+    from ..parallel import sharding as psharding
 
     P = PartitionSpec
     n_dev = mesh.shape[axis]
+    tp = mesh.shape[model_axis] if model_axis is not None else 1
     b = img_latent.shape[0]
     k = beam_size
     if b % n_dev:
         raise ValueError(f"batch of {b} rows does not shard over {n_dev} "
                          f"devices — pad the batch")
+    if tp > 1 and (cfg.num_heads % tp or cfg.mlp_dim % tp):
+        raise ValueError(f"tensor-parallel beams need num_heads "
+                         f"({cfg.num_heads}) and mlp_dim ({cfg.mlp_dim}) "
+                         f"divisible by the model axis size {tp}")
     local_b = b // n_dev
     m_len = img_latent.shape[1]
     e, heads = cfg.hidden_dim, cfg.num_heads
     cache_len = min(initial_segment, max_len)
+    tp_mono = (tp in (2, 4)
+               and cache_dtype in (jnp.bfloat16, jnp.float32, jnp.int8)
+               and heads % tp == 0 and (e // tp) % 128 == 0
+               and (cfg.mlp_dim // tp) % 128 == 0)
     # kernel dispatch + scale pack group at PER-SHARD widths
-    monolith = pallas_monolith.use_monolith(
+    monolith = (tp == 1 or tp_mono) and pallas_monolith.use_monolith(
         cfg, local_b * k, cache_len, m_len, compute_dtype, cache_dtype)
     tt = pallas_monolith.time_tile(cache_dtype)
     if monolith:
@@ -1516,19 +1563,35 @@ def sharded_beam_generate(params: Params, cfg: DecoderConfig, img_latent,
                                layout="te" if monolith else "hd")
     packed = monolith and cache_dtype == jnp.int8
     group = None
+    tp_kern = tp if (tp > 1 and monolith) else 1
 
     def _pack_group(t_len):
+        if tp_kern > 1:
+            return pallas_monolith.scale_pack_group(
+                local_b * k, t_len, m_len, e // tp, heads // tp,
+                mem_group=k,
+                w8a8=(pallas_monolith.want_w8a8(jnp.int8)
+                      and pallas_monolith.want_tp_w8a8()),
+                manual_cdma=False)
         return pallas_monolith.scale_pack_group(local_b * k, t_len, m_len,
                                                 e, heads, mem_group=k)
+
+    def _pack(sc, grp):
+        if tp_kern > 1:
+            return pallas_monolith.pack_scales_tp(sc, grp, tp)
+        return pallas_monolith.pack_scales(sc, grp)
+
+    def _unpack(sc, grp):
+        if tp_kern > 1:
+            return pallas_monolith.unpack_scales_tp(sc, grp, tp)
+        return pallas_monolith.unpack_scales(sc, grp)
 
     if packed:
         group = _pack_group(cache_len)
         if k == 1:
             mem = mem._replace(
-                k_scale=pallas_monolith.pack_scales(
-                    mem.k_scale.astype(jnp.bfloat16), group),
-                v_scale=pallas_monolith.pack_scales(
-                    mem.v_scale.astype(jnp.bfloat16), group))
+                k_scale=_pack(mem.k_scale.astype(jnp.bfloat16), group),
+                v_scale=_pack(mem.v_scale.astype(jnp.bfloat16), group))
         else:
             mem = mem._replace(k_scale=mem.k_scale.astype(jnp.bfloat16),
                                v_scale=mem.v_scale.astype(jnp.bfloat16))
@@ -1536,6 +1599,12 @@ def sharded_beam_generate(params: Params, cfg: DecoderConfig, img_latent,
                             monolith=monolith, scale_group=group)
 
     def cache_p(x):
+        # monolith layouts put heads on lanes (last dim) — model axis there;
+        # per-op layouts carry heads at dim 2
+        if tp > 1 and monolith:
+            return P(*((None, axis) + (None,) * (x.ndim - 3) + (model_axis,)))
+        if tp > 1:
+            return P(*((None, axis, model_axis) + (None,) * (x.ndim - 3)))
         return P(*((None, axis) + (None,) * (x.ndim - 2)))
 
     carry = {"seqs": state.seqs, "lps": state.log_probs,
@@ -1555,7 +1624,13 @@ def sharded_beam_generate(params: Params, cfg: DecoderConfig, img_latent,
     if mem.k_scale is not None:
         memd["ks"], memd["vs"] = mem.k_scale, mem.v_scale
         mem_p["ks"] = mem_p["vs"] = cache_p(mem.k_scale)
-    param_p = jax.tree.map(lambda _: P(), params)
+    if tp > 1:
+        params = tp_params if tp_params is not None else \
+            psharding.tp_shuffle_decoder_params(params, heads, cfg.head_dim,
+                                                tp)
+        param_p = psharding.tp_decode_param_specs(params, model_axis)
+    else:
+        param_p = jax.tree.map(lambda _: P(), params)
 
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -1571,8 +1646,22 @@ def sharded_beam_generate(params: Params, cfg: DecoderConfig, img_latent,
                        c["k"], c["v"], c.get("ks"), c.get("vs"))
         mm = MemoryKV(md["k"], md["v"], md.get("bias"), md.get("ks"),
                       md.get("vs"))
+        tp_peer = None
+        if tp_kern > 1:
+            peers = []
+            for r in range(tp.bit_length() - 1):
+                idx = jnp.int32(0)
+                for a in mesh.axis_names:
+                    c_a = jax.lax.axis_index(a)
+                    if a == model_axis:
+                        c_a = jnp.bitwise_xor(c_a, 1 << r)
+                    idx = idx * mesh.shape[a] + c_a
+                peers.append(idx)
+            tp_peer = jnp.stack(peers)
         s = beam_decode_segment(p, cfg, st, mm, steps, compute_dtype,
-                                mem_group=k, pe_offset=pe_offset)
+                                mem_group=k, pe_offset=pe_offset,
+                                tp_axis=model_axis if tp > 1 else None,
+                                tp_peer=tp_peer)
         out = {"seqs": s.seqs, "lps": s.log_probs, "scores": s.scores,
                "fin": s.finished, "t": s.t[None], "k": s.k_cache,
                "v": s.v_cache, "done": jnp.all(s.finished)[None]}
@@ -1611,19 +1700,17 @@ def sharded_beam_generate(params: Params, cfg: DecoderConfig, img_latent,
                     new_group = _pack_group(new_len)
 
                     def regrow(s):
-                        u = pallas_monolith.unpack_scales(s, group)
+                        u = _unpack(s, group)
                         u = jnp.pad(
                             u, [(0, 0), (0, 0), (0, new_len - cache_len),
                                 (0, 0)], constant_values=1.0)
-                        return pallas_monolith.pack_scales(u, new_group)
+                        return _pack(u, new_group)
 
                     carry["ks"] = regrow(carry["ks"])
                     carry["vs"] = regrow(carry["vs"])
                     if k == 1 and new_group != group and "ks" in memd:
                         def remem(s):
-                            return pallas_monolith.pack_scales(
-                                pallas_monolith.unpack_scales(s, group),
-                                new_group)
+                            return _pack(_unpack(s, group), new_group)
                         memd["ks"] = remem(memd["ks"])
                         memd["vs"] = remem(memd["vs"])
                     group = new_group

@@ -272,7 +272,8 @@ def _on_tpu() -> bool:
 
 def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2,
                   num_heads: int = 16, mem_group: int = 1,
-                  w8a8: bool | None = None) -> int:
+                  w8a8: bool | None = None,
+                  manual_cdma: bool | None = None) -> int:
     """Rows per grid step: largest power-of-2 divisor of ``b`` such that the
     double-buffered cache/memory tiles plus the layer weights fit VMEM.
 
@@ -296,7 +297,13 @@ def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2,
     weights_vmem = _WEIGHTS_VMEM_INT8 if w8a8 else _WEIGHTS_VMEM
     budget = _VMEM_LIMIT - weights_vmem - _SLACK_VMEM
     bt = max(8, min(_MAX_BT, 16)) if w8a8 else 8
-    if _manual_cdma(itemsize == 1):
+    # ``manual_cdma`` defaults to the module env policy; callers whose
+    # delivery mode differs from the env default (tp shards and
+    # sub-128-lane scale planes force BlockSpec windows) pass it so the
+    # VMEM budget models the delivery path the kernel will actually use
+    if manual_cdma is None:
+        manual_cdma = _manual_cdma(itemsize == 1)
+    if manual_cdma:
         # manual prefetch: residency is the explicit scratch the kernel
         # allocates (S rotation slots + bt²-sized masks), not Mosaic's
         # double-buffered block windows
@@ -326,7 +333,8 @@ def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2,
 
 def scale_pack_group(b: int, t: int, m: int, e: int,
                      num_heads: int = 16, mem_group: int = 1,
-                     w8a8: bool | None = None) -> int:
+                     w8a8: bool | None = None,
+                     manual_cdma: bool | None = None) -> int:
     """Lane-pack group for int8 SELF-cache scale planes == the kernel's row
     tile.
 
@@ -337,7 +345,8 @@ def scale_pack_group(b: int, t: int, m: int, e: int,
     planes then stay in the shared narrow layout (L, B/G_mem, M, H) — one
     tiny plane per unique image, repeated across lanes in-kernel.
     """
-    return pick_row_tile(b, t, m, e, 1, num_heads, mem_group, w8a8=w8a8)
+    return pick_row_tile(b, t, m, e, 1, num_heads, mem_group, w8a8=w8a8,
+                         manual_cdma=manual_cdma)
 
 
 def pack_scales(s: jnp.ndarray, group: int) -> jnp.ndarray:
@@ -859,29 +868,40 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
     scale = 1.0 / math.sqrt(dh)
 
     if tp > 1:
-        # In-kernel tensor-parallel all-reduce (tp=2): the partial (bt, E)
-        # fp32 output of each row-parallel projection (self out, cross out,
-        # ff2) is exchanged with the peer shard over ICI via remote DMA and
-        # summed — the Megatron reduction (reference decode protocol
-        # kv_caching.py:258-302 numerics, now latency-scaled) without leaving
-        # the fused layer-stack kernel. Slot parity rotates per exchange;
-        # a shard can only run ahead after its peer consumed the previous
-        # slot (rdma.wait() requires the peer's send), so two slots suffice.
-        peer = s_ref[1]
+        # In-kernel tensor-parallel all-reduce (tp a power of 2): the
+        # partial (bt, E) fp32 output of each row-parallel projection (self
+        # out, cross out, ff2) is summed across the model shards over ICI
+        # via remote DMA — the Megatron reduction (reference decode protocol
+        # kv_caching.py:258-302 numerics, now latency-scaled) without
+        # leaving the fused layer-stack kernel. tp=2 is one peer exchange;
+        # tp=4 runs recursive doubling (round r exchanges the running sum
+        # with the shard at model-coordinate XOR (1<<r) — 2 rounds, each of
+        # the full (bt, E) buffer; latency-optimal for these tiny buffers
+        # where a ring's 2(k-1) hops would lose). Slot rotation: a device
+        # can run at most one exchange ahead of any partner it just
+        # synchronized with (rdma.wait() requires the partner's send), and
+        # partners chain across all tp shards within nr rounds, so skew is
+        # bounded by nr exchanges; the 2·nr rotation slots exceed that
+        # reuse distance.
+        nr = tp.bit_length() - 1  # recursive-doubling rounds
+        n_slots = tp_send.shape[0]
         g_step = i * n_tiles + j
 
         def tp_allreduce(p32, site):
-            idx = 3 * g_step + site
-            slot = jax.lax.rem(idx, 2)
-            tp_send[slot, 0:bt] = p32.astype(jnp.float32)
-            rdma = pltpu.make_async_remote_copy(
-                src_ref=tp_send.at[slot], dst_ref=tp_recv.at[slot],
-                send_sem=tp_ssem.at[slot], recv_sem=tp_rsem.at[slot],
-                device_id=peer,
-                device_id_type=pltpu.DeviceIdType.LOGICAL)
-            rdma.start()
-            rdma.wait()
-            return p32 + tp_recv[slot, 0:bt]
+            acc = p32.astype(jnp.float32)
+            base = nr * (3 * g_step + site)
+            for r in range(nr):
+                slot = jax.lax.rem(base + r, n_slots)
+                tp_send[slot, 0:bt] = acc
+                rdma = pltpu.make_async_remote_copy(
+                    src_ref=tp_send.at[slot], dst_ref=tp_recv.at[slot],
+                    send_sem=tp_ssem.at[slot], recv_sem=tp_rsem.at[slot],
+                    device_id=s_ref[1 + r],
+                    device_id_type=pltpu.DeviceIdType.LOGICAL)
+                rdma.start()
+                rdma.wait()
+                acc = acc + tp_recv[slot, 0:bt]
+            return acc
     else:
         def tp_allreduce(p32, site):
             del site
@@ -1288,17 +1308,20 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     h = num_heads            # LOCAL head count under tp
     quantized = k_scale is not None
     if tp > 1:
-        # in-kernel all-reduce tensor parallelism (tp=2 only). int8 caches
-        # compose: cache/scale quantization is per-(row, head) and heads are
-        # whole per shard, so shard-local quantization is bit-identical to
-        # the single-device int8 kernel; the three row-parallel partial
-        # outputs all-reduce in fp32 exactly as in the bf16 path. W8A8 stays
-        # per-op-TP-only (its per-row activation max spans the contraction
-        # axis TP splits, so sharded W8A8 would be a DIFFERENT quantization
-        # than single-chip — decode_segment keeps weights bf16 under tp).
-        # Grouped memories stay on the per-op TP path.
-        if tp != 2 or mem_group > 1:
-            raise ValueError("monolith tp requires tp=2, mem_group=1")
+        # in-kernel all-reduce tensor parallelism (tp=2 or tp=4; recursive
+        # doubling in tp_allreduce). int8 caches compose: cache/scale
+        # quantization is per-(row, head) and heads are whole per shard, so
+        # shard-local quantization is bit-identical to the single-device
+        # int8 kernel; the row-parallel partial outputs all-reduce in fp32
+        # exactly as in the bf16 path. W8A8 stays opt-in (its per-row
+        # activation max spans the contraction axis TP splits, so sharded
+        # W8A8 is a DIFFERENT quantization than single-chip —
+        # decode_segment keeps weights bf16 under tp by default). Grouped
+        # memories (mem_group > 1) ride the same kernel: the shared
+        # (M, E/tp) memory block and its narrow (M, H/tp) scale planes are
+        # already per-shard slices, orthogonal to the all-reduce.
+        if tp not in (2, 4):
+            raise ValueError("monolith tp requires tp in (2, 4)")
     if mem_group > 1:
         if mem_k.shape[1] * mem_group != b:
             raise ValueError(
@@ -1313,11 +1336,20 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     dtype = x.dtype
     tt = time_tile(k_cache.dtype)
     bt = pick_row_tile(b, t_len, m_len, ea, jnp.dtype(k_cache.dtype).itemsize,
-                       num_heads, mem_group, w8a8="wscale" in mono)
+                       num_heads, mem_group, w8a8="wscale" in mono,
+                       manual_cdma=(_manual_cdma(k_scale is not None)
+                                    and tp == 1))
     grid = (nlayers, b // bt)
     if tp > 1:
-        scalars = jnp.stack([jnp.asarray(pos, jnp.int32),
-                             jnp.asarray(tp_peer, jnp.int32)])
+        # s_ref layout: [pos, peer_round0, peer_round1, ...] — one peer per
+        # recursive-doubling round (tp=2: one, tp=4: two)
+        peers = jnp.atleast_1d(jnp.asarray(tp_peer, jnp.int32))
+        if peers.shape[0] != tp.bit_length() - 1:
+            raise ValueError(
+                f"tp={tp} needs {tp.bit_length() - 1} peer ids, got "
+                f"{peers.shape[0]}")
+        scalars = jnp.concatenate(
+            [jnp.asarray(pos, jnp.int32).reshape(1), peers])
     else:
         scalars = jnp.asarray([pos], jnp.int32)
 
@@ -1416,8 +1448,8 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
                     f"(L, B/G, M, H) layout: expected {mexpect}, got "
                     f"{mem_k_scale.shape} (do NOT pack_scales them)")
             mem_spec_q = hbm_spec if manual_cdma else pl.BlockSpec(
-                (1, 1, m_len, e), lambda i, j, s: (i, (j * bt) // mem_group,
-                                                   0, 0),
+                (1, 1, m_len, ea), lambda i, j, s: (i, (j * bt) // mem_group,
+                                                    0, 0),
                 memory_space=pltpu.VMEM)
             mem_scale_spec = hbm_spec if manual_cdma else pl.BlockSpec(
                 (1, 1, m_len, h), lambda i, j, s: (i, (j * bt) // mem_group,
@@ -1440,7 +1472,7 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
         # one shared (M, E) memory block per tile: block index = the tile's
         # group (bt | mem_group, so a tile never straddles groups)
         mem_spec = hbm_spec if manual_cdma else pl.BlockSpec(
-            (1, 1, m_len, e),
+            (1, 1, m_len, ea),
             lambda i, j, s: (i, (j * bt) // mem_group, 0, 0),
             memory_space=pltpu.VMEM)
         in_specs += [mem_spec, mem_spec]
@@ -1510,13 +1542,15 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
                                pltpu.VMEM((S, m_len, mw), mem_v_scale.dtype)]
         scratch_shapes += [pltpu.SemaphoreType.DMA((8, S))]
     if tp > 1:
-        # all-reduce exchange buffers: 2 rotation slots of (bt, E) fp32
-        # partials + send/recv DMA semaphores (see _kernel.tp_allreduce)
+        # all-reduce exchange buffers: 2·nr rotation slots of (bt, E) fp32
+        # partials + send/recv DMA semaphores (see _kernel.tp_allreduce —
+        # the reuse distance must exceed the nr-exchange skew bound)
         bt_pad = max(bt, 8)
-        scratch_shapes += [pltpu.VMEM((2, bt_pad, e), jnp.float32),
-                           pltpu.VMEM((2, bt_pad, e), jnp.float32),
-                           pltpu.SemaphoreType.DMA((2,)),
-                           pltpu.SemaphoreType.DMA((2,))]
+        s_tp = 2 * (tp.bit_length() - 1)
+        scratch_shapes += [pltpu.VMEM((s_tp, bt_pad, e), jnp.float32),
+                           pltpu.VMEM((s_tp, bt_pad, e), jnp.float32),
+                           pltpu.SemaphoreType.DMA((s_tp,)),
+                           pltpu.SemaphoreType.DMA((s_tp,))]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,

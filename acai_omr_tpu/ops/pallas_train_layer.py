@@ -971,6 +971,387 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
 
 
 # ---------------------------------------------------------------------------
+# split backward kernel (two phases with disjoint save windows)
+# ---------------------------------------------------------------------------
+
+def _bwd_split_kernel(seed_ref, mem_kv, sbias, mbias,
+                      wqkv_h, wo_h, wqc_h, woc_h, w1_h, w2_h, vecs,
+                      sx, sz1, sz2, sz3, sh1, sgp, sqkv, g_in,
+                      dxc, dmem_kv, dwqkv_h, dwo_h, dwqc_h, dwoc_h, dw1_h,
+                      dw2_h, dvecs,
+                      wqkv, wo, wqc, woc, w1c, w2c,
+                      dwqkv, dwo, dwqc, dwoc, dw1, dw2, mkv, dmkv,
+                      sems, osems, mk_sem, dmk_sem,
+                      vx, vz1, vz2, vz3, vh1, vgp, vqkv, ssems, vdx, wsems,
+                      dx_sems, sdx2,
+                      *, nl, nt, bt, t, m, e, f, h, dt, rate, det, causal,
+                      cross=True):
+    """`_bwd_kernel` restructured as grid (nl, 2, nt): per layer, phase 0
+    runs the FFN backward over all tiles (emitting dx2 into the whole-batch
+    ``sdx2`` VMEM scratch), phase 1 runs the cross+self attention backward.
+
+    The monolithic backward's ``_chain`` serialization exists because every
+    stage's recompute depends only on saved refs, so Mosaic hoists all of it
+    to the kernel entry and keeps ~60 MB of fp32 temporaries live at once
+    (docs/PERF.md "training-step floor model": dec bwd ran at 68 % of its
+    floor behind those VMEM-anti-spill gates). Here the phase boundary is a
+    grid step — a structural barrier the scheduler cannot hoist across — so
+    each phase's save window is disjoint (phase 0: z3/z2/h1/gp + w1/w2;
+    phase 1: x/z1/z2/qkv + attention weights + mem_kv) and the gates inside
+    a phase relax to a 2-deep FFN chunk pipeline / plain data deps. Numerics
+    are identical to `_bwd_kernel` (same op order; the removed gates added
+    exactly +0.0). The dx2 round trip costs btot·t·e bf16 of VMEM (~4 MB at
+    flagship), not HBM."""
+    l = pl.program_id(0)
+    p = pl.program_id(1)
+    j = pl.program_id(2)
+    lr = nl - 1 - l
+    btt = bt * t
+    dh = e // h
+    s0 = seed_ref[0]
+    s1 = seed_ref[1]
+
+    bqkv = vecs[0, 0:1, :3 * e]
+    bqc = vecs[0, 2:3, 2 * e:3 * e]
+    g1 = vecs[0, 3:4, :e]
+    be1 = vecs[0, 3:4, e:2 * e]
+    g2 = vecs[0, 3:4, 2 * e:3 * e]
+    be2 = vecs[0, 3:4, 3 * e:4 * e]
+    g3 = vecs[0, 4:5, :e]
+
+    cw_chunks = [(c0, min(1024, f - c0)) for c0 in range(0, f, 1024)]
+    ncw = len(cw_chunks)
+
+    def _acc(vm, a, b, dep=None):
+        # weight-grad fold into the resident accumulator, ≤(1024, 1024)
+        # chunks chained so one fp32 dot output is live at a time (see
+        # `_bwd_kernel._acc`)
+        k, n = vm.shape
+        if n >= k:
+            for c0 in range(0, n, 1024):
+                b_c = b[:, c0:c0 + 1024]
+                if dep is not None:
+                    b_c = _chain(b_c, dep)
+                d = _dot_tb(a, b_c, vm.dtype)
+                vm[:, c0:c0 + 1024] += d
+                dep = d
+        else:
+            for r0 in range(0, k, 1024):
+                a_c = a[:, r0:r0 + 1024]
+                if dep is not None:
+                    a_c = _chain(a_c, dep)
+                d = _dot_tb(a_c, b, vm.dtype)
+                vm[r0:r0 + 1024, :] += d
+                dep = d
+        return dep
+
+    # ---- phase 0: LN3 + FFN backward --------------------------------------
+    @pl.when(p == 0)
+    def _():
+        sv_pairs = [(sz3, vz3)]
+        sv_pairs.append((sz2, vz2) if cross else (sz1, vz1))
+        sv_pairs += [(sh1, vh1), (sgp, vgp)]
+        sv_cps = []
+        for idx, (hbm, vm) in enumerate(sv_pairs):
+            cp = pltpu.make_async_copy(
+                hbm.at[lr, pl.dslice(j * btt, btt)], vm, ssems.at[idx])
+            cp.start()
+            sv_cps.append(cp)
+        dx_in_cp = pltpu.make_async_copy(
+            dxc.at[pl.dslice(j * btt, btt)], vdx, dx_sems.at[0])
+
+        @pl.when(l > 0)
+        def _():
+            dx_in_cp.start()
+
+        w_cps = {}
+
+        def _w_start(ci):
+            bi = ci % 2
+            c0, cw = cw_chunks[ci]
+            c1 = pltpu.make_async_copy(
+                w1_h.at[lr, :, pl.dslice(c0, cw)],
+                w1c.at[bi, :, pl.dslice(0, cw)], wsems.at[2 * bi])
+            c2 = pltpu.make_async_copy(
+                w2_h.at[lr, pl.dslice(c0, cw), :],
+                w2c.at[bi, pl.dslice(0, cw), :], wsems.at[2 * bi + 1])
+            c1.start()
+            c2.start()
+            w_cps[ci] = (c1, c2)
+
+        for ci in range(min(2, ncw)):
+            _w_start(ci)
+
+        @pl.when(j == 0)
+        def _():
+            dw1[...] = jnp.zeros(dw1.shape, dw1.dtype)
+            dw2[...] = jnp.zeros(dw2.shape, dw2.dtype)
+            dvecs[0] = jnp.zeros((8, vecs.shape[2]), jnp.float32)
+
+        @pl.when(l > 0)
+        def _():
+            dx_in_cp.wait()
+
+        g = jnp.where(l == 0, g_in[...], vdx[...])
+        sv_cps[0].wait()
+        z3 = vz3[...]
+        dz3, dg3, db3 = _ln_bwd(g, z3, g3)
+        dz3 = dz3.astype(dt)
+        sv_cps[1].wait()
+        if cross:
+            x2_32, _, _ = _ln_fwd(vz2[...], g2, be2)
+        else:
+            x2_32, _, _ = _ln_fwd(vz1[...], g1, be1)
+        x2 = x2_32.astype(dt)
+
+        dff = _apply_drop(dz3, rate, (s0, s1, lr, j, 3), det)
+        db2 = jnp.sum(dff.astype(jnp.float32), axis=0, keepdims=True)
+        sv_cps[2].wait()
+        sv_cps[3].wait()
+        dx2f = jnp.zeros((btt, e), jnp.float32)
+        db1_parts = []
+        # 2-deep chunk pipeline: chunk ci gates on chunk ci-2's products
+        # (both fold dots — d1 does not depend on d2), bounding the live
+        # set at two chunks while letting neighbouring chunks overlap
+        prev = [None, None]
+        for ci in range(ncw):
+            c0, cw = cw_chunks[ci]
+            bi = ci % 2
+            for cp in w_cps.pop(ci):
+                cp.wait()
+            h1_c = vh1[:, c0:c0 + cw]
+            if prev[bi] is not None:
+                h1_c = _chain(_chain(h1_c, prev[bi][0]), prev[bi][1])
+            d2 = _dot_tb(h1_c, dff, dw2.dtype)
+            dw2[c0:c0 + cw, :] += d2
+            dh1_c = _dot_bt(dff, w2c[bi, :cw, :]).astype(dt)
+            dh1_c = _apply_drop(dh1_c, rate, (s0, s1, lr, j, 2, ci), det)
+            du_c = (dh1_c.astype(jnp.float32)
+                    * vgp[:, c0:c0 + cw].astype(jnp.float32)).astype(dt)
+            dx2f = dx2f + _dot_bt(du_c, w1c[bi, :, :cw])
+            d1 = _dot_tb(x2, du_c, dw1.dtype)
+            dw1[:, c0:c0 + cw] += d1
+            db1_parts.append(
+                jnp.sum(du_c.astype(jnp.float32), axis=0, keepdims=True))
+            prev[bi] = (d1, d2)
+            if ci + 2 < ncw:
+                _w_start(ci + 2)
+        dx2 = dz3 + dx2f.astype(dt)
+        sdx2[pl.dslice(j * btt, btt), :] = dx2
+        db1 = jnp.concatenate(db1_parts, axis=1)
+
+        dvecs[0, 1:2, :f] += db1
+        dvecs[0, 2:3, 3 * e:4 * e] += db2
+        dvecs[0, 4:5, :e] += dg3
+        dvecs[0, 4:5, e:2 * e] += db3
+
+        @pl.when(j == nt - 1)
+        def _():
+            for idx, (vm, hbm) in enumerate(((dw1, dw1_h), (dw2, dw2_h))):
+                pltpu.make_async_copy(vm, hbm.at[lr], osems.at[idx]).start()
+            for idx, (vm, hbm) in enumerate(((dw1, dw1_h), (dw2, dw2_h))):
+                pltpu.make_async_copy(vm, hbm.at[lr], osems.at[idx]).wait()
+
+    # ---- phase 1: cross + self attention backward -------------------------
+    @pl.when(p == 1)
+    def _():
+        if cross:
+            mk_cp = pltpu.make_async_copy(
+                mem_kv.at[lr, pl.dslice(j * bt, bt)], mkv, mk_sem)
+            mk_cp.start()
+        sv_pairs = [(sx, vx), (sz1, vz1)]
+        if cross:
+            sv_pairs.append((sz2, vz2))
+        sv_pairs.append((sqkv, vqkv))
+        sv_cps = []
+        for idx, (hbm, vm) in enumerate(sv_pairs):
+            cp = pltpu.make_async_copy(
+                hbm.at[lr, pl.dslice(j * btt, btt)], vm, ssems.at[idx])
+            cp.start()
+            sv_cps.append(cp)
+
+        w_pairs = ((wqkv_h, wqkv), (wo_h, wo)) + \
+            (((wqc_h, wqc), (woc_h, woc)) if cross else ())
+        acc_bufs = (dwqkv, dwo) + ((dwqc, dwoc) if cross else ())
+
+        @pl.when(j == 0)
+        def _():
+            for idx, (hbm, vm) in enumerate(w_pairs):
+                pltpu.make_async_copy(hbm.at[lr], vm, sems.at[idx]).start()
+            for idx, (hbm, vm) in enumerate(w_pairs):
+                pltpu.make_async_copy(hbm.at[lr], vm, sems.at[idx]).wait()
+            for vm in acc_bufs:
+                vm[...] = jnp.zeros(vm.shape, vm.dtype)
+
+        wqkv_v, wo_v = wqkv[...], wo[...]
+        wqc_v, woc_v = (wqc[...], woc[...]) if cross else (None, None)
+
+        dx2 = sdx2[pl.dslice(j * btt, btt), :]
+        wdep = None
+        if cross:
+            sv_cps[2].wait()
+            z2 = vz2[...]
+            dz2, dg2, db2n = _ln_bwd(dx2, z2, g2)
+            dz2 = dz2.astype(dt)
+            dca = _apply_drop(dz2, rate, (s0, s1, lr, j, 1), det)
+            sv_cps[1].wait()
+            z1 = vz1[...]
+            x1_32, _, _ = _ln_fwd(z1, g1, be1)
+            x1 = x1_32.astype(dt)
+            qc = (_dot(x1, wqc_v) + bqc).astype(dt)
+            da_c = _dot_bt(dca, woc_v).astype(dt)
+            dboc = jnp.sum(dca.astype(jnp.float32), axis=0, keepdims=True)
+            mk_cp.wait()
+            dqc_rows = []
+            ac_rows = []
+            for i in range(bt):
+                mk = mkv[i]
+                bias_i = mbias[i, 0:1, :] + jnp.zeros((t, m), jnp.float32)
+                dq_heads, o_heads = [], []
+                pend = None
+                dep = None
+                ilp = _bwd_head_ilp()
+                for hh in range(h):
+                    q_h = qc[i * t:(i + 1) * t, hh * dh:(hh + 1) * dh]
+                    if dep is not None and hh % ilp == 0:
+                        q_h = _chain(q_h, dep)
+                    k_h = mk[:, hh * dh:(hh + 1) * dh]
+                    v_h = mk[:, e + hh * dh:e + (hh + 1) * dh]
+                    o, pr = _attend(q_h, k_h, v_h, bias_i, dt)
+                    o_heads.append(o)
+                    dq_h, dk_h, dv_h = _attend_bwd(
+                        da_c[i * t:(i + 1) * t, hh * dh:(hh + 1) * dh],
+                        q_h, k_h, v_h, pr, dt)
+                    dq_heads.append(dq_h)
+                    if pend is None:
+                        pend = (dk_h, dv_h)
+                    else:
+                        lo = (hh - 1) * dh
+                        dmkv[i, :, lo:lo + 2 * dh] = jnp.concatenate(
+                            [pend[0], dk_h], axis=1)
+                        dmkv[i, :, e + lo:e + lo + 2 * dh] = \
+                            jnp.concatenate([pend[1], dv_h], axis=1)
+                        pend = None
+                    dep = dv_h
+                dqc_rows.append(jnp.concatenate(dq_heads, axis=1))
+                ac_rows.append(jnp.concatenate(o_heads, axis=1))
+            dqc = jnp.concatenate(dqc_rows, axis=0)
+            a_c = jnp.concatenate(ac_rows, axis=0)
+            dmk_cp = pltpu.make_async_copy(
+                dmkv, dmem_kv.at[lr, pl.dslice(j * bt, bt)], dmk_sem)
+            dmk_cp.start()
+            wdep = _acc(dwoc, a_c, dca)
+            dx1 = dz2 + _dot_bt(dqc, wqc_v).astype(dt)
+            wdep = _acc(dwqc, x1, dqc, dep=wdep)
+            dbqc = jnp.sum(dqc.astype(jnp.float32), axis=0, keepdims=True)
+        else:
+            sv_cps[1].wait()
+            z1 = vz1[...]
+            dx1 = dx2
+
+        dz1, dg1, db1n = _ln_bwd(dx1, z1, g1)
+        dz1 = dz1.astype(dt)
+        dsa = _apply_drop(dz1, rate, (s0, s1, lr, j, 0), det)
+        sv_cps[0].wait()
+        x = vx[...]
+        sv_cps[-1].wait()
+        qkv = vqkv[...]
+        da_s = _dot_bt(dsa, wo_v).astype(dt)
+        dbo = jnp.sum(dsa.astype(jnp.float32), axis=0, keepdims=True)
+        cb = _causal32(t) if causal else jnp.zeros((t, t), jnp.float32)
+        dqkv_rows = []
+        as_rows = []
+        gs, gw = _group_spec(dh)
+        scl = 1.0 / math.sqrt(dh)
+        for i in range(bt):
+            qkv_i = qkv[i * t:(i + 1) * t, :]
+            bias_i = cb + sbias[i, 0:1, :]
+            dq_heads, dk_heads, dv_heads, o_heads = [], [], [], []
+            dep = None
+            for gg in range(h // gs):
+                if gs == 1:
+                    q_h = qkv_i[:, gg * dh:(gg + 1) * dh]
+                    if dep is not None and gg % _bwd_head_ilp() == 0:
+                        q_h = _chain(q_h, dep)
+                    k_h = qkv_i[:, e + gg * dh:e + (gg + 1) * dh]
+                    v_h = qkv_i[:, 2 * e + gg * dh:2 * e + (gg + 1) * dh]
+                    o, pr = _attend(q_h, k_h, v_h, bias_i, dt)
+                    o_heads.append(o)
+                    dq_h, dk_h, dv_h = _attend_bwd(
+                        da_s[i * t:(i + 1) * t, gg * dh:(gg + 1) * dh],
+                        q_h, k_h, v_h, pr, dt)
+                    dq_heads.append(dq_h)
+                    dk_heads.append(dk_h)
+                    dv_heads.append(dv_h)
+                    dep = dv_h
+                    continue
+                q_g = qkv_i[:, gg * gw:(gg + 1) * gw]
+                k_g = qkv_i[:, e + gg * gw:e + (gg + 1) * gw]
+                v_g = qkv_i[:, 2 * e + gg * gw:2 * e + (gg + 1) * gw]
+                do_g = da_s[i * t:(i + 1) * t, gg * gw:(gg + 1) * gw]
+                o_acc = jnp.zeros((t, gw), jnp.float32)
+                dq_acc = jnp.zeros((t, gw), jnp.float32)
+                dk_acc = jnp.zeros((t, gw), jnp.float32)
+                dv_acc = jnp.zeros((t, gw), jnp.float32)
+                for hh in range(gs):
+                    mrow = _head_col_mask(gs, hh, dh, dt)
+                    k_m = k_g * mrow
+                    if dep is not None and (gg * gs + hh) % _bwd_head_ilp() == 0:
+                        k_m = _chain(k_m, dep)
+                    q_m = q_g * mrow
+                    v_m = v_g * mrow
+                    o, pr = _attend(q_g, k_m, v_m, bias_i, dt, scale=scl)
+                    o_acc = o_acc + o.astype(jnp.float32)
+                    dq_h, dk_h, dv_h = _attend_bwd(
+                        do_g * mrow, q_m, k_m, v_m, pr, dt, scale=scl)
+                    dq_acc = dq_acc + dq_h.astype(jnp.float32)
+                    dk_acc = dk_acc + dk_h.astype(jnp.float32)
+                    dv_acc = dv_acc + dv_h.astype(jnp.float32)
+                    dep = dv_h
+                o_heads.append(o_acc.astype(dt))
+                dq_heads.append(dq_acc.astype(dt))
+                dk_heads.append(dk_acc.astype(dt))
+                dv_heads.append(dv_acc.astype(dt))
+            as_rows.append(jnp.concatenate(o_heads, axis=1))
+            dqkv_rows.append(jnp.concatenate(
+                dq_heads + dk_heads + dv_heads, axis=1))
+        dqkv = jnp.concatenate(dqkv_rows, axis=0)
+        a_s = jnp.concatenate(as_rows, axis=0)
+        wdep = _acc(dwo, a_s, dsa, dep=wdep)
+        dx = dz1 + _dot_bt(dqkv, wqkv_v).astype(dt)
+        _acc(dwqkv, x, dqkv, dep=wdep)
+        dbqkv = jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
+
+        vdx[...] = dx
+        dx_out_cp = pltpu.make_async_copy(
+            vdx, dxc.at[pl.dslice(j * btt, btt)], dx_sems.at[1])
+        dx_out_cp.start()
+
+        dvecs[0, 0:1, :3 * e] += dbqkv
+        dvecs[0, 2:3, :e] += dbo
+        dvecs[0, 3:4, :e] += dg1
+        dvecs[0, 3:4, e:2 * e] += db1n
+        if cross:
+            dvecs[0, 2:3, e:2 * e] += dboc
+            dvecs[0, 2:3, 2 * e:3 * e] += dbqc
+            dvecs[0, 3:4, 2 * e:3 * e] += dg2
+            dvecs[0, 3:4, 3 * e:4 * e] += db2n
+
+        @pl.when(j == nt - 1)
+        def _():
+            d_pairs = ((dwqkv, dwqkv_h), (dwo, dwo_h)) + \
+                (((dwqc, dwqc_h), (dwoc, dwoc_h)) if cross else ())
+            for idx, (vm, hbm) in enumerate(d_pairs):
+                pltpu.make_async_copy(vm, hbm.at[lr], osems.at[idx]).start()
+            for idx, (vm, hbm) in enumerate(d_pairs):
+                pltpu.make_async_copy(vm, hbm.at[lr], osems.at[idx]).wait()
+
+        if cross:
+            dmk_cp.wait()
+        dx_out_cp.wait()
+
+
+# ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
@@ -1082,8 +1463,37 @@ def _fwd_call(x, mem_kv, sbias, mbias, flat_w, seeds, *, num_heads, rate,
       w1_w, w2_w, vecs)
 
 
+_BWD_SPLIT = os.environ.get("ACAI_BWD_SPLIT", "1") == "1"
+
+
+def set_bwd_split(flag: bool) -> None:
+    global _BWD_SPLIT
+    _BWD_SPLIT = flag
+
+
+def bwd_split_fits(b: int, t: int, e: int, f: int, m: int,
+                   itemsize: int = 2, cross: bool = True) -> bool:
+    """The split backward adds a whole-batch (B·T, E) dx2 VMEM scratch; gate
+    it to shapes where that scratch plus the union of both phases' resident
+    buffers stays inside the plan (conservative; flagship SS decoder ~73 MB,
+    MAE decoder ~95 MB)."""
+    sdx2 = b * t * e * itemsize
+    btt = t  # bt_bwd=1 tiles
+    resident = (
+        sdx2
+        + 4 * btt * max(e, f) * itemsize      # saved-stream buffers
+        + btt * 3 * e * itemsize              # qkv save
+        + 2 * btt * f * itemsize              # h1 + gp
+        + 4 * e * 1024 * itemsize             # w1/w2 chunk pipeline
+        + 2 * e * f * itemsize                # dw1 + dw2 accumulators
+        + (6 + 6) * e * e * itemsize          # attn weights + accumulators
+        + (2 * m * 2 * e * itemsize if cross else 0))  # mkv + dmkv
+    return resident + 40 * 1024 * 1024 < _VMEM_LIMIT
+
+
 def _bwd_call(x, mem_kv, sbias, mbias, flat_w, saved, g, seeds, *, num_heads,
-              rate, det, causal, bt, bt_bwd, interpret, cross=True):
+              rate, det, causal, bt, bt_bwd, interpret, cross=True,
+              split=False):
     bt = bt_bwd
     bt_rows, e = x.shape
     t = sbias.shape[2]
@@ -1107,9 +1517,17 @@ def _bwd_call(x, mem_kv, sbias, mbias, flat_w, saved, g, seeds, *, num_heads,
     btt = bt * t
     w = vecs.shape[2]
     kern = functools.partial(
-        _bwd_kernel, nl=nl, nt=nt, bt=bt, t=t, m=m, e=e, f=f, h=num_heads,
+        _bwd_split_kernel if split else _bwd_kernel,
+        nl=nl, nt=nt, bt=bt, t=t, m=m, e=e, f=f, h=num_heads,
         dt=dt, rate=rate, det=det, causal=causal, cross=cross)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    if split:
+        # grid (nl, phase, tile): index maps see (l, p, j)
+        tile_ix = lambda l, p, j, *_: j
+        layer_ix = lambda l, p, j, *_: nl - 1 - l
+    else:
+        tile_ix = lambda l, j, *_: j
+        layer_ix = lambda l, j, *_: nl - 1 - l
     dvm = pltpu.VMEM((8, 128), dt)  # dummy scratch when the stage is absent
     scratch_shapes = [
         pltpu.VMEM((e, 3 * e), dt), pltpu.VMEM((e, e), dt),
@@ -1139,26 +1557,29 @@ def _bwd_call(x, mem_kv, sbias, mbias, flat_w, saved, g, seeds, *, num_heads,
         pltpu.VMEM((btt, e), dt), pltpu.SemaphoreType.DMA((4,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+    if split:
+        # whole-batch dx2 hand-off scratch between the two phases
+        scratch_shapes.append(pltpu.VMEM((btot * t, e), dt))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nl, nt),
+        grid=(nl, 2, nt) if split else (nl, nt),
         in_specs=[
             any_spec,  # mem_kv: hand-DMA'd, single-buffered
-            pl.BlockSpec((bt, 1, t), lambda l, j, *_: (j, 0, 0)),
-            pl.BlockSpec((bt, 1, m), lambda l, j, *_: (j, 0, 0))
+            pl.BlockSpec((bt, 1, t), lambda *a: (tile_ix(*a), 0, 0)),
+            pl.BlockSpec((bt, 1, m), lambda *a: (tile_ix(*a), 0, 0))
             if cross else any_spec,
             any_spec, any_spec, any_spec, any_spec, any_spec, any_spec,
-            pl.BlockSpec((1, 8, w), lambda l, j, *_: (nl - 1 - l, 0, 0)),
+            pl.BlockSpec((1, 8, w), lambda *a: (layer_ix(*a), 0, 0)),
             # saved activations: hand-DMA'd, single-buffered (see kernel)
             any_spec, any_spec, any_spec, any_spec, any_spec, any_spec,
             any_spec,
-            pl.BlockSpec((btt, e), lambda l, j, *_: (j, 0)),
+            pl.BlockSpec((btt, e), lambda *a: (tile_ix(*a), 0)),
         ],
         out_specs=[
             any_spec,  # dxc: HBM dx layer-carry, last write is the result
             any_spec,  # dmem_kv: hand-DMA'd, single-buffered
             any_spec, any_spec, any_spec, any_spec, any_spec, any_spec,
-            pl.BlockSpec((1, 8, w), lambda l, j, *_: (nl - 1 - l, 0, 0)),
+            pl.BlockSpec((1, 8, w), lambda *a: (layer_ix(*a), 0, 0)),
         ],
         scratch_shapes=scratch_shapes,
     )
@@ -1178,7 +1599,7 @@ def _bwd_call(x, mem_kv, sbias, mbias, flat_w, saved, g, seeds, *, num_heads,
     return pl.pallas_call(
         kern, grid_spec=grid_spec, out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",) * (3 if split else 2),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(seeds, mem_kv, sbias, mbias, wqkv_w, wo_w, wqc_w, woc_w, w1_w, w2_w,
@@ -1191,7 +1612,7 @@ def _bwd_call(x, mem_kv, sbias, mbias, flat_w, saved, g, seeds, *, num_heads,
 
 @functools.lru_cache(maxsize=8)
 def _make_fused(num_heads: int, rate: float, det: bool, causal: bool,
-                bt: int, bt_bwd: int, interpret: bool):
+                bt: int, bt_bwd: int, interpret: bool, split: bool = False):
     cfg = dict(num_heads=num_heads, rate=rate, det=det, causal=causal,
                bt=bt, bt_bwd=bt_bwd, interpret=interpret)
 
@@ -1212,7 +1633,8 @@ def _make_fused(num_heads: int, rate: float, det: bool, causal: bool,
     def bwd(res, g):
         flat_w, x, mem_kv, sbias, mbias, seeds, saved = res
         (dx, dmkv, dwqkv, dwo, dwqc, dwoc, dw1, dw2, dvecs) = _bwd_call(
-            x, mem_kv, sbias, mbias, flat_w, saved, g, seeds, **cfg)
+            x, mem_kv, sbias, mbias, flat_w, saved, g, seeds, split=split,
+            **cfg)
         dflat = (dwqkv.astype(flat_w[0].dtype), dwo.astype(flat_w[1].dtype),
                  dwqc.astype(flat_w[2].dtype), dwoc.astype(flat_w[3].dtype),
                  dw1.astype(flat_w[4].dtype), dw2.astype(flat_w[5].dtype),
@@ -1226,7 +1648,8 @@ def _make_fused(num_heads: int, rate: float, det: bool, causal: bool,
 
 @functools.lru_cache(maxsize=8)
 def _make_fused_enc(num_heads: int, rate: float, det: bool, causal: bool,
-                    bt: int, bt_bwd: int, interpret: bool):
+                    bt: int, bt_bwd: int, interpret: bool,
+                    split: bool = False):
     cfg = dict(num_heads=num_heads, rate=rate, det=det, causal=causal,
                bt=bt, bt_bwd=bt_bwd, interpret=interpret, cross=False)
 
@@ -1244,7 +1667,8 @@ def _make_fused_enc(num_heads: int, rate: float, det: bool, causal: bool,
     def bwd(res, g):
         flat_w, x, sbias, seeds, saved = res
         (dx, _, dwqkv, dwo, _, _, dw1, dw2, dvecs) = _bwd_call(
-            x, None, sbias, None, flat_w, saved, g, seeds, **cfg)
+            x, None, sbias, None, flat_w, saved, g, seeds, split=split,
+            **cfg)
         dflat = (dwqkv.astype(flat_w[0].dtype), dwo.astype(flat_w[1].dtype),
                  dw1.astype(flat_w[2].dtype), dw2.astype(flat_w[3].dtype),
                  dvecs)
@@ -1289,8 +1713,10 @@ def decoder_stack_fused(stacked: Params, x: jnp.ndarray, mem_kv: jnp.ndarray,
     bt_bwd = row_tile or int(os.environ.get("ACAI_FUSED_BT_BWD", "1"))
     while b % bt_bwd:
         bt_bwd -= 1
+    split = _BWD_SPLIT and bwd_split_fits(
+        b, t, e, f, m, jnp.dtype(dt).itemsize, cross=True)
     fused = _make_fused(num_heads, float(dropout_rate), bool(det), True,
-                        int(bt), int(bt_bwd), _INTERPRET)
+                        int(bt), int(bt_bwd), _INTERPRET, split)
     out = fused(flat_w, x.reshape(b * t, e), mem_kv, sbias, mbias, seeds)
     return out.reshape(b, t, e)
 
@@ -1344,7 +1770,9 @@ def encoder_stack_fused(stacked: Params, x: jnp.ndarray,
     bt_bwd = row_tile or max(1, 256 // t if t < 256 else 1)
     while b % bt_bwd:
         bt_bwd -= 1
+    split = _BWD_SPLIT and bwd_split_fits(
+        b, t, e, f, 0, jnp.dtype(dt).itemsize, cross=False)
     fused = _make_fused_enc(num_heads, float(dropout_rate), bool(det), False,
-                            int(bt), int(bt_bwd), _INTERPRET)
+                            int(bt), int(bt_bwd), _INTERPRET, split)
     out = fused(flat_w, x.reshape(b * t, e), sbias, seeds)
     return out.reshape(b, t, e)

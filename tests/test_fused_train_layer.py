@@ -259,3 +259,44 @@ def test_dropout_forward_backward_consistency(setup):
 
     g = jax.grad(loss)(x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_split_backward_matches_monolithic(setup):
+    """The split backward (grid (nl, 2, nt), ACAI_BWD_SPLIT) must produce
+    exactly the monolithic `_bwd_kernel`'s gradients: same op order, and the
+    removed `_chain` gates added exactly +0.0 (docs/PERF.md floor study)."""
+    stacked, x, memory, self_valid, mem_valid, mem_kv = setup
+
+    def loss(split, stacked_, x_, mem_kv_):
+        ptl.set_bwd_split(split)
+        try:
+            out = ptl.decoder_stack_fused(stacked_, x_, mem_kv_, self_valid,
+                                          mem_valid, H, row_tile=2)
+        finally:
+            ptl.set_bwd_split(True)
+        return jnp.sum(out * jnp.cos(out))
+
+    g_mono = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2))(
+        stacked, x, mem_kv)
+    g_split = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1, 2))(
+        stacked, x, mem_kv)
+    for a, b in zip(jax.tree.leaves(g_mono), jax.tree.leaves(g_split)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_split_backward_matches_monolithic_encoder(enc_setup):
+    stacked, x, valid = enc_setup
+
+    def loss(split, stacked_, x_):
+        ptl.set_bwd_split(split)
+        try:
+            out = ptl.encoder_stack_fused(stacked_, x_, valid, H, row_tile=2)
+        finally:
+            ptl.set_bwd_split(True)
+        return jnp.sum(out * jnp.cos(out))
+
+    g_mono = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1))(stacked, x)
+    g_split = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1))(stacked, x)
+    for a, b in zip(jax.tree.leaves(g_mono), jax.tree.leaves(g_split)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -72,6 +72,7 @@ def test_shard_map_decode_matches_single_device():
                                np.asarray(ref[1])[:, :n], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_shard_map_decode_grouped_mem():
     """sharded_generate composes with grouped memory (mem_group=G): greedy
     grouped sharded decode == single-device grouped decode."""
@@ -237,6 +238,7 @@ def test_sharded_beam_matches_single_device_beam():
                                np.asarray(ref[1])[:, :n], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_beam_int8_matches_single_device_beam_int8():
     """int8 cache quantization composes with sharded beams (per-op layout on
     CPU; the per-shard scale-plane pack groups are exercised on TPU)."""

@@ -109,6 +109,10 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--cache", type=int, default=256)
     ap.add_argument("--mem", type=int, default=512)
+    ap.add_argument("--tp", type=int, default=2, choices=(2, 4),
+                    help="model-parallel factor for the shard arm (tp=4 "
+                         "shard: heads 16->4, attn width 256, MLP 1024; "
+                         "ICI term doubles — 2 recursive-doubling rounds)")
     ap.add_argument("--int8", action="store_true",
                     help="int8 KV caches (+ packed scale planes) at both "
                          "shapes; weights stay bf16, as the tp monolith "
@@ -176,16 +180,20 @@ def main():
     results["full_step_us"] = wall / args.steps * 1e6
 
     # --- shard-shape monolith (the per-chip TP-2 work) -----------------------
-    sparams, ea = shard0_slice(params, cfg, 2)
+    tp = args.tp
+    sparams, ea = shard0_slice(params, cfg, tp)
     mono_s, caches_s, mk_s, mv_s, bc_s, msc_s = setup(
-        sparams, cfg, ea, h // 2, w8a8=args.int8 and args.shard_w8a8)
-    wall_s = measure(make_chain(h // 2, args.steps, t0, args.int8, msc_s),
+        sparams, cfg, ea, h // tp, w8a8=args.int8 and args.shard_w8a8)
+    wall_s = measure(make_chain(h // tp, args.steps, t0, args.int8, msc_s),
                      mono_s, x, caches_s, mk_s, mv_s, bc_s)
     results["shard_step_us"] = wall_s / args.steps * 1e6
 
-    comm = 3 * cfg.num_layers * ICI_US_PER_EXCHANGE
+    # recursive doubling: log2(tp) rounds of 3 exchanges per layer
+    nrounds = tp.bit_length() - 1
+    comm = 3 * cfg.num_layers * ICI_US_PER_EXCHANGE * nrounds
     results["modeled_ici_us"] = comm
-    results["tp2_step_estimate_us"] = results["shard_step_us"] + comm
+    results["tp"] = tp
+    results[f"tp{tp}_step_estimate_us"] = results["shard_step_us"] + comm
     results["speedup_vs_full"] = results["full_step_us"] / \
         results["tp2_step_estimate_us"]
     results = {k: round(v, 2) for k, v in results.items()}

@@ -52,10 +52,10 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
     path; near- but not bit-identical tokens — see docs/PERF.md).
 
     ``mesh``: decode each bucket group over the device mesh
-    (:func:`decode.sharded_generate`) — the batch is padded up to the data
-    axis and shards get independent decode loops; ``model_axis`` adds
-    tensor parallelism on top (heads/MLP split — the low-batch latency
-    lever). Greedy only; ``beam_size > 1`` ignores the mesh.
+    (:func:`decode.sharded_generate` / :func:`decode.sharded_beam_generate`)
+    — the batch is padded up to the data axis and shards get independent
+    decode loops; ``model_axis`` adds tensor parallelism on top (heads/MLP
+    split — the low-batch latency lever; beams ride the TP monolith too).
     """
     order = sorted(range(len(imgs)),
                    key=lambda i: _bucket_key(imgs[i], cfg, bucket_multiple))
@@ -63,7 +63,7 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
     # (the shuffle emits fresh arrays — per-call it would re-upload ~all
     # decoder weights through the device transfer path every group)
     tp_params = None
-    if mesh is not None and model_axis is not None and beam_size == 1 \
+    if mesh is not None and model_axis is not None \
             and mesh.shape[model_axis] > 1:
         tp_params = decode_lib.prepare_tp_decode_params(
             params["decoder"], cfg.decoder, mesh, model_axis)
@@ -88,12 +88,27 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
             params, cfg, jnp.asarray(pb.patches), jnp.asarray(pb.pe_idx),
             jnp.asarray(pb.pe_w), jnp.asarray(pb.valid),
             compute_dtype=compute_dtype)
-        if beam_size > 1:
+        if beam_size > 1 and mesh is None:
             seqs, lps, mask = decode_lib.beam_generate(
                 params["decoder"], cfg.decoder, latent, latent_valid,
                 beam_size=beam_size, length_penalty=length_penalty,
                 max_len=max_inference_len, compute_dtype=compute_dtype,
                 cache_dtype=cache_dtype)
+        elif beam_size > 1:
+            from ..parallel import mesh as mesh_lib
+            n_data = mesh.shape[mesh_lib.DATA_AXIS]
+            pad = (-len(group)) % n_data
+            if pad:
+                latent = jnp.concatenate(
+                    [latent, jnp.repeat(latent[:1], pad, axis=0)])
+                latent_valid = jnp.concatenate(
+                    [latent_valid, jnp.repeat(latent_valid[:1], pad, axis=0)])
+            seqs, lps, mask = decode_lib.sharded_beam_generate(
+                params["decoder"], cfg.decoder, latent, latent_valid, mesh,
+                axis=mesh_lib.DATA_AXIS, model_axis=model_axis,
+                beam_size=beam_size, length_penalty=length_penalty,
+                max_len=max_inference_len, compute_dtype=compute_dtype,
+                cache_dtype=cache_dtype, tp_params=tp_params)
         elif mesh is not None:
             from ..parallel import mesh as mesh_lib
             n_data = mesh.shape[mesh_lib.DATA_AXIS]

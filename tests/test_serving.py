@@ -468,3 +468,29 @@ def test_bucketed_runner_pads_and_trims():
     assert r([5]) == [10]                     # stays 1
     assert r([1, 2, 3, 4, 5]) == [2, 4, 6, 8, 10]  # padded to 8
     assert seen == [4, 1, 8]
+
+
+def test_batch_inference_meshed_beam(tiny_model, rng):
+    """mesh= + beam_size>1 routes through sharded_beam_generate (DP x TP
+    per-op on this tiny config) and matches the unmeshed beam decode."""
+    import jax
+    import jax.numpy as jnp
+    from acai_omr_tpu.inference.batch_inference import batch_inference
+    from acai_omr_tpu.parallel import mesh as mesh_lib
+    from acai_omr_tpu.serving import routes
+
+    m = routes._MODEL
+    imgs = [rng.random((1, 32, 48), dtype=np.float32),
+            rng.random((1, 64, 96), dtype=np.float32),
+            rng.random((1, 32, 48), dtype=np.float32)]
+    kwargs = dict(max_inference_len=12, decode_batch=2, bucket_multiple=8,
+                  beam_size=2, compute_dtype=jnp.float32)
+    ref = batch_inference(m["params"], m["cfg"], imgs, m["tokenizer"],
+                          **kwargs)
+    mesh = mesh_lib.make_mesh(2, 2, devices=jax.devices()[:4])
+    res = batch_inference(m["params"], m["cfg"], imgs, m["tokenizer"],
+                          mesh=mesh, model_axis=mesh_lib.MODEL_AXIS,
+                          **kwargs)
+    assert res.lmx == ref.lmx
+    np.testing.assert_allclose(res.avg_log_probs, ref.avg_log_probs,
+                               atol=1e-5)

@@ -1463,7 +1463,16 @@ def _fwd_call(x, mem_kv, sbias, mbias, flat_w, seeds, *, num_heads, rate,
       w1_w, w2_w, vecs)
 
 
-_BWD_SPLIT = os.environ.get("ACAI_BWD_SPLIT", "1") == "1"
+# Split two-phase backward (VERDICT r3 #1's prescribed restructuring):
+# BUILT, exact (tests/test_fused_train_layer.py::test_split_backward_*),
+# and measured SLOWER at flagship shapes — 38.3 vs 34.9 ms/grad-step
+# (fused_train_ab, v5e, bt_bwd=1) — because the phase boundary's costs
+# (z1/z2 re-fetch, un-overlapped per-phase weight fetches, 2x grid steps,
+# the dx2 hand-off) exceed what relaxed `_chain` scheduling buys; with
+# head-ILP already measured neutral, this falsifies the "VMEM-anti-spill
+# serialization idles the MXU" theory of the dec-bwd floor gap — see
+# docs/PERF.md "dec-bwd ceiling" note. Default OFF; knob kept for A/Bs.
+_BWD_SPLIT = os.environ.get("ACAI_BWD_SPLIT", "0") == "1"
 
 
 def set_bwd_split(flag: bool) -> None:

@@ -47,20 +47,28 @@ import jax.numpy as jnp
 
 def decode_arm(params, cfg, latent, latent_valid, *, mesh=None,
                cache_dtype=jnp.bfloat16, max_len=48):
+    # fp32 compute: CPU has no native bf16 (emulation is ~50x slower and
+    # was the tool's first-version hang); quantization (the thing under
+    # test) is orthogonal to the compute dtype, and fp32-on-CPU is the
+    # repo-wide interpret-mode convention (tests/test_tp_monolith.py)
+    import time
     from acai_omr_tpu.models import decode as decode_lib
     from acai_omr_tpu.parallel import mesh as mesh_lib
 
+    t0 = time.perf_counter()
     if mesh is None:
         seqs, _, mask = decode_lib.generate(
             params["decoder"], cfg.decoder, latent, latent_valid,
             max_len=max_len, initial_segment=max_len,
-            compute_dtype=jnp.bfloat16, cache_dtype=cache_dtype)
+            compute_dtype=jnp.float32, cache_dtype=cache_dtype)
     else:
         seqs, _, mask = decode_lib.sharded_generate(
             params["decoder"], cfg.decoder, latent, latent_valid, mesh,
             axis=mesh_lib.DATA_AXIS, model_axis=mesh_lib.MODEL_AXIS,
             max_len=max_len, initial_segment=max_len,
-            compute_dtype=jnp.bfloat16, cache_dtype=cache_dtype)
+            compute_dtype=jnp.float32, cache_dtype=cache_dtype)
+    print(f"[arm done in {time.perf_counter() - t0:.0f}s: mesh={mesh is not None} "
+          f"cache={cache_dtype.__name__}]", flush=True)
     return np.asarray(seqs), np.asarray(mask)
 
 
@@ -127,7 +135,8 @@ def main():
     latent, latent_valid = vitomr_lib.encode_image(
         params, cfg, jnp.asarray(pb.patches), jnp.asarray(pb.pe_idx),
         jnp.asarray(pb.pe_w), jnp.asarray(pb.valid),
-        compute_dtype=jnp.bfloat16)
+        compute_dtype=jnp.float32)
+    print(f"[encoded {latent.shape}]", flush=True)
 
     mesh = mesh_lib.make_mesh(4, 2)
     results = {"ckpt": args.ckpt, "n_examples": len(imgs),

@@ -195,7 +195,7 @@ def main():
     results["tp"] = tp
     results[f"tp{tp}_step_estimate_us"] = results["shard_step_us"] + comm
     results["speedup_vs_full"] = results["full_step_us"] / \
-        results["tp2_step_estimate_us"]
+        results[f"tp{tp}_step_estimate_us"]
     results = {k: round(v, 2) for k, v in results.items()}
     results.update(b=b, steps=args.steps, cache=t_len, mem=m_len,
                    int8=bool(args.int8), device=str(jax.devices()[0]))

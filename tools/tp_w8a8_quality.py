@@ -50,8 +50,12 @@ def decode_arm(params, cfg, latent, latent_valid, *, mesh=None,
     # fp32 compute: CPU has no native bf16 (emulation is ~50x slower and
     # was the tool's first-version hang); quantization (the thing under
     # test) is orthogonal to the compute dtype, and fp32-on-CPU is the
-    # repo-wide interpret-mode convention (tests/test_tp_monolith.py)
+    # repo-wide interpret-mode convention (tests/test_tp_monolith.py).
+    # clear_caches: the W8A8/TP flags are module globals read at TRACE
+    # time — the module-level decode_segment jit would otherwise silently
+    # reuse the previous arm's program (the "0s arm" A/B-rot tell)
     import time
+    jax.clear_caches()
     from acai_omr_tpu.models import decode as decode_lib
     from acai_omr_tpu.parallel import mesh as mesh_lib
 
@@ -138,13 +142,17 @@ def main():
         compute_dtype=jnp.float32)
     print(f"[encoded {latent.shape}]", flush=True)
 
-    mesh = mesh_lib.make_mesh(4, 2)
+    # (1 data x 2 model): the interpret-mode emulation executes the mesh's
+    # devices serially, so extra data shards multiply wall-clock without
+    # changing what the TP arms validate (per-shard W8A8 numerics)
+    mesh = mesh_lib.make_mesh(1, 2, devices=jax.devices()[:2])
     results = {"ckpt": args.ckpt, "n_examples": len(imgs),
                "max_len": args.max_len}
 
-    # bf16 reference arm (per-op path on CPU; the quality baseline every
+    # fp32 reference arm (per-op path on CPU; the quality baseline every
     # quantized arm is held to)
     pallas_monolith.set_test_mode(force=False, interpret=True)
+    print("[ref arm...]", flush=True)
     ref_seqs, ref_mask = decode_arm(params, cfg, latent, latent_valid,
                                     max_len=args.max_len)
     results["bf16_gold_token_acc"] = gold_token_acc(ref_seqs, ref_mask, refs)

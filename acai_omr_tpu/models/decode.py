@@ -820,6 +820,74 @@ def prepare_tp_decode_params(params: Params, cfg: DecoderConfig, mesh,
         shuffled, specs)
 
 
+
+def _tp_peers(mesh, model_axis: str, tp: int):
+    """Per-round recursive-doubling peer ids for the TP monolith's in-kernel
+    all-reduce: round r's peer is the device at the same mesh coordinates
+    with the model coordinate XOR (1 << r), as a row-major logical device
+    id. Must be called inside ``shard_map`` (uses ``jax.lax.axis_index``)."""
+    peers = []
+    for r in range(tp.bit_length() - 1):
+        idx = jnp.int32(0)
+        for a in mesh.axis_names:
+            c_a = jax.lax.axis_index(a)
+            if a == model_axis:
+                c_a = jnp.bitwise_xor(c_a, 1 << r)
+            idx = idx * mesh.shape[a] + c_a
+        peers.append(idx)
+    return jnp.stack(peers)
+
+
+def _grow_sharded_caches(carry, memd, cache_len, new_len, packed, group,
+                         new_group, pack, unpack, repack_mem):
+    """Host-side cache-segment growth shared by :func:`sharded_generate` and
+    :func:`sharded_beam_generate`: pad the K/V time axis; for int8 monolith
+    states unpack -> pad -> repack the lane-packed scale planes at the new
+    segment's pack group (``pack``/``unpack`` are the tp-aware fns), and
+    repack the packed MEMORY planes too when ``repack_mem`` (ungrouped
+    memories follow the pack group; grouped/shared-narrow ones don't)."""
+    if carry["k"].ndim == 4:
+        pad = [(0, 0), (0, 0), (0, new_len - cache_len), (0, 0)]
+    else:
+        pad = [(0, 0)] * 4 + [(0, new_len - cache_len)]
+    carry["k"] = jnp.pad(carry["k"], pad)
+    carry["v"] = jnp.pad(carry["v"], pad)
+    if "ks" in carry:
+        if packed:
+            def regrow(sc):
+                u = unpack(sc, group)
+                u = jnp.pad(u, [(0, 0), (0, 0), (0, new_len - cache_len),
+                                (0, 0)], constant_values=1.0)
+                return pack(u, new_group)
+
+            carry["ks"] = regrow(carry["ks"])
+            carry["vs"] = regrow(carry["vs"])
+            if repack_mem and new_group != group and "ks" in memd:
+                memd["ks"] = pack(unpack(memd["ks"], group), new_group)
+                memd["vs"] = pack(unpack(memd["vs"], group), new_group)
+        else:
+            spad = [(0, 0)] * 3 + [(0, new_len - cache_len)]
+            carry["ks"] = jnp.pad(carry["ks"], spad, constant_values=1.0)
+            carry["vs"] = jnp.pad(carry["vs"], spad, constant_values=1.0)
+    return carry, memd
+
+
+def _select_best_beam(seqs, log_probs, scores, cfg, length_penalty: float):
+    """GNMT length-normalized best-beam selection shared by
+    :func:`beam_generate` and :func:`sharded_beam_generate`. Returns
+    ((best_seqs, best_lps, mask), final_scores (B, K))."""
+    b, k, _ = seqs.shape
+    mask = create_inference_mask(seqs.reshape(b * k, -1), cfg.eos_idx)
+    lengths = jnp.sum(mask.reshape(b, k, -1), axis=-1) - 1  # exclude <bos>
+    norm = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
+    final_scores = scores / jnp.maximum(norm, 1e-6)
+    best = jnp.argmax(final_scores, axis=-1)                # (B,)
+    take = lambda x: jnp.take_along_axis(
+        x, best.reshape((b,) + (1,) * (x.ndim - 1)), axis=1)[:, 0]
+    return (mask_and_clip_seqs(take(seqs), take(log_probs), cfg.eos_idx,
+                               cfg.pad_idx), final_scores)
+
+
 def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
                      latent_valid, mesh, *, axis: str = "data",
                      model_axis: str | None = None,
@@ -1019,21 +1087,8 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
                          c["v"], c["key"][0], c.get("ks"), c.get("vs"))
         mm = MemoryKV(md["k"], md["v"], md.get("bias"), md.get("ks"),
                       md.get("vs"))
-        tp_peer = None
-        if tp > 1 and monolith:
-            # per-round peers' row-major logical device ids in the mesh
-            # (model coordinate XOR (1<<r)) for the kernel's remote-DMA
-            # recursive-doubling all-reduce
-            peers = []
-            for r in range(tp.bit_length() - 1):
-                idx = jnp.int32(0)
-                for a in mesh.axis_names:
-                    c_a = jax.lax.axis_index(a)
-                    if a == model_axis:
-                        c_a = jnp.bitwise_xor(c_a, 1 << r)
-                    idx = idx * mesh.shape[a] + c_a
-                peers.append(idx)
-            tp_peer = jnp.stack(peers)
+        tp_peer = _tp_peers(mesh, model_axis, tp) \
+            if tp > 1 and monolith else None
         s = decode_segment(params=p, cfg=cfg, state=st, mem=mm,
                            num_steps=steps, sampling=sampling,
                            compute_dtype=compute_dtype, mem_group=g,
@@ -1066,46 +1121,14 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
             new_len = _next_segment(cache_len, max_len)
             if monolith:
                 new_len = -(-new_len // tt) * tt
-            if carry["k"].ndim == 4:
-                pad = [(0, 0), (0, 0), (0, new_len - cache_len), (0, 0)]
-            else:
-                pad = [(0, 0)] * 4 + [(0, new_len - cache_len)]
-            carry["k"] = jnp.pad(carry["k"], pad)
-            carry["v"] = jnp.pad(carry["v"], pad)
-            if "ks" in carry:
-                if packed:
-                    # lane-packed (L, B/G, T, G*H): growth can change the
-                    # row-tile group, so unpack -> pad T -> repack, and
-                    # repack the memory planes to the new group too (the
-                    # kernel derives G from the per-shard shapes). Under tp
-                    # the un/repack runs per head-half (pack_scales_tp) so
-                    # each model shard keeps its own valid pack.
-                    new_group = _pack_group(new_len)
-
-                    def regrow(s):
-                        u = _unpack(s, group)
-                        u = jnp.pad(
-                            u, [(0, 0), (0, 0), (0, new_len - cache_len),
-                                (0, 0)], constant_values=1.0)
-                        return _pack(u, new_group)
-
-                    carry["ks"] = regrow(carry["ks"])
-                    carry["vs"] = regrow(carry["vs"])
-                    # grouped (g > 1) memory planes are the raw shared
-                    # layout — independent of the pack group, no repack
-                    if g == 1 and new_group != group and "ks" in memd:
-                        def remem(s):
-                            return _pack(_unpack(s, group), new_group)
-                        memd["ks"] = remem(memd["ks"])
-                        memd["vs"] = remem(memd["vs"])
-                    group = new_group
-                else:
-                    # per-op layout: scales are (L, B, H, T) — time on lanes
-                    spad = [(0, 0)] * 3 + [(0, new_len - cache_len)]
-                    carry["ks"] = jnp.pad(carry["ks"], spad,
-                                          constant_values=1.0)
-                    carry["vs"] = jnp.pad(carry["vs"], spad,
-                                          constant_values=1.0)
+            # lane-packed plane growth can change the row-tile group
+            # (unpack -> pad -> repack, tp-aware); grouped (g > 1) memory
+            # planes stay in the raw shared layout (no repack)
+            new_group = _pack_group(new_len) if packed else group
+            carry, memd = _grow_sharded_caches(
+                carry, memd, cache_len, new_len, packed, group, new_group,
+                _pack, _unpack, repack_mem=(g == 1))
+            group = new_group
             cache_len = new_len
 
     return mask_and_clip_seqs(carry["seqs"], carry["lps"], cfg.eos_idx,
@@ -1424,16 +1447,8 @@ def beam_generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
                             new_group))
                 group = new_group
 
-    # select best beam per row by length-normalized score
-    mask = create_inference_mask(state.seqs.reshape(b * k, -1), cfg.eos_idx)
-    lengths = jnp.sum(mask.reshape(b, k, -1), axis=-1) - 1  # exclude <bos>
-    norm = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
-    final_scores = state.scores / jnp.maximum(norm, 1e-6)
-    best = jnp.argmax(final_scores, axis=-1)                 # (B,)
-    take = lambda x: jnp.take_along_axis(
-        x, best.reshape((b,) + (1,) * (x.ndim - 1)), axis=1)[:, 0]
-    out = mask_and_clip_seqs(take(state.seqs), take(state.log_probs),
-                             cfg.eos_idx, cfg.pad_idx)
+    out, final_scores = _select_best_beam(state.seqs, state.log_probs,
+                                          state.scores, cfg, length_penalty)
     if return_all_beams:
         return out + (state.seqs, final_scores)
     return out
@@ -1646,18 +1661,7 @@ def sharded_beam_generate(params: Params, cfg: DecoderConfig, img_latent,
                        c["k"], c["v"], c.get("ks"), c.get("vs"))
         mm = MemoryKV(md["k"], md["v"], md.get("bias"), md.get("ks"),
                       md.get("vs"))
-        tp_peer = None
-        if tp_kern > 1:
-            peers = []
-            for r in range(tp.bit_length() - 1):
-                idx = jnp.int32(0)
-                for a in mesh.axis_names:
-                    c_a = jax.lax.axis_index(a)
-                    if a == model_axis:
-                        c_a = jnp.bitwise_xor(c_a, 1 << r)
-                    idx = idx * mesh.shape[a] + c_a
-                peers.append(idx)
-            tp_peer = jnp.stack(peers)
+        tp_peer = _tp_peers(mesh, model_axis, tp) if tp_kern > 1 else None
         s = beam_decode_segment(p, cfg, st, mm, steps, compute_dtype,
                                 mem_group=k, pe_offset=pe_offset,
                                 tp_axis=model_axis if tp > 1 else None,
@@ -1689,47 +1693,13 @@ def sharded_beam_generate(params: Params, cfg: DecoderConfig, img_latent,
             new_len = _next_segment(cache_len, max_len)
             if monolith:
                 new_len = -(-new_len // tt) * tt
-            if carry["k"].ndim == 4:
-                pad = [(0, 0), (0, 0), (0, new_len - cache_len), (0, 0)]
-            else:
-                pad = [(0, 0)] * 4 + [(0, new_len - cache_len)]
-            carry["k"] = jnp.pad(carry["k"], pad)
-            carry["v"] = jnp.pad(carry["v"], pad)
-            if "ks" in carry:
-                if packed:
-                    new_group = _pack_group(new_len)
-
-                    def regrow(s):
-                        u = _unpack(s, group)
-                        u = jnp.pad(
-                            u, [(0, 0), (0, 0), (0, new_len - cache_len),
-                                (0, 0)], constant_values=1.0)
-                        return _pack(u, new_group)
-
-                    carry["ks"] = regrow(carry["ks"])
-                    carry["vs"] = regrow(carry["vs"])
-                    if k == 1 and new_group != group and "ks" in memd:
-                        def remem(s):
-                            return _pack(_unpack(s, group), new_group)
-                        memd["ks"] = remem(memd["ks"])
-                        memd["vs"] = remem(memd["vs"])
-                    group = new_group
-                else:
-                    spad = [(0, 0)] * 3 + [(0, new_len - cache_len)]
-                    carry["ks"] = jnp.pad(carry["ks"], spad,
-                                          constant_values=1.0)
-                    carry["vs"] = jnp.pad(carry["vs"], spad,
-                                          constant_values=1.0)
+            new_group = _pack_group(new_len) if packed else group
+            carry, memd = _grow_sharded_caches(
+                carry, memd, cache_len, new_len, packed, group, new_group,
+                _pack, _unpack, repack_mem=(k == 1))
+            group = new_group
             cache_len = new_len
 
-    # best-beam selection, identical to beam_generate's tail
-    seqs, log_probs, scores = carry["seqs"], carry["lps"], carry["scores"]
-    mask = create_inference_mask(seqs.reshape(b * k, -1), cfg.eos_idx)
-    lengths = jnp.sum(mask.reshape(b, k, -1), axis=-1) - 1
-    norm = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
-    final_scores = scores / jnp.maximum(norm, 1e-6)
-    best = jnp.argmax(final_scores, axis=-1)
-    take = lambda x: jnp.take_along_axis(
-        x, best.reshape((b,) + (1,) * (x.ndim - 1)), axis=1)[:, 0]
-    return mask_and_clip_seqs(take(seqs), take(log_probs),
-                              cfg.eos_idx, cfg.pad_idx)
+    out, _ = _select_best_beam(carry["seqs"], carry["lps"], carry["scores"],
+                               cfg, length_penalty)
+    return out

@@ -298,17 +298,25 @@ def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2,
     budget = _VMEM_LIMIT - weights_vmem - _SLACK_VMEM
     bt = max(8, min(_MAX_BT, 16)) if w8a8 else 8
     # ``manual_cdma`` defaults to the module env policy; callers whose
-    # delivery mode differs from the env default (tp shards and
-    # sub-128-lane scale planes force BlockSpec windows) pass it so the
-    # VMEM budget models the delivery path the kernel will actually use
+    # delivery mode differs from the env default (tp shards force BlockSpec
+    # windows) pass it so the VMEM budget models the delivery path the
+    # kernel will actually use
     if manual_cdma is None:
         manual_cdma = _manual_cdma(itemsize == 1)
     if manual_cdma:
+        bt_m = pick_cdma_plan(b, t, m, e, itemsize, num_heads, mem_group,
+                              w8a8)[0]
         # manual prefetch: residency is the explicit scratch the kernel
         # allocates (S rotation slots + bt²-sized masks), not Mosaic's
-        # double-buffered block windows
-        return pick_cdma_plan(b, t, m, e, itemsize, num_heads, mem_group,
-                              w8a8)[0]
+        # double-buffered block windows. EXCEPT: sub-128-lane int8 scale
+        # planes (bt·H < 128) make the kernel fall back to BlockSpec
+        # delivery (lane-unaligned DMA slices are illegal), so re-budget
+        # with the window model below — every caller (host pack group and
+        # kernel tile pick) flows through here, keeping them consistent;
+        # a window-model bt whose planes reach 128 lanes is safe under
+        # manual delivery too (windows are the larger residency).
+        if not (itemsize == 1 and (bt_m * num_heads) % 128):
+            return bt_m
     if mem_group > 1:
         budget -= 2 * m * e * itemsize * 2  # shared mem K+V, double-buffered
         per_bt = 2 * t * e * itemsize * 2   # self K+V only

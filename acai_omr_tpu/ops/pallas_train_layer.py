@@ -1481,13 +1481,15 @@ def set_bwd_split(flag: bool) -> None:
 
 
 def bwd_split_fits(b: int, t: int, e: int, f: int, m: int,
-                   itemsize: int = 2, cross: bool = True) -> bool:
+                   itemsize: int = 2, cross: bool = True,
+                   bt_bwd: int = 1) -> bool:
     """The split backward adds a whole-batch (B·T, E) dx2 VMEM scratch; gate
     it to shapes where that scratch plus the union of both phases' resident
     buffers stays inside the plan (conservative; flagship SS decoder ~73 MB,
-    MAE decoder ~95 MB)."""
+    MAE decoder ~95 MB). ``bt_bwd`` scales the per-tile buffers (the
+    backward row tile from row_tile/ACAI_FUSED_BT_BWD)."""
     sdx2 = b * t * e * itemsize
-    btt = t  # bt_bwd=1 tiles
+    btt = bt_bwd * t
     resident = (
         sdx2
         + 4 * btt * max(e, f) * itemsize      # saved-stream buffers
@@ -1723,7 +1725,7 @@ def decoder_stack_fused(stacked: Params, x: jnp.ndarray, mem_kv: jnp.ndarray,
     while b % bt_bwd:
         bt_bwd -= 1
     split = _BWD_SPLIT and bwd_split_fits(
-        b, t, e, f, m, jnp.dtype(dt).itemsize, cross=True)
+        b, t, e, f, m, jnp.dtype(dt).itemsize, cross=True, bt_bwd=bt_bwd)
     fused = _make_fused(num_heads, float(dropout_rate), bool(det), True,
                         int(bt), int(bt_bwd), _INTERPRET, split)
     out = fused(flat_w, x.reshape(b * t, e), mem_kv, sbias, mbias, seeds)
@@ -1780,7 +1782,7 @@ def encoder_stack_fused(stacked: Params, x: jnp.ndarray,
     while b % bt_bwd:
         bt_bwd -= 1
     split = _BWD_SPLIT and bwd_split_fits(
-        b, t, e, f, 0, jnp.dtype(dt).itemsize, cross=False)
+        b, t, e, f, 0, jnp.dtype(dt).itemsize, cross=False, bt_bwd=bt_bwd)
     fused = _make_fused_enc(num_heads, float(dropout_rate), bool(det), False,
                             int(bt), int(bt_bwd), _INTERPRET, split)
     out = fused(flat_w, x.reshape(b * t, e), sbias, seeds)

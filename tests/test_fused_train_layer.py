@@ -267,13 +267,15 @@ def test_split_backward_matches_monolithic(setup):
     removed `_chain` gates added exactly +0.0 (docs/PERF.md floor study)."""
     stacked, x, memory, self_valid, mem_valid, mem_kv = setup
 
+    orig = ptl._BWD_SPLIT
+
     def loss(split, stacked_, x_, mem_kv_):
         ptl.set_bwd_split(split)
         try:
             out = ptl.decoder_stack_fused(stacked_, x_, mem_kv_, self_valid,
                                           mem_valid, H, row_tile=2)
         finally:
-            ptl.set_bwd_split(True)
+            ptl.set_bwd_split(orig)
         return jnp.sum(out * jnp.cos(out))
 
     g_mono = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2))(
@@ -288,12 +290,14 @@ def test_split_backward_matches_monolithic(setup):
 def test_split_backward_matches_monolithic_encoder(enc_setup):
     stacked, x, valid = enc_setup
 
+    orig = ptl._BWD_SPLIT
+
     def loss(split, stacked_, x_):
         ptl.set_bwd_split(split)
         try:
             out = ptl.encoder_stack_fused(stacked_, x_, valid, H, row_tile=2)
         finally:
-            ptl.set_bwd_split(True)
+            ptl.set_bwd_split(orig)
         return jnp.sum(out * jnp.cos(out))
 
     g_mono = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1))(stacked, x)

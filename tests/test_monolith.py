@@ -653,3 +653,23 @@ def test_sharded_grouped_int8_generate(setup):
     n = min(ref[0].shape[1], got[0].shape[1])
     np.testing.assert_array_equal(np.asarray(got[0])[:, :n],
                                   np.asarray(ref[0])[:, :n])
+
+
+def test_pick_row_tile_sub_128_lane_self_consistent(monkeypatch):
+    """When the manual-CDMA plan would pick a bt whose int8 scale planes
+    are narrower than one 128-lane tile (bt*H < 128), the kernel falls back
+    to BlockSpec delivery — pick_row_tile must re-budget with the window
+    model so the host pack group (scale_pack_group, same function) and the
+    kernel's tile choice stay consistent (round-4 review finding)."""
+    monkeypatch.setattr(pallas_monolith, "_MANUAL_CDMA", "auto", raising=False)
+    # beam-4-like shape: b=4 rows, 16 heads -> any bt < 8 gives bt*16 < 128
+    for b, h in ((4, 16), (2, 16), (8, 4)):
+        bt = pallas_monolith.pick_row_tile(b, 512, 512, 1024, 1,
+                                           num_heads=h)
+        grp = pallas_monolith.scale_pack_group(b, 512, 512, 1024, h)
+        assert bt == grp, (b, h, bt, grp)
+        if (bt * h) % 128:
+            # the re-budget path ran: the window model must agree for the
+            # same args no matter how many times it is consulted
+            assert pallas_monolith.pick_row_tile(
+                b, 512, 512, 1024, 1, num_heads=h, manual_cdma=False) == bt

@@ -48,7 +48,11 @@ class BucketBatchSampler:
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
-        return -(len(self.dataset) // -self.batch_size)
+        # per-bucket ceil: __iter__ yields a ragged tail batch PER BUCKET,
+        # so ceil(N/batch) under-counts whenever >1 bucket has a remainder —
+        # the train loops derive steps_per_epoch (warmup/cosine schedules,
+        # epoch accounting) from this (round-4 review)
+        return sum(-(len(b) // -self.batch_size) for b in self.buckets)
 
     def __iter__(self):
         order = np.arange(len(self.buckets))

@@ -112,20 +112,18 @@ class PreTrainWrapper:
         return len(self.base_dataset)
 
     def __getitem__(self, idx):
-        input_img = self.base_dataset[idx]
-        target_img = self.base_dataset[idx]
-        if self.transform:
-            input_img = self.transform(input_img)
-        return input_img, target_img
+        # load ONCE: the double base_dataset[idx] paid two PIL decodes per
+        # item and broke pack_mae_batch's object-identity fast path for
+        # un-augmented wrappers (round-4 review); transform(None) keeps the
+        # target the same object as the input
+        img = self.base_dataset[idx]
+        return (self.transform(img) if self.transform else img), img
 
 
 class OlimpicPreTrainWrapper(PreTrainWrapper):
     def __getitem__(self, idx):
-        input_img, _ = self.base_dataset[idx]
-        target_img, _ = self.base_dataset[idx]
-        if self.transform:
-            input_img = self.transform(input_img)
-        return input_img, target_img
+        img, _ = self.base_dataset[idx]
+        return (self.transform(img) if self.transform else img), img
 
 
 class GrandStaffPreTrainWrapper(PreTrainWrapper):

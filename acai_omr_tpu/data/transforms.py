@@ -23,12 +23,17 @@ from PIL import Image
 def to_float_chw(img) -> np.ndarray:
     """PIL image or array -> float32 (C, H, W) in [0, 1]."""
     if isinstance(img, Image.Image):
-        arr = np.asarray(img, dtype=np.float32)
+        # branch on the SOURCE dtype, not the data: a near-black uint8
+        # image (max pixel <= 1) must still divide by 255 — the old
+        # max()-based heuristic mapped its 1-valued pixels to full white
+        # (round-4 review). PIL float modes ("F") pass through unscaled.
+        raw = np.asarray(img)
+        arr = raw.astype(np.float32)
         if arr.ndim == 2:
             arr = arr[None]
         else:
             arr = arr.transpose(2, 0, 1)
-        if arr.max() > 1.0 + 1e-6:
+        if np.issubdtype(raw.dtype, np.integer):
             arr = arr / 255.0
         return arr
     arr = np.asarray(img, dtype=np.float32)

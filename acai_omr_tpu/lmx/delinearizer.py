@@ -142,13 +142,6 @@ class Delinearizer:
             attr = None
             move = None
 
-        def flush_contexts():
-            nonlocal note, move, attr, last_clef_pending
-            note = None
-            move = None
-            attr = None
-            last_clef_pending = False
-
         def get_attr() -> _Attr:
             nonlocal attr, note, move
             need_measure()
@@ -397,6 +390,20 @@ class Delinearizer:
         for mi, m in enumerate(measures):
             xm = ET.SubElement(part, "measure", number=str(mi + 1))
             accidental_state: dict = {}
+            div_declared = mi != 0
+            if mi == 0 and not (m.items
+                                and isinstance(m.items[0], _Attr)):
+                # a first measure whose stream opens with notes (no leading
+                # key/time/clef tokens) must still declare divisions (and
+                # staves): MusicXML consumers default divisions=1 and read
+                # every duration wrong otherwise (round-4 review). When the
+                # first item IS an _Attr, divisions ride its attributes
+                # element as before (one element, the round-trip shape).
+                xa0 = ET.SubElement(xm, "attributes")
+                ET.SubElement(xa0, "divisions").text = str(divisions)
+                if max_staff > 1:
+                    ET.SubElement(xa0, "staves").text = str(max_staff)
+                div_declared = True
             for item in m.items:
                 if isinstance(item, _Attr):
                     if item.time:
@@ -404,8 +411,9 @@ class Delinearizer:
                     if item.key_fifths is not None:
                         key_fifths = item.key_fifths
                     xa = ET.SubElement(xm, "attributes")
-                    if mi == 0:
+                    if not div_declared:
                         ET.SubElement(xa, "divisions").text = str(divisions)
+                        div_declared = True
                     if item.key_fifths is not None:
                         xk = ET.SubElement(xa, "key")
                         ET.SubElement(xk, "fifths").text = str(item.key_fifths)
@@ -413,7 +421,8 @@ class Delinearizer:
                         xt = ET.SubElement(xa, "time")
                         ET.SubElement(xt, "beats").text = str(item.time[0])
                         ET.SubElement(xt, "beat-type").text = str(item.time[1])
-                    if mi == 0 and max_staff > 1:
+                    if mi == 0 and max_staff > 1 and xa.find("divisions") \
+                            is not None:
                         ET.SubElement(xa, "staves").text = str(max_staff)
                     for sign, line, staff in item.clefs:
                         xc = ET.SubElement(xa, "clef")
@@ -504,11 +513,21 @@ class Delinearizer:
                     if o == "trill-mark":
                         ET.SubElement(xorn, "trill-mark")
                     elif o.startswith("tremolo"):
+                        # one <tremolo type=T>N</tremolo> linearizes to the
+                        # token PAIR "tremolo:T tremolo:N" (linearizer.py:181)
+                        # — a numeric token folds into the preceding typed
+                        # element rather than opening a duplicate (round-4
+                        # review: the split elements charged ~2 TEDn edits
+                        # per tremolo on token-perfect predictions)
                         val = o.split(":")[1]
                         if val in ("single", "start", "stop", "unmeasured"):
                             ET.SubElement(xorn, "tremolo", type=val)
                         else:
-                            ET.SubElement(xorn, "tremolo").text = val
+                            prev = xorn.findall("tremolo")
+                            if prev and not (prev[-1].text or "").strip():
+                                prev[-1].text = val
+                            else:
+                                ET.SubElement(xorn, "tremolo").text = val
         return xn
 
     def _resolve_alter(self, note: _Note, step, octave, key_fifths,

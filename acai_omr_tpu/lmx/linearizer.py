@@ -75,7 +75,10 @@ def linearize_element(root: ET.Element) -> str:
                 if k is not None:
                     tokens.append(f"key:fifths:{int(k.text)}")
                 t = el.find("time")
-                if t is not None:
+                if t is not None and t.find("beats") is not None \
+                        and t.find("beat-type") is not None:
+                    # schema-valid <time><senza-misura/></time> has neither
+                    # child; emit no time tokens rather than crash
                     tokens.append("time")
                     tokens.append(f"beats:{int(t.find('beats').text)}")
                     tokens.append(f"beat-type:{int(t.find('beat-type').text)}")

@@ -91,10 +91,9 @@ def _get_model():
 
 
 def _tmpdir(request) -> Path:
+    from .wsgi_app import _validate_tmpdir
     d = request.headers.get("X-Tmpdir") or request.args.get("tmpdir")
-    if not d or not Path(d).is_dir() or not d.startswith(tempfile.gettempdir()):
-        raise ValueError("invalid or missing tmpdir")
-    return Path(d)
+    return _validate_tmpdir(d)
 
 
 if _FLASK:

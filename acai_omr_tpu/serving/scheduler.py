@@ -30,20 +30,28 @@ import time
 from typing import Any, Callable, Sequence
 
 
+_STATS_WINDOW = 4096  # most recent samples kept per series
+
+
 @dataclasses.dataclass
 class BatcherStats:
-    """Rolling service statistics (all times seconds)."""
+    """Rolling service statistics (all times seconds). The series are
+    bounded deques: a weeks-lived serving worker must not grow its stats
+    (or its percentile cost) with total request count (round-4 review)."""
     completed: int = 0
     failed: int = 0
     batches: int = 0
-    batch_sizes: list = dataclasses.field(default_factory=list)
-    queue_wait: list = dataclasses.field(default_factory=list)
-    service_time: list = dataclasses.field(default_factory=list)
+    batch_sizes: collections.deque = dataclasses.field(
+        default_factory=lambda: collections.deque(maxlen=_STATS_WINDOW))
+    queue_wait: collections.deque = dataclasses.field(
+        default_factory=lambda: collections.deque(maxlen=_STATS_WINDOW))
+    service_time: collections.deque = dataclasses.field(
+        default_factory=lambda: collections.deque(maxlen=_STATS_WINDOW))
 
     def summary(self) -> dict:
         import numpy as np
         def pct(xs, q):
-            return float(np.percentile(xs, q)) if xs else 0.0
+            return float(np.percentile(list(xs), q)) if xs else 0.0
         return {
             "completed": self.completed,
             "failed": self.failed,

@@ -51,14 +51,26 @@ def _json(start, obj, status="200 OK"):
     return _response(start, status, json.dumps(obj).encode())
 
 
+def _validate_tmpdir(d: str) -> "Path":
+    """Resolve-and-contain check: the client-supplied working dir must be a
+    real directory strictly inside the system temp dir. A plain
+    ``startswith`` on the raw string admitted ``/tmp/../anywhere`` traversal
+    and ``/tmpfoo`` prefix collisions (round-4 review)."""
+    if not d:
+        raise ValueError("invalid or missing tmpdir")
+    p = Path(d).resolve()
+    root = Path(tempfile.gettempdir()).resolve()
+    if not p.is_dir() or p == root or root not in p.parents:
+        raise ValueError("invalid or missing tmpdir")
+    return p
+
+
 def _tmpdir_from(environ) -> Path:
     d = environ.get("HTTP_X_TMPDIR")
     if not d:
         qs = parse_qs(environ.get("QUERY_STRING", ""))
         d = (qs.get("tmpdir") or [None])[0]
-    if not d or not Path(d).is_dir() or not d.startswith(tempfile.gettempdir()):
-        raise ValueError("invalid or missing tmpdir")
-    return Path(d)
+    return _validate_tmpdir(d)
 
 
 def _read_body(environ) -> bytes:
@@ -109,7 +121,11 @@ def application(environ, start_response):
 
         if path.startswith("/static/") and method == "GET":
             f = _STATIC_DIR / path[len("/static/"):]
-            if not f.is_file() or _STATIC_DIR not in f.resolve().parents:
+            # containment compares RESOLVED against RESOLVED: the unresolved
+            # _STATIC_DIR never appears among f.resolve()'s parents when the
+            # repo path goes through a symlink, 404ing every asset
+            if not f.is_file() \
+                    or _STATIC_DIR.resolve() not in f.resolve().parents:
                 return _response(start_response, "404 Not Found", b"not found",
                                  "text/plain")
             ctype = {"css": "text/css", "js": "application/javascript",

@@ -39,7 +39,9 @@ def test_bucket_sampler_groups_by_resolution():
                    else 2 for i in batch}
         assert len(buckets) == 1
     assert sum(len(b) for b in batches) == len(ds)
-    assert len(sampler) == -(len(ds) // -3)
+    # len == the real yielded batch count (per-bucket ragged tails:
+    # ceil(5/3) + ceil(4/3) + ceil(1/3)... buckets are 5/4/2 -> 2+2+1)
+    assert len(sampler) == len(batches) == 5
 
 
 def test_bucket_sampler_shuffles_deterministically():
@@ -87,3 +89,56 @@ def test_pack_omr_batch_with_padding():
     assert not out["valid"][3:].any()
     assert (out["targets"][3:] == tok.pad_idx).all()
     assert (out["lengths"][3:] == 0).all()
+
+
+def test_bucket_sampler_len_counts_ragged_tails():
+    """__iter__ yields one ragged tail batch PER BUCKET; __len__ must agree
+    (the train loops derive LR-schedule steps_per_epoch from it)."""
+    from acai_omr_tpu.data.bucketing import BucketBatchSampler
+
+    class _DS:
+        # 5 small + 5 large images -> two buckets of 5
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            h = 32 if i < 5 else 128
+            return (np.zeros((1, h, h), np.float32),)
+
+    s = BucketBatchSampler(_DS(), batch_size=4, bucket_boundaries=[(64, 64)],
+                           shuffle=False)
+    batches = list(s)
+    assert len(batches) == len(s) == 4, (len(batches), len(s))
+
+
+def test_pretrain_wrapper_single_load_identity():
+    """Un-augmented wrappers must pass the SAME object as input and target
+    (one decode per item; pack_mae_batch's identity fast path keys on it)."""
+    from acai_omr_tpu.data.datasets import PreTrainWrapper
+
+    calls = []
+
+    class _DS:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            calls.append(i)
+            return np.zeros((1, 8, 8), np.float32)
+
+    w = PreTrainWrapper(_DS())
+    inp, tgt = w[0]
+    assert inp is tgt
+    assert calls == [0]
+
+
+def test_to_float_chw_near_black_uint8():
+    """uint8 sources always divide by 255 — a near-black image (max pixel 1)
+    must map to 1/255, not full white."""
+    from PIL import Image
+    from acai_omr_tpu.data.transforms import to_float_chw
+
+    raw = np.zeros((4, 4), np.uint8)
+    raw[0, 0] = 1
+    arr = to_float_chw(Image.fromarray(raw, mode="L"))
+    assert abs(arr[0, 0, 0] - 1.0 / 255.0) < 1e-7, arr[0, 0, 0]

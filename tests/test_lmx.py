@@ -380,3 +380,47 @@ def test_ted_oracle_pure_python_path(rng):
         lb, llb = tedn_lib.element_to_postorder(eb, intern)
         expect = _brute_forest_ed((ta,), (tb,), {})
         assert tedn_lib._py_ted(la, lla, lb, llb) == expect, (trial, ta, tb)
+
+
+def test_delinearize_divisions_without_leading_attributes():
+    """A first measure with no key/time/clef tokens must still declare
+    <divisions> (consumers default divisions=1 and misread durations)."""
+    from acai_omr_tpu.lmx.delinearizer import delinearize
+
+    xml, errs = delinearize("measure C4 eighth D4 eighth")
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(xml)
+    div = root.find(".//measure/attributes/divisions")
+    assert div is not None and int(div.text) >= 2, xml
+
+
+def test_tremolo_type_value_roundtrip():
+    """'tremolo:start tremolo:3' is ONE <tremolo type="start">3</tremolo>
+    element (the linearizer's emission), not two."""
+    from acai_omr_tpu.lmx.delinearizer import delinearize
+    from acai_omr_tpu.lmx.linearizer import linearize
+
+    lmx = "measure time beats:4 beat-type:4 clef:G2 C4 quarter tremolo:start tremolo:3"
+    xml, errs = delinearize(lmx)
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(xml)
+    trems = root.findall(".//ornaments/tremolo")
+    assert len(trems) == 1, xml
+    assert trems[0].get("type") == "start" and trems[0].text == "3"
+    # and the round trip re-linearizes to the same token pair
+    assert "tremolo:start tremolo:3" in linearize(xml)
+
+
+def test_linearize_senza_misura_time():
+    """<time><senza-misura/></time> emits no time tokens instead of
+    crashing."""
+    from acai_omr_tpu.lmx.linearizer import linearize
+
+    xml = """<score-partwise><part id="P1"><measure number="1">
+      <attributes><divisions>1</divisions><time><senza-misura/></time>
+      <clef><sign>G</sign><line>2</line></clef></attributes>
+      <note><pitch><step>C</step><octave>4</octave></pitch>
+      <duration>1</duration><type>quarter</type></note>
+    </measure></part></score-partwise>"""
+    out = linearize(xml)
+    assert "time" not in out.split() and "C4" in out.split(), out

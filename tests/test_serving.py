@@ -210,9 +210,18 @@ def test_setup_after_box_edit_drops_stale_systems(tiny_model, rng):
 
 
 def test_tmpdir_validation(tiny_model):
+    import tempfile
     c = WsgiClient()
     status, data = c.get_json("POST", "/upload", headers={"X-Tmpdir": "/etc"})
     assert status.startswith("400") and not data["ok"]
+    # traversal and prefix-collision payloads must be rejected too: the old
+    # startswith check admitted them (round-4 review — /clear would then
+    # unlink files in ANY directory)
+    td = tempfile.gettempdir()
+    for evil in (f"{td}/../etc", f"{td}/..", td, f"{td}x"):
+        status, data = c.get_json("POST", "/clear",
+                                  headers={"X-Tmpdir": evil})
+        assert status.startswith("400") and not data["ok"], evil
     status, _, _ = c.request("GET", "/nonexistent")
     assert status.startswith("404")
 

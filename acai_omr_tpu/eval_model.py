@@ -136,7 +136,7 @@ def dump_samples(model: str, weights: str, out_dir: str, num: int):
         cfg = set_up_vitomr(tokenizer)
         ds = build_vitomr_test_sets(tokenizer)
         for i in range(min(num, len(ds))):
-            img, lmx = ds[i][0], ds[i][1]
+            img, lmx = ds[i][:2]  # one __getitem__: each call re-decodes
             ids = tokenizer.encode(lmx) if isinstance(lmx, str) else lmx
             visualize.show_vitomr_prediction(params, cfg, tokenizer, img, ids,
                                              str(out / f"sample_{i}"))
@@ -148,7 +148,9 @@ def main():
     ap.add_argument("model", choices=["mae", "vitomr"])
     ap.add_argument("weights", help="orbax checkpoint path")
     ap.add_argument("-c", "--from-checkpoint", action="store_true",
-                    help="weights is a full train-state checkpoint")
+                    help="accepted for reference-CLI compatibility; the "
+                         "checkpoint form (train state vs bare params) is "
+                         "auto-detected by checkpoint.load_params either way")
     ap.add_argument("-b", "--batch-size", type=int, default=64)
     ap.add_argument("-d", "--sample-dir", default=None,
                     help="also dump sample predictions to this directory")

@@ -95,7 +95,10 @@ def encoder_llrd_scales(params: Params, cfg, fine_tune_lr_ratio: float,
     """
     enc_cfg = cfg.encoder
     n = enc_cfg.num_layers
-    n_frozen = n - enc_cfg.fine_tune_depth if enc_cfg.fine_tune_depth else 0
+    # fine_tune_depth=0 freezes the WHOLE encoder: n_frozen must be n, not 0
+    # (the old `if depth else 0` trained every block at fine-tune LRs while
+    # zeroing pos-embedding/projection/final_norm — round-4 review)
+    n_frozen = n - enc_cfg.fine_tune_depth
 
     layer_scale = jnp.zeros((n,))
     for i in range(n_frozen, n):

@@ -210,5 +210,10 @@ def group_advantages(raw_group_rewards: np.ndarray) -> np.ndarray:
     """(G, group_size) rewards -> flat (R,) group-normalized advantages
     (reference: omr_grpo_train.py:336-337; torch .std is Bessel-corrected)."""
     mean = raw_group_rewards.mean(-1, keepdims=True)
+    if raw_group_rewards.shape[-1] < 2:
+        # Bessel-corrected std of one sample is NaN and would silently
+        # poison the update (round-4 review); a single-rollout group has no
+        # relative signal — zero advantages
+        return np.zeros_like(raw_group_rewards).reshape(-1)
     std = raw_group_rewards.std(-1, keepdims=True, ddof=1)
     return ((raw_group_rewards - mean) / (std + 1e-8)).reshape(-1)

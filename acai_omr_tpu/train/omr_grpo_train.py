@@ -89,16 +89,26 @@ class CurriculumScheduler:
         self.bounds = (max_max_actions, min_top_k, min_temperature, min_beta,
                        min_lambda_ce)
 
+    # number of discrete levels for the JIT-STATIC knobs (max_actions sets
+    # buffer shapes; top_k/temperature ride SamplingConfig, a static
+    # argname of decode_segment): a fresh value per step would recompile
+    # the rollout decode AND the update step every outer step (~80 s each
+    # through the axon tunnel — round-4 review). entropy_beta/lambda_ce
+    # ride the batch as arrays and anneal continuously.
+    STATIC_LEVELS = 8
+
     def step(self):
         if self.step_count < self.exploration_steps:
             self.step_count += 1
             return
         p = (self.step_count - self.exploration_steps) / self.anneal_steps
+        pq = min(int(p * self.STATIC_LEVELS),
+                 self.STATIC_LEVELS) / self.STATIC_LEVELS
         i, b = self.init, self.bounds
         rc, lc = self.cfg.rollout_config, self.cfg.loss_config
-        rc.max_actions = int(i[0] + p * (b[0] - i[0]))
-        rc.top_k = int(i[1] - p * (i[1] - b[1]))
-        rc.temperature = i[2] - p * (i[2] - b[2])
+        rc.max_actions = int(i[0] + pq * (b[0] - i[0]))
+        rc.top_k = int(i[1] - pq * (i[1] - b[1]))
+        rc.temperature = i[2] - pq * (i[2] - b[2])
         lc.entropy_beta = i[3] - p * (i[3] - b[3])
         lc.lambda_ce = i[4] - p * (i[4] - b[4])
         self.step_count += 1
@@ -279,8 +289,11 @@ def make_grpo_update_step(cfg: ViTOMRConfig, tx, num_groups: int,
             raise ValueError(f"rollout rows {r_local} not a multiple of "
                              f"memory rows {b_mem}")
         m = max(rollout_microbatches // n_shards, 1)
-        if r_local % m or b_mem % m:
-            m = 1
+        while m > 1 and (r_local % m or b_mem % m):
+            # largest feasible microbatch count <= the requested one: the
+            # m=1 fallback ran the WHOLE batch in one backward, which the
+            # docstring itself says OOMs HBM at reference scale
+            m -= 1
         micro = {}
         for k in rollout_keys:
             lead = batch[k].shape[0]
@@ -455,7 +468,13 @@ def grpo_update(old_params, state, update_step, cfg: ViTOMRConfig,
     # which otherwise recompiles the step (~80 s through the axon tunnel at
     # reference scale) for nearly every new batch. Padding is loss-neutral:
     # pad tokens with input_valid=False contribute nothing to the objective.
-    tb = min(-(-rollout_inputs.shape[1] // 128) * 128, rc.max_actions)
+    # cap at ceil128(max_actions) bounded by the decoder budget: capping at
+    # the raw max_actions re-introduced a per-curriculum-step recompile
+    # exactly when rollouts hit max length (round-4 review); the budget
+    # bound keeps padded inputs inside max_lmx_seq_len
+    tb = min(-(-rollout_inputs.shape[1] // 128) * 128,
+             -(-rc.max_actions // 128) * 128,
+             cfg.decoder.max_lmx_seq_len - 1)
     if tb > rollout_inputs.shape[1]:
         dt = tb - rollout_inputs.shape[1]
         rollout_inputs = np.pad(rollout_inputs, ((0, 0), (0, dt)),
@@ -697,10 +716,22 @@ def grpo_train(cfg: ViTOMRConfig, params, dataset, tokenizer: LmxTokenizer, *,
     for epoch in range(epochs):
         order = np_rng.permutation(n)
         starts = list(range(0, n - batch_size + 1, batch_size))
-        batches = [[dataset[int(j)] for j in order[s:s + batch_size]]
-                   for s in starts]
+
+        def load_batch(si):
+            # LAZY per-batch loading with a one-batch lookahead window: the
+            # old eager list comprehension materialized the WHOLE epoch
+            # (every decoded image + musicxml string) before step 1 — tens
+            # of GB of host RAM and a long stall at reference scale
+            # (round-4 review). Encode-ahead only ever needs batch si+1.
+            if si >= len(starts):
+                return None
+            sidx = starts[si]
+            return [dataset[int(j)] for j in order[sidx:sidx + batch_size]]
+
+        batch_examples = load_batch(0)
+        next_examples = load_batch(1)
         preencoded = None  # encode-ahead chain (frozen encoder => exact)
-        for bi, batch_examples in enumerate(batches):
+        for bi in range(len(starts)):
             old_params = state.params  # snapshot = old policy (refreshed per batch)
             rng, step_rng = jax.random.split(rng)
             t0 = time.perf_counter()
@@ -708,9 +739,10 @@ def grpo_train(cfg: ViTOMRConfig, params, dataset, tokenizer: LmxTokenizer, *,
                 old_params, state, update_step, cfg, grpo_config,
                 batch_examples, tokenizer, step_rng, writer, step_idx,
                 compute_dtype, reward_workers, mesh=mesh,
-                next_examples=batches[bi + 1] if bi + 1 < len(batches)
-                else None,
+                next_examples=next_examples,
                 preencoded=preencoded)
+            batch_examples = next_examples
+            next_examples = load_batch(bi + 2)
             preencoded = metrics.pop("preencoded_next")
             metrics["seconds"] = time.perf_counter() - t0
             stats.append(metrics)

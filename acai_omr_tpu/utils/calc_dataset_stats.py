@@ -56,14 +56,17 @@ def summarize(stats: dict) -> dict:
     return out
 
 
-def suggest_buckets(stats: dict, num_buckets: int = 8):
-    """Quantile-based (h, w) bucket boundaries minimizing padding waste."""
+def suggest_buckets(stats: dict, num_buckets: int = 8,
+                    patch_size: int = 16):
+    """Quantile-based (h, w) bucket boundaries minimizing padding waste,
+    aligned to ``patch_size`` (the same value collect_stats used)."""
     hs, ws = stats["heights"], stats["widths"]
     if len(hs) == 0:
         return []
+    p = patch_size
     qs = np.linspace(1.0 / num_buckets, 1.0, num_buckets)
-    return [(int(np.ceil(np.quantile(hs, q) / 16) * 16),
-             int(np.ceil(np.quantile(ws, q) / 16) * 16)) for q in qs]
+    return [(int(np.ceil(np.quantile(hs, q) / p) * p),
+             int(np.ceil(np.quantile(ws, q) / p) * p)) for q in qs]
 
 
 def main():
@@ -75,7 +78,8 @@ def main():
     stats = collect_stats(args.dirs, args.patch_size, args.limit)
     import json
     print(json.dumps(summarize(stats), indent=2))
-    print("suggested bucket boundaries:", suggest_buckets(stats))
+    print("suggested bucket boundaries:",
+          suggest_buckets(stats, patch_size=args.patch_size))
 
 
 if __name__ == "__main__":

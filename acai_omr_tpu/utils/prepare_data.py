@@ -45,7 +45,10 @@ def prepare_doremi(src: Path, dst: Path, crop_top: float = 0.08,
         img = Image.open(png).convert("L")
         w, h = img.size
         img = img.crop((0, int(h * crop_top), w, int(h * (1 - crop_bottom))))
-        name = png.stem
+        # key by relative path, not bare stem: DoReMi organizes pages per
+        # piece, and same-named pages in different directories silently
+        # overwrote each other + duplicated ids (round-4 review)
+        name = "_".join(png.relative_to(src).with_suffix("").parts)
         img.save(images / f"{name}.png")
         rows.append(name)
     _write_ids(dst, rows)

@@ -513,3 +513,40 @@ def test_grpo_sharded_update_step_matches_single(rng):
     for a, b in zip(jax.tree.leaves(s8.params), jax.tree.leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-4)
+
+
+def test_group_advantages_single_rollout_group_no_nan():
+    """group_size=1 has no relative signal — advantages must be exactly
+    zero, not NaN from the Bessel-corrected std of one sample."""
+    from acai_omr_tpu.train.grpo_rewards import group_advantages
+
+    adv = group_advantages(np.array([[3.0], [5.0]]))
+    assert adv.shape == (2,)
+    assert np.all(adv == 0.0), adv
+
+
+def test_curriculum_static_knobs_quantized():
+    """max_actions/top_k/temperature are JIT-static (buffer shapes /
+    SamplingConfig): the anneal must take few distinct values, not one per
+    step, or every GRPO step recompiles the rollout decode + update step."""
+    import copy
+    from acai_omr_tpu.train import omr_grpo_train as grpo
+    from acai_omr_tpu.train.grpo_rewards import (GRPOConfig, LossConfig,
+                                                 RolloutConfig, UpdateConfig)
+
+    cfgobj = GRPOConfig(
+        rollout_config=RolloutConfig(group_size=4, max_actions=768,
+                                     top_k=50, temperature=1.1),
+        reward_config=copy.deepcopy(grpo.INITIAL_REWARD_CONFIG),
+        loss_config=LossConfig(entropy_beta=0.05, lambda_ce=0.1),
+        update_config=UpdateConfig(epsilon=0.2, update_epochs=2,
+                                   max_grad_norm=1.0),
+        mini_validation_freq=100, checkpoint_freq=100)
+    cur = grpo.CurriculumScheduler(cfgobj, exploration_steps=0,
+                                   total_steps=200)
+    seen = set()
+    for _ in range(200):
+        cur.step()
+        rc = cfgobj.rollout_config
+        seen.add((rc.max_actions, rc.top_k, round(rc.temperature, 6)))
+    assert len(seen) <= grpo.CurriculumScheduler.STATIC_LEVELS + 1, len(seen)

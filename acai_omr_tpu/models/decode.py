@@ -1409,43 +1409,29 @@ def beam_generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
             new_len = _next_segment(grown, max_len)
             if monolith:
                 new_len = -(-new_len // tt) * tt
-            if state.k_cache.ndim == 4:
-                pad = [(0, 0), (0, 0), (0, new_len - grown), (0, 0)]
-            else:
-                pad = [(0, 0)] * 4 + [(0, new_len - grown)]
-
-            def grow_scales(s):
-                if s is None:
-                    return None
-                if not packed:  # per-op (L, B*K, H, T): pad the time axis
-                    return jnp.pad(s, [(0, 0)] * 3 + [(0, new_len - grown)],
-                                   constant_values=1.0)
-                # lane-packed planes: unpack -> pad T -> repack at the new
-                # segment's group (the kernel's row tile can change with T)
-                u = pallas_monolith.unpack_scales(s, group)
-                u = jnp.pad(u, [(0, 0), (0, 0), (0, new_len - grown), (0, 0)],
-                            constant_values=1.0)
-                return pallas_monolith.pack_scales(u, new_group)
-
-            new_group = group
-            if packed:
-                new_group = pallas_monolith.scale_pack_group(
-                    b * k, new_len, m_len, e, heads, mem_group=k)
+            # shared growth helper (same logic as the sharded loops): pads
+            # K/V, unpack -> pad -> repacks lane-packed scale planes at the
+            # new segment's group, and repacks the packed MEMORY planes when
+            # they follow the pack group (k == 1)
+            new_group = pallas_monolith.scale_pack_group(
+                b * k, new_len, m_len, e, heads, mem_group=k) \
+                if packed else group
+            carry = {"k": state.k_cache, "v": state.v_cache}
+            if state.k_scale is not None:
+                carry["ks"], carry["vs"] = state.k_scale, state.v_scale
+            memd = {}
+            if packed and mem.k_scale is not None and k == 1:
+                memd = {"ks": mem.k_scale, "vs": mem.v_scale}
+            carry, memd = _grow_sharded_caches(
+                carry, memd, grown, new_len, packed, group, new_group,
+                pallas_monolith.pack_scales, pallas_monolith.unpack_scales,
+                repack_mem=(k == 1))
             state = state._replace(
-                k_cache=jnp.pad(state.k_cache, pad),
-                v_cache=jnp.pad(state.v_cache, pad),
-                k_scale=grow_scales(state.k_scale),
-                v_scale=grow_scales(state.v_scale))
-            if packed and new_group != group:
-                if k == 1:  # packed memory planes follow the pack group
-                    mem = mem._replace(
-                        k_scale=pallas_monolith.pack_scales(
-                            pallas_monolith.unpack_scales(mem.k_scale, group),
-                            new_group),
-                        v_scale=pallas_monolith.pack_scales(
-                            pallas_monolith.unpack_scales(mem.v_scale, group),
-                            new_group))
-                group = new_group
+                k_cache=carry["k"], v_cache=carry["v"],
+                k_scale=carry.get("ks"), v_scale=carry.get("vs"))
+            if memd:
+                mem = mem._replace(k_scale=memd["ks"], v_scale=memd["vs"])
+            group = new_group
 
     out, final_scores = _select_best_beam(state.seqs, state.log_probs,
                                           state.scores, cfg, length_penalty)

@@ -37,16 +37,26 @@ NEG_INF = -1e9
 # ---------------------------------------------------------------------------
 
 def trunc_normal(key, shape, std=0.1, dtype=jnp.float32):
-    """Truncated-normal init matching torch.nn.init.trunc_normal_ (±2σ)."""
-    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+    """Truncated-normal init matching torch.nn.init.trunc_normal_.
+
+    torch's a=-2, b=2 are ABSOLUTE cutoffs, not sigmas: at std=0.1 that is
+    ±20σ (effectively untruncated N(0, std²)). jax.random.truncated_normal
+    takes σ-bounds, so divide the cutoffs by std (round-4 review: the old
+    ±2σ truncation discarded ~4.6% tail mass and shrank the effective std
+    to ~0.88·std on every positional embedding and mask token)."""
+    return std * jax.random.truncated_normal(key, -2.0 / std, 2.0 / std,
+                                             shape, dtype)
 
 
 def _kaiming_uniform(key, shape, fan_in, dtype=jnp.float32):
-    # torch.nn.Linear default weight init: U(-1/sqrt(fan_in), 1/sqrt(fan_in))
-    # scaled by sqrt(5) kaiming -> effectively U(-sqrt(1/fan_in)*sqrt(3)*..)
-    # We reproduce torch's observable bound: sqrt(1/fan_in) * sqrt(3) / sqrt(3)
+    # torch.nn.Linear default weight init: kaiming_uniform_(a=sqrt(5)) gives
+    # bound = sqrt(3)*gain/sqrt(fan_in) with gain = sqrt(2/(1+5)) = 1/sqrt(3)
+    # -> the sqrt(3) factors CANCEL to U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+    # (A stray *sqrt(3) here gave every kernel 3x the reference's init
+    # variance until round 4 — weight-transfer parity never exercises init,
+    # which is why nothing caught it.)
     bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
-    return jax.random.uniform(key, shape, dtype, -bound * math.sqrt(3.0), bound * math.sqrt(3.0))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
 def dense_init(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> Params:
@@ -203,7 +213,14 @@ def _flash_ok(q: jnp.ndarray, k: jnp.ndarray) -> bool:
         return False
     b, h, tq, dh = q.shape
     tk = k.shape[2]
-    return tq % 128 == 0 and tk % 128 == 0 and dh >= 32 and dh % 8 == 0
+
+    def _blocks_ok(t):
+        # the wrapper uses block = min(512, t); flash_attention requires the
+        # block to divide the length, so 128-multiples that are neither
+        # <=512 nor 512-multiples (640, 768, ...) must fall back to XLA
+        return t % 128 == 0 and (t <= 512 or t % 512 == 0)
+
+    return _blocks_ok(tq) and _blocks_ok(tk) and dh >= 32 and dh % 8 == 0
 
 
 def _flash_attention(q, k, v, mask: MaskSpec) -> jnp.ndarray:
@@ -216,11 +233,15 @@ def _flash_attention(q, k, v, mask: MaskSpec) -> jnp.ndarray:
     seg = None
     if mask.key_valid is not None:
         # padding keys live in segment 1, everything else in 0: valid queries
-        # never attend to padding, identical outputs at valid positions
+        # never attend to padding, identical outputs at valid positions.
+        # Queries always ride segment 0 — padded QUERIES then attend the
+        # valid keys and produce ignored outputs, which is correct for self
+        # AND cross attention. (The old `if tq == tk: q_seg = kv_seg`
+        # self-attention shortcut misfired on cross-attention whenever the
+        # lmx and latent buckets coincided, placing VALID decoder tokens in
+        # the memory's padding segment — round-4 review.)
         kv_seg = (~mask.key_valid).astype(jnp.int32)
         q_seg = jnp.zeros((b, tq), dtype=jnp.int32)
-        if tq == tk:
-            q_seg = kv_seg  # self-attention: padded queries mask symmetrically
         seg = fa.SegmentIds(q=q_seg, kv=kv_seg)
 
     bq = min(512, tq)

@@ -88,8 +88,13 @@ def pack_omr_batch(examples, enc_cfg: EncoderConfig, tokenizer,
                          fills={"inputs": tokenizer.pad_idx,
                                 "targets": tokenizer.pad_idx})
     if include_musicxml:
-        out["musicxml"] = [ex[2] for ex in examples]
-        out["lmx_seqs"] = seqs
+        # keep the host-side lists row-aligned with the padded arrays: pad
+        # rows carry None so a consumer pairing array row i with
+        # musicxml[i] sees an explicit sentinel instead of an IndexError
+        # or a silently re-scored real row (round-4 review)
+        n_pad = (out["patches"].shape[0] - len(examples))
+        out["musicxml"] = [ex[2] for ex in examples] + [None] * n_pad
+        out["lmx_seqs"] = seqs + [None] * n_pad
     return out
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import functools
 import xml.etree.ElementTree as ET
 from pathlib import Path
 
@@ -155,6 +156,21 @@ def tree_size(root: ET.Element) -> int:
 # public API (reference-compatible)
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=256)
+def _target_tree_cached(target_musicxml: str):
+    """Parsed+postordered target tree, cached by the XML string.
+
+    GRPO scores one image's target against group_size (typically 8)
+    rollouts, and TEDn is ~17% of the outer step — re-parsing the same
+    target per rollout was pure redundancy (round-4 review). 256 entries
+    cover several batches of unique targets at a few MB."""
+    try:
+        target_root = ET.fromstring(target_musicxml)
+    except ET.ParseError as e:
+        raise ValueError(f"target musicxml unparseable: {e}")
+    return _score_tree(target_root)
+
+
 def TEDn_lmx_xml(predicted_lmx: str, target_musicxml: str, flavor: str = "lmx",
                  debug: bool = False, canonicalize: bool = False):
     """(edit_cost, catastrophic_error, minor_error_count).
@@ -163,11 +179,7 @@ def TEDn_lmx_xml(predicted_lmx: str, target_musicxml: str, flavor: str = "lmx",
     before comparison (the reference's exact call shape,
     omr_grpo_train.py:144-146). ``flavor="xml"``: already MusicXML.
     """
-    try:
-        target_root = ET.fromstring(target_musicxml)
-    except ET.ParseError as e:
-        raise ValueError(f"target musicxml unparseable: {e}")
-    target_tree = _score_tree(target_root)
+    target_tree = _target_tree_cached(target_musicxml)
 
     minor_errors = 0
     try:
@@ -199,7 +211,6 @@ class TEDnResult:
 
 
 def tedn_full(predicted_lmx: str, target_musicxml: str) -> TEDnResult:
-    target_tree = _score_tree(ET.fromstring(target_musicxml))
-    gold = tree_size(target_tree)
+    gold = tree_size(_target_tree_cached(target_musicxml))
     cost, catastrophic, minor = TEDn_lmx_xml(predicted_lmx, target_musicxml)
     return TEDnResult(cost, gold, catastrophic, minor)

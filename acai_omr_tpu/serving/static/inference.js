@@ -133,7 +133,9 @@ $("annotate-canvas").onmousemove = (e) => {
     draw();
   }
 };
-$("annotate-canvas").onmouseup = () => {
+// window-level: releasing the button OUTSIDE the canvas must still end
+// the drag, or the box keeps following the cursor on re-entry
+window.addEventListener("mouseup", () => {
   action = null;
   if (!drawing) return;
   let [x0, y0, x1, y1] = drawing;
@@ -143,7 +145,7 @@ $("annotate-canvas").onmouseup = () => {
     selected = boxes.length - 1;
   }
   draw();
-};
+});
 
 function deleteSelected() {
   if (selected < 0) return;
@@ -183,11 +185,16 @@ function appendTokens(text) {
 }
 
 $("run-btn").onclick = async () => {
-  await api("/inference/setup", {
-    method: "POST",
-    headers: { "Content-Type": "application/json" },
-    body: JSON.stringify({ bboxes: boxes }),
-  });
+  try {
+    await api("/inference/setup", {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify({ bboxes: boxes }),
+    });
+  } catch (err) {
+    setStatus(`Setup failed: ${err.message || err}`, false);
+    return;
+  }
   $("stream-section").hidden = false;
   $("token-stream").textContent = "";
   setStatus("Encoding…", true);
@@ -205,7 +212,14 @@ $("run-btn").onclick = async () => {
   events.addEventListener("all_inference_finish", async () => {
     events.close();
     setStatus("Post-processing…", true);
-    const res = await api("/inference/postprocess", { method: "POST" });
+    let res;
+    try {
+      res = await api("/inference/postprocess", { method: "POST" });
+    } catch (err) {
+      // an uncaught rejection left the page hanging on "Post-processing…"
+      setStatus(`Post-processing failed: ${err.message || err}`, false);
+      return;
+    }
     setStatus("Done", false);
     $("result-section").hidden = false;
     if (res.ok) {

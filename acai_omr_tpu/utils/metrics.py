@@ -32,7 +32,10 @@ class MetricsWriter:
         value = float(value)
         if self.tb is not None:
             self.tb.add_scalar(tag, value, step)
-        self._csv_rows.append({"step": step, "tag": tag, "value": value})
+        if self.csv_path:
+            # only buffer rows a CSV sink will drain: TB-only writers grew
+            # this list for the life of the training process (round-4 review)
+            self._csv_rows.append({"step": step, "tag": tag, "value": value})
 
     def scalars(self, prefix: str, values: dict, step: int) -> None:
         for k, v in values.items():

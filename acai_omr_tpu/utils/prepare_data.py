@@ -41,14 +41,21 @@ def prepare_doremi(src: Path, dst: Path, crop_top: float = 0.08,
     images = dst / "images"
     images.mkdir(parents=True, exist_ok=True)
     rows = []
+    seen: dict = {}
     for png in sorted(src.rglob("*.png")):
         img = Image.open(png).convert("L")
         w, h = img.size
         img = img.crop((0, int(h * crop_top), w, int(h * (1 - crop_bottom))))
         # key by relative path, not bare stem: DoReMi organizes pages per
         # piece, and same-named pages in different directories silently
-        # overwrote each other + duplicated ids (round-4 review)
+        # overwrote each other + duplicated ids (round-4 review). "_"-joined
+        # parts can still collide (a_b/c vs a/b_c), so collisions get a
+        # numeric suffix — no image is ever silently dropped.
         name = "_".join(png.relative_to(src).with_suffix("").parts)
+        if name in seen:
+            seen[name] += 1
+            name = f"{name}-{seen[name]}"
+        seen.setdefault(name, 0)
         img.save(images / f"{name}.png")
         rows.append(name)
     _write_ids(dst, rows)

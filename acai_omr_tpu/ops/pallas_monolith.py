@@ -245,7 +245,7 @@ def pick_cdma_plan(b: int, t: int, m: int, e: int, itemsize: int = 1,
     s_pref = pick_cslots(quantized)
     slot_choices = (s_pref,) if _N_CSLOTS not in ("auto",) \
         else tuple(range(s_pref, 1, -1))
-    bt = max(8, min(_MAX_BT, 16)) if w8a8 else 8
+    bt = min(_MAX_BT, 16) if w8a8 else min(_MAX_BT, 8)
     while bt > 1:
         if b % bt == 0 and not (mem_group > 1 and mem_group % bt):
             for s in slot_choices:
@@ -296,7 +296,7 @@ def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2,
         w8a8 = _W8A8 and itemsize == 1
     weights_vmem = _WEIGHTS_VMEM_INT8 if w8a8 else _WEIGHTS_VMEM
     budget = _VMEM_LIMIT - weights_vmem - _SLACK_VMEM
-    bt = max(8, min(_MAX_BT, 16)) if w8a8 else 8
+    bt = min(_MAX_BT, 16) if w8a8 else min(_MAX_BT, 8)
     # ``manual_cdma`` defaults to the module env policy; callers whose
     # delivery mode differs from the env default (tp shards force BlockSpec
     # windows) pass it so the VMEM budget models the delivery path the
@@ -1529,8 +1529,13 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
         # (measured: the 2-slot skeleton sat ~10% above the floor)
         cdt = k_cache.dtype
         nl = bt * h
+        # budget with the CACHE lane width ea (== what the scratch below
+        # allocates), not the residual width e — at sliced shard shapes
+        # (ea != e, tools/tp_shard_bench) the e-based plan under-counted
+        # the budget headroom and could pick a shallower slot count than
+        # the executed tiles admit (round-4 review)
         n_cslots = pick_cdma_plan(
-            b, t_len, m_len, e, jnp.dtype(k_cache.dtype).itemsize,
+            b, t_len, m_len, ea, jnp.dtype(k_cache.dtype).itemsize,
             num_heads, mem_group, w8a8="wscale" in mono)[1]
         S = n_cslots
         cw = k_cache.shape[-1]                  # == ea (cache lane width)

@@ -279,11 +279,26 @@ def _drop_mask(shape, rate: float, seeds) -> jnp.ndarray:
     return bits.astype(jnp.uint32) >= thresh
 
 
-def _apply_drop(v, rate: float, seeds, deterministic: bool):
+def _apply_drop(v, rate: float, seeds, deterministic: bool, *,
+                img_base: int, t: int):
+    """Dropout with PER-IMAGE masks: each image's keep-mask is seeded by
+    (seeds..., global image index) and generated at (t, width) — independent
+    of the tile decomposition, so the forward (row tile ``bt``) and backward
+    (``bt_bwd``) regenerate bit-identical masks even when their tilings
+    differ. (Round-4 review: the old per-TILE masks keyed on the tile index
+    j and the tile's own shape, so bt != bt_bwd — the DEFAULT at flagship
+    shapes — silently applied different dropout in the two passes,
+    corrupting every gradient whenever dropout was active.)"""
     if deterministic or rate <= 0.0:
         return v
-    keep = _drop_mask(v.shape, rate, seeds)
-    return jnp.where(keep, v / (1.0 - rate), jnp.zeros_like(v))
+    n_img = v.shape[0] // t
+    rows = []
+    for ii in range(n_img):
+        keep = _drop_mask((t, v.shape[1]), rate,
+                          tuple(seeds) + (img_base + ii,))
+        rows.append(jnp.where(keep, v[ii * t:(ii + 1) * t] / (1.0 - rate),
+                              jnp.zeros((t, v.shape[1]), v.dtype)))
+    return rows[0] if n_img == 1 else jnp.concatenate(rows, axis=0)
 
 
 def _attend(q, k, v, bias32, dt, scale=None):
@@ -493,7 +508,7 @@ def _fwd_kernel(seed_ref, x_in, mem_kv, sbias, mbias,
         img_rows.append(jnp.concatenate(heads, axis=1))
     a_s = jnp.concatenate(img_rows, axis=0)
     sa = (_dot(a_s, wo[0]) + bo).astype(dt)
-    sa = _apply_drop(sa, rate, (s0, s1, l, j, 0), det)
+    sa = _apply_drop(sa, rate, (s0, s1, l, 0), det, img_base=j * bt, t=t)
     z1 = x + sa
     if save:
         sz1[0] = z1
@@ -517,7 +532,7 @@ def _fwd_kernel(seed_ref, x_in, mem_kv, sbias, mbias,
             img_rows.append(jnp.concatenate(heads, axis=1))
         a_c = jnp.concatenate(img_rows, axis=0)
         ca = (_dot(a_c, woc[0]) + boc).astype(dt)
-        ca = _apply_drop(ca, rate, (s0, s1, l, j, 1), det)
+        ca = _apply_drop(ca, rate, (s0, s1, l, 1), det, img_base=j * bt, t=t)
         z2 = x1 + ca
         if save:
             sz2[0] = z2
@@ -538,7 +553,7 @@ def _fwd_kernel(seed_ref, x_in, mem_kv, sbias, mbias,
         u_c = _dot(x2, w1[0][:, c0:c0 + cw]) + b1[:, c0:c0 + cw]
         erf_c = _erf(u_c / _SQRT2)
         h1_c = (0.5 * u_c * (1.0 + erf_c)).astype(dt)
-        h1_c = _apply_drop(h1_c, rate, (s0, s1, l, j, 2, c0 // 1024), det)
+        h1_c = _apply_drop(h1_c, rate, (s0, s1, l, 2, c0 // 1024), det, img_base=j * bt, t=t)
         if save:
             phi_c = jnp.exp(-0.5 * u_c * u_c) * _INV_SQRT_2PI
             sgp[0, :, c0:c0 + cw] = \
@@ -546,7 +561,7 @@ def _fwd_kernel(seed_ref, x_in, mem_kv, sbias, mbias,
             sh1[0, :, c0:c0 + cw] = h1_c
         ff32 = ff32 + _dot(h1_c, w2[0][c0:c0 + cw, :])
     ff = (ff32 + b2).astype(dt)
-    ff = _apply_drop(ff, rate, (s0, s1, l, j, 3), det)
+    ff = _apply_drop(ff, rate, (s0, s1, l, 3), det, img_base=j * bt, t=t)
     z3 = x2 + ff
     if save:
         sz3[0] = z3
@@ -747,7 +762,7 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
         # F-chunked FFN backward from the forward's saved post-dropout h1
         # and GELU derivative — no erf recompute in this kernel (its
         # rational-approx temporaries were ~21 MB of vreg spill)
-        dff = _apply_drop(dz3, rate, (s0, s1, lr, j, 3), det)
+        dff = _apply_drop(dz3, rate, (s0, s1, lr, 3), det, img_base=j * bt, t=t)
         db2 = jnp.sum(dff.astype(jnp.float32), axis=0, keepdims=True)
         cp_h1.wait()
         cp_gp.wait()
@@ -767,7 +782,7 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
             d2 = _dot_tb(h1_c, dff, dw2.dtype)
             dw2[c0:c0 + cw, :] += d2
             dh1_c = _chain(_dot_bt(dff, w2c[bi, :cw, :]).astype(dt), d2)
-            dh1_c = _apply_drop(dh1_c, rate, (s0, s1, lr, j, 2, ci), det)
+            dh1_c = _apply_drop(dh1_c, rate, (s0, s1, lr, 2, ci), det, img_base=j * bt, t=t)
             du_c = (dh1_c.astype(jnp.float32)
                     * vgp[:, c0:c0 + cw].astype(jnp.float32)).astype(dt)
             dx2f = dx2f + _dot_bt(du_c, w1c[bi, :, :cw])
@@ -786,7 +801,7 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
     if cross:
         dz2, dg2, db2n = _ln_bwd(dx2, _chain(z2, dx2), g2)
         dz2 = dz2.astype(dt)
-        dca = _apply_drop(dz2, rate, (s0, s1, lr, j, 1), det)
+        dca = _apply_drop(dz2, rate, (s0, s1, lr, 1), det, img_base=j * bt, t=t)
         cp_z1.wait()
         z1 = vz1[...]
         x1_32, _, _ = _ln_fwd(_chain(z1, dca), g1, be1)
@@ -852,7 +867,7 @@ def _bwd_kernel(seed_ref, mem_kv, sbias, mbias,
     # ---- LN1 + self-attention backward -----------------------------------
     dz1, dg1, db1n = _ln_bwd(dx1, _chain(z1, dx1), g1)
     dz1 = dz1.astype(dt)
-    dsa = _apply_drop(dz1, rate, (s0, s1, lr, j, 0), det)
+    dsa = _apply_drop(dz1, rate, (s0, s1, lr, 0), det, img_base=j * bt, t=t)
     cp_x.wait()
     x = vx[...]
     # qkv is SAVED by the forward (not recomputed): the projection dot is
@@ -1104,7 +1119,7 @@ def _bwd_split_kernel(seed_ref, mem_kv, sbias, mbias,
             x2_32, _, _ = _ln_fwd(vz1[...], g1, be1)
         x2 = x2_32.astype(dt)
 
-        dff = _apply_drop(dz3, rate, (s0, s1, lr, j, 3), det)
+        dff = _apply_drop(dz3, rate, (s0, s1, lr, 3), det, img_base=j * bt, t=t)
         db2 = jnp.sum(dff.astype(jnp.float32), axis=0, keepdims=True)
         sv_cps[2].wait()
         sv_cps[3].wait()
@@ -1125,7 +1140,7 @@ def _bwd_split_kernel(seed_ref, mem_kv, sbias, mbias,
             d2 = _dot_tb(h1_c, dff, dw2.dtype)
             dw2[c0:c0 + cw, :] += d2
             dh1_c = _dot_bt(dff, w2c[bi, :cw, :]).astype(dt)
-            dh1_c = _apply_drop(dh1_c, rate, (s0, s1, lr, j, 2, ci), det)
+            dh1_c = _apply_drop(dh1_c, rate, (s0, s1, lr, 2, ci), det, img_base=j * bt, t=t)
             du_c = (dh1_c.astype(jnp.float32)
                     * vgp[:, c0:c0 + cw].astype(jnp.float32)).astype(dt)
             dx2f = dx2f + _dot_bt(du_c, w1c[bi, :, :cw])
@@ -1193,7 +1208,7 @@ def _bwd_split_kernel(seed_ref, mem_kv, sbias, mbias,
             z2 = vz2[...]
             dz2, dg2, db2n = _ln_bwd(dx2, z2, g2)
             dz2 = dz2.astype(dt)
-            dca = _apply_drop(dz2, rate, (s0, s1, lr, j, 1), det)
+            dca = _apply_drop(dz2, rate, (s0, s1, lr, 1), det, img_base=j * bt, t=t)
             sv_cps[1].wait()
             z1 = vz1[...]
             x1_32, _, _ = _ln_fwd(z1, g1, be1)
@@ -1251,7 +1266,7 @@ def _bwd_split_kernel(seed_ref, mem_kv, sbias, mbias,
 
         dz1, dg1, db1n = _ln_bwd(dx1, z1, g1)
         dz1 = dz1.astype(dt)
-        dsa = _apply_drop(dz1, rate, (s0, s1, lr, j, 0), det)
+        dsa = _apply_drop(dz1, rate, (s0, s1, lr, 0), det, img_base=j * bt, t=t)
         sv_cps[0].wait()
         x = vx[...]
         sv_cps[-1].wait()
@@ -1715,6 +1730,9 @@ def decoder_stack_fused(stacked: Params, x: jnp.ndarray, mem_kv: jnp.ndarray,
         data = rng if jnp.issubdtype(rng.dtype, jnp.uint32) \
             else jax.random.key_data(rng)
         seeds = data.reshape(-1)[:2].astype(jnp.int32)
+    if row_tile and b % row_tile:
+        raise ValueError(f"row_tile {row_tile} does not divide batch {b} — "
+                         f"the grid would silently skip the trailing images")
     bt = row_tile or _pick_row_tile(b, t, m, e, f, jnp.dtype(dt).itemsize)
     # the backward holds weights + fp32 weight-grad accumulators resident in
     # VMEM; it runs narrow (one-image) tiles to leave room for the streams.
@@ -1777,6 +1795,9 @@ def encoder_stack_fused(stacked: Params, x: jnp.ndarray,
     sbias = jnp.where(valid, 0.0, NEG).astype(jnp.float32)[:, None, :]
     det = deterministic or dropout_rate <= 0.0
     seeds = _fold_seeds(rng, det)
+    if row_tile and b % row_tile:
+        raise ValueError(f"row_tile {row_tile} does not divide batch {b} — "
+                         f"the grid would silently skip the trailing images")
     bt = row_tile or _pick_row_tile(b, t, 0, e, f, jnp.dtype(dt).itemsize)
     bt_bwd = row_tile or max(1, 256 // t if t < 256 else 1)
     while b % bt_bwd:

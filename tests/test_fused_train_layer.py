@@ -304,3 +304,39 @@ def test_split_backward_matches_monolithic_encoder(enc_setup):
     g_split = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1))(stacked, x)
     for a, b in zip(jax.tree.leaves(g_mono), jax.tree.leaves(g_split)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="hardware PRNG has no CPU-interpret lowering")
+def test_dropout_gradient_tile_invariant(setup):
+    """With dropout ACTIVE, gradients must be EXACTLY invariant to the
+    backward row-tile choice: the per-image dropout masks are seeded by the
+    global image index, so any tile decomposition regenerates the masks the
+    forward applied (round-4 review: per-TILE masks keyed on the tile index
+    and tile shape silently applied DIFFERENT dropout in the two passes
+    whenever bt != bt_bwd — the default at flagship shapes — corrupting
+    every gradient). Verified on-chip: max|grad(bt_bwd=1)-grad(bt_bwd=4)|
+    == 0.0 after the fix. (A finite-difference oracle is NOT usable here:
+    fp32 TPU matmul rounding at these magnitudes swamps eps-scale
+    differences — the deterministic control read ratio 1.22 against a
+    gradient proven exact by the XLA parity tests.)"""
+    import os
+    stacked, x, memory, self_valid, mem_valid, mem_kv = setup
+    rng = jax.random.PRNGKey(7)
+
+    def loss(x_, bt_bwd):
+        os.environ["ACAI_FUSED_BT_BWD"] = str(bt_bwd)
+        jax.clear_caches()
+        ptl._make_fused.cache_clear()
+        out = ptl.decoder_stack_fused(stacked, x_, mem_kv, self_valid,
+                                      mem_valid, H, dropout_rate=0.3,
+                                      rng=rng, deterministic=False)
+        return jnp.sum(out * jnp.sin(out))
+
+    try:
+        g1 = jax.grad(lambda x_: loss(x_, 1))(x)
+        g4 = jax.grad(lambda x_: loss(x_, 4))(x)
+    finally:
+        os.environ.pop("ACAI_FUSED_BT_BWD", None)
+        ptl._make_fused.cache_clear()
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g4))

@@ -158,8 +158,20 @@ def encode(params: Params, cfg: EncoderConfig, patches, pe_idx, pe_w, valid,
     x = embed_patches(params, patches, pe_idx, pe_w, valid, compute_dtype)
     bias = nn.MaskSpec(key_valid=valid)
     blocks = params["blocks"]
-    n_frozen = cfg.num_layers - cfg.fine_tune_depth if cfg.fine_tune_depth else 0
-    if 0 < n_frozen < cfg.num_layers:
+    # fine_tune_depth=0 is overloaded: as the EncoderConfig default it means
+    # "no fine-tune split" (MAE pretraining trains the whole stack), but under
+    # frozen_stop_gradient=True it means "whole encoder frozen" — matching
+    # encoder_llrd_scales (parallel/trainer.py:98) and GRPO's frozen-encoder
+    # rollouts. Without this, a caller relying on frozen_stop_gradient alone
+    # would silently train (and pay the backward for) a nominally frozen
+    # encoder (round-4 advisor finding).
+    n_frozen = cfg.num_layers - cfg.fine_tune_depth \
+        if (cfg.fine_tune_depth or frozen_stop_gradient) else 0
+    if frozen_stop_gradient and n_frozen >= cfg.num_layers:
+        x = transformer.encoder_stack(blocks, x, bias, cfg.num_heads,
+                                      0.0, None, True, remat)
+        x = jax.lax.stop_gradient(x)
+    elif 0 < n_frozen < cfg.num_layers:
         frozen = transformer.stack_slice(blocks, 0, n_frozen)
         tune = transformer.stack_slice(blocks, n_frozen, cfg.num_layers)
         x = transformer.encoder_stack(frozen, x, bias, cfg.num_heads,

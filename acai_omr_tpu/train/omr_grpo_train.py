@@ -101,7 +101,12 @@ class CurriculumScheduler:
         if self.step_count < self.exploration_steps:
             self.step_count += 1
             return
-        p = (self.step_count - self.exploration_steps) / self.anneal_steps
+        # clamp: steps past the anneal horizon must hold the final values —
+        # unclamped p>1 would anneal lambda_ce below its floor (sign-flipping
+        # the CE term into gradient ascent) and entropy_beta negative
+        # (round-4 advisor finding).
+        p = min((self.step_count - self.exploration_steps) / self.anneal_steps,
+                1.0)
         pq = min(int(p * self.STATIC_LEVELS),
                  self.STATIC_LEVELS) / self.STATIC_LEVELS
         i, b = self.init, self.bounds

@@ -28,6 +28,31 @@ BATCH = 32
 MEM_LEN = 512
 DECODE_LEN = 512
 BASELINE_PATH = Path(__file__).parent / "bench_baseline.json"
+BEST_KNOWN_PATH = Path(__file__).parent / "bench_best_known.json"
+# regression tripwire threshold: the axon tunnel's run-to-run variance is
+# ~±5%, so a single sub-threshold reading is noise; a flagged metric that
+# repeats across runs is a real regression (VERDICT r4 #6 — the bf16
+# headline drifted 22.947 → 22.687 over four rounds, each step hidden
+# inside the band)
+REGRESSION_TOLERANCE = 0.05
+
+
+def check_regressions(result: dict) -> list:
+    """Names of metrics >5% below the checked-in best-known values."""
+    if not BEST_KNOWN_PATH.exists():
+        return []
+    best = json.loads(BEST_KNOWN_PATH.read_text())
+    flagged = []
+    for key, best_val in best.items():
+        if not isinstance(best_val, (int, float)):
+            continue
+        got = result.get("value") if key == "systems_per_sec" else \
+            result.get(key)
+        if isinstance(got, (int, float)) and \
+                got < best_val * (1.0 - REGRESSION_TOLERANCE):
+            flagged.append(f"{key}: {got} < best {best_val} "
+                           f"(-{100 * (1 - got / best_val):.1f}%)")
+    return flagged
 
 
 def time_best(fn, reps: int = 2, warmups: int = 2) -> float:
@@ -206,7 +231,7 @@ def main():
             measure_dp_throughput(cfg, params), 2)
         extras["num_devices"] = len(jax.devices())
 
-    print(json.dumps({
+    result = {
         "metric": "systems/sec/chip (KV-cached LMX decode, B=32, 511 tok/system, mem 512)",
         "value": round(systems_per_sec, 3),
         "unit": "systems/sec",
@@ -220,7 +245,11 @@ def main():
         **batch_rows,
         "device": str(jax.devices()[0]),
         **extras,
-    }))
+    }
+    regressions = check_regressions(result)
+    if regressions:
+        result["regressions"] = regressions
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

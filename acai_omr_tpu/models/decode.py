@@ -484,16 +484,18 @@ def decode_segment(params: Params, cfg: DecoderConfig, state: DecodeState,
         h_loc = ea // cfg.head_dim
         mono = pallas_monolith.prepack(
             params, cfg, compute_dtype,
-            # W8A8 defaults off under tp: its per-row activation max spans
-            # the contraction axis TP splits, so sharded W8A8 quantizes
-            # differently than a single chip (int8 CACHES compose exactly —
-            # per-(row, head) scales, whole heads per shard). ACAI_TP_W8A8=1
-            # opts in to per-shard W8A8 — the B=1 latency winner (see
-            # pallas_monolith.want_tp_w8a8).
-            quantize_weights=(state.k_scale is not None
-                              and pallas_monolith.want_w8a8(state.k_cache.dtype)
-                              and (not tp_mono
-                                   or pallas_monolith.want_tp_w8a8())),
+            # weight_quant_mode: "int8" (W8A8, default-on for int8 caches),
+            # "int4" (W4A8, ACAI_W4A8_DECODE=1 opt-in — 1/4 the bf16 weight
+            # stream), or False. W8A8 defaults off under tp: its per-row
+            # activation max spans the contraction axis TP splits, so
+            # sharded W8A8 quantizes differently than a single chip (int8
+            # CACHES compose exactly — per-(row, head) scales, whole heads
+            # per shard). ACAI_TP_W8A8=1 opts in to per-shard W8A8 — the
+            # B=1 latency winner (see pallas_monolith.want_tp_w8a8). W4A8
+            # never rides tp shards (weight_quant_mode).
+            quantize_weights=(False if state.k_scale is None else
+                              pallas_monolith.weight_quant_mode(
+                                  state.k_cache.dtype, tp_mono)),
             e_attn=ea if tp_mono else None)
         b, m_len = mem.k.shape[1], mem.k.shape[2]
         if mem.bias is None:
@@ -1227,10 +1229,9 @@ def beam_decode_segment(params: Params, cfg: DecoderConfig, state: BeamState,
         tp = cfg.hidden_dim // ea if tp_mono else 1
         mono = pallas_monolith.prepack(
             params, cfg, compute_dtype,
-            quantize_weights=(state.k_scale is not None
-                              and pallas_monolith.want_w8a8(state.k_cache.dtype)
-                              and (not tp_mono
-                                   or pallas_monolith.want_tp_w8a8())),
+            quantize_weights=(False if state.k_scale is None else
+                              pallas_monolith.weight_quant_mode(
+                                  state.k_cache.dtype, tp_mono)),
             e_attn=ea if tp_mono else None)
         bm, m_len = mem.k.shape[1], mem.k.shape[2]
         if mem.bias is None:

@@ -178,6 +178,7 @@ def _chunk_skip(quantized: bool) -> bool:
 # sublane tile: 16 covers bf16/f32; int8 tiles are (32, 128))
 _TIME_TILE = 16
 INT8_QMAX = 127.0
+INT4_QMAX = 7.0
 
 
 def time_tile(cache_dtype) -> int:
@@ -188,6 +189,7 @@ def time_tile(cache_dtype) -> int:
 _VMEM_LIMIT = int(119.5 * 1024 * 1024)
 _WEIGHTS_VMEM = 56 * 1024 * 1024
 _WEIGHTS_VMEM_INT8 = 30 * 1024 * 1024
+_WEIGHTS_VMEM_INT4 = 17 * 1024 * 1024
 _SLACK_VMEM = 6 * 1024 * 1024
 # row-tile cap. bt=16 at the flagship shape has been MEASURED as a negative
 # twice: pre-CDMA, Mosaic's double-buffered windows for the in+out aliased
@@ -228,9 +230,23 @@ def _cdma_vmem(bt: int, t: int, m: int, e: int, h: int, s: int,
     return kv + mem + scales + masks + inter
 
 
+def _weights_vmem_for(quantized: bool, w8a8, w4a8) -> tuple[int, bool, bool]:
+    """Resolve the (weights VMEM budget, w8a8, w4a8) triple from explicit
+    flags or the module env policy (W4A8 wins over W8A8 when both set —
+    they are exclusive weight modes)."""
+    if w4a8 is None:
+        w4a8 = _W4A8 and quantized
+    if w8a8 is None:
+        w8a8 = _W8A8 and quantized and not w4a8
+    if w4a8:
+        return _WEIGHTS_VMEM_INT4, False, True
+    return (_WEIGHTS_VMEM_INT8 if w8a8 else _WEIGHTS_VMEM), w8a8, False
+
+
 def pick_cdma_plan(b: int, t: int, m: int, e: int, itemsize: int = 1,
                    num_heads: int = 16, mem_group: int = 1,
-                   w8a8: bool | None = None) -> tuple[int, int]:
+                   w8a8: bool | None = None,
+                   w4a8: bool | None = None) -> tuple[int, int]:
     """(row tile, rotation slots) for the manual-CDMA kernel: the largest
     feasible ``bt`` wins (fatter grid steps = larger contiguous copies and
     fewer DMA issue boundaries), then the deepest slot count that still fits
@@ -238,14 +254,12 @@ def pick_cdma_plan(b: int, t: int, m: int, e: int, itemsize: int = 1,
     cache segment drops to S=2 to keep bt=8 (S=3 there would exceed VMEM —
     scratch is 2·S·bt·t·E bytes for the self streams alone)."""
     quantized = itemsize == 1
-    if w8a8 is None:
-        w8a8 = _W8A8 and quantized
-    weights_vmem = _WEIGHTS_VMEM_INT8 if w8a8 else _WEIGHTS_VMEM
+    weights_vmem, w8a8, w4a8 = _weights_vmem_for(quantized, w8a8, w4a8)
     budget = _VMEM_LIMIT - weights_vmem - _SLACK_VMEM
     s_pref = pick_cslots(quantized)
     slot_choices = (s_pref,) if _N_CSLOTS not in ("auto",) \
         else tuple(range(s_pref, 1, -1))
-    bt = min(_MAX_BT, 16) if w8a8 else min(_MAX_BT, 8)
+    bt = min(_MAX_BT, 16) if (w8a8 or w4a8) else min(_MAX_BT, 8)
     while bt > 1:
         if b % bt == 0 and not (mem_group > 1 and mem_group % bt):
             for s in slot_choices:
@@ -273,7 +287,8 @@ def _on_tpu() -> bool:
 def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2,
                   num_heads: int = 16, mem_group: int = 1,
                   w8a8: bool | None = None,
-                  manual_cdma: bool | None = None) -> int:
+                  manual_cdma: bool | None = None,
+                  w4a8: bool | None = None) -> int:
     """Rows per grid step: largest power-of-2 divisor of ``b`` such that the
     double-buffered cache/memory tiles plus the layer weights fit VMEM.
 
@@ -292,11 +307,9 @@ def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2,
     one memory) the memory block is one shared (M, E) tile per grid step, so
     it drops out of the per-row budget; the tile must also stay within one
     group (``mem_group % bt == 0``)."""
-    if w8a8 is None:
-        w8a8 = _W8A8 and itemsize == 1
-    weights_vmem = _WEIGHTS_VMEM_INT8 if w8a8 else _WEIGHTS_VMEM
+    weights_vmem, w8a8, w4a8 = _weights_vmem_for(itemsize == 1, w8a8, w4a8)
     budget = _VMEM_LIMIT - weights_vmem - _SLACK_VMEM
-    bt = min(_MAX_BT, 16) if w8a8 else min(_MAX_BT, 8)
+    bt = min(_MAX_BT, 16) if (w8a8 or w4a8) else min(_MAX_BT, 8)
     # ``manual_cdma`` defaults to the module env policy; callers whose
     # delivery mode differs from the env default (tp shards force BlockSpec
     # windows) pass it so the VMEM budget models the delivery path the
@@ -305,7 +318,7 @@ def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2,
         manual_cdma = _manual_cdma(itemsize == 1)
     if manual_cdma:
         bt_m = pick_cdma_plan(b, t, m, e, itemsize, num_heads, mem_group,
-                              w8a8)[0]
+                              w8a8, w4a8)[0]
         # manual prefetch: residency is the explicit scratch the kernel
         # allocates (S rotation slots + bt²-sized masks), not Mosaic's
         # double-buffered block windows. EXCEPT: sub-128-lane int8 scale
@@ -342,7 +355,8 @@ def pick_row_tile(b: int, t: int, m: int, e: int, itemsize: int = 2,
 def scale_pack_group(b: int, t: int, m: int, e: int,
                      num_heads: int = 16, mem_group: int = 1,
                      w8a8: bool | None = None,
-                     manual_cdma: bool | None = None) -> int:
+                     manual_cdma: bool | None = None,
+                     w4a8: bool | None = None) -> int:
     """Lane-pack group for int8 SELF-cache scale planes == the kernel's row
     tile.
 
@@ -354,7 +368,7 @@ def scale_pack_group(b: int, t: int, m: int, e: int,
     tiny plane per unique image, repeated across lanes in-kernel.
     """
     return pick_row_tile(b, t, m, e, 1, num_heads, mem_group, w8a8=w8a8,
-                         manual_cdma=manual_cdma)
+                         manual_cdma=manual_cdma, w4a8=w4a8)
 
 
 def pack_scales(s: jnp.ndarray, group: int) -> jnp.ndarray:
@@ -433,11 +447,24 @@ def prepack(params: Params, cfg, compute_dtype=jnp.bfloat16,
     deployment case — and saves ~5 MB of double-buffered VMEM; fp32 test
     mode keeps fp32).
 
-    ``quantize_weights=True`` (the int8 decode mode) stores every weight
-    matrix int8 with per-output-column max-abs scales packed into one
-    (L, 6, mlp_dim) fp32 operand ("wscale"): weight streaming is half the
-    int8 step's non-cache HBM traffic, and the matmuls then run as
+    ``quantize_weights=True`` or ``"int8"`` (the int8 decode mode) stores
+    every weight matrix int8 with per-output-column max-abs scales packed
+    into one (L, 6, mlp_dim) fp32 operand ("wscale"): weight streaming is
+    half the int8 step's non-cache HBM traffic, and the matmuls then run as
     int8 x int8 MXU dots against per-row-quantized activations (W8A8).
+
+    ``quantize_weights="int4"`` (W4A8, ``ACAI_W4A8_DECODE=1``) packs two
+    int4 values per byte pairing input-rows (r, r + IN/2): byte =
+    16*q[r + IN/2] + (q[r] + 8), so the in-kernel unpack yields two
+    CONTIGUOUS (IN/2, OUT) int8 half-matrices (no lane interleave — the
+    matmul splits into two lane-aligned half dots, see :func:`_qdot4`).
+    Scales are per-half per-output-column ("wscale4", (L, 12, mlp_dim)
+    fp32: rows 2m/2m+1 = matrix m's lo/hi half) — the halves already need
+    separate dots, so the finer granularity is free. Weight streaming
+    drops to ~1/4 of bf16 (~88 MB/step at flagship shapes vs 176 int8 /
+    352 bf16) — the B<=64 decode lever (weights dominate small-batch
+    steps; VERDICT r4 #1). int4 quality on the trained synthetic-task
+    checkpoint is token-identical to fp32 (tools/w4a8_quality.py).
     """
     blocks = params["blocks"]
     e, f = cfg.hidden_dim, cfg.mlp_dim
@@ -477,6 +504,26 @@ def prepack(params: Params, cfg, compute_dtype=jnp.bfloat16,
 
     out = {}
     srows = []
+    if quantize_weights == "int4":
+        for name in ("w_qkv", "w_self_out", "w_cross_q", "w_cross_out",
+                     "w_ff1", "w_ff2"):
+            w = mats[name].astype(jnp.float32)               # (L, IN, OUT)
+            l, cin, cout = w.shape
+            half = cin // 2
+            wg = w.reshape(l, 2, half, cout)
+            amax = jnp.max(jnp.abs(wg), axis=2, keepdims=True)  # (L, 2, 1, O)
+            s = (jnp.maximum(amax, 1e-8) / INT4_QMAX).astype(jnp.bfloat16) \
+                .astype(jnp.float32)
+            q = jnp.clip(jnp.round(wg / s), -INT4_QMAX,
+                         INT4_QMAX).astype(jnp.int32)
+            # byte = 16*hi + (lo + 8): lo = rows [0, IN/2), hi = the paired
+            # row IN/2 later — unpack yields two contiguous half-matrices
+            out[name] = (16 * q[:, 1] + (q[:, 0] + 8)).astype(jnp.int8)
+            s2 = s.reshape(l, 2, cout)                       # rows: lo, hi
+            srows.append(jnp.pad(s2, ((0, 0), (0, 0), (0, f - cout))))
+        out["misc"] = misc
+        out["wscale4"] = jnp.concatenate(srows, axis=1)      # (L, 12, F)
+        return out
     for name in ("w_qkv", "w_self_out", "w_cross_q", "w_cross_out",
                  "w_ff1", "w_ff2"):
         w = mats[name].astype(jnp.float32)                   # (L, IN, OUT)
@@ -493,11 +540,37 @@ def prepack(params: Params, cfg, compute_dtype=jnp.bfloat16,
 
 _W8A8 = os.environ.get("ACAI_W8A8_DECODE", "1") == "1"
 _TP_W8A8 = os.environ.get("ACAI_TP_W8A8", "0") == "1"
+_W4A8 = os.environ.get("ACAI_W4A8_DECODE", "0") == "1"
 
 
 def want_w8a8(cache_dtype) -> bool:
     """int8 decode quantizes the weights too (W8A8) unless opted out."""
     return _W8A8 and cache_dtype == jnp.int8
+
+
+def want_w4a8(cache_dtype) -> bool:
+    """Opt-in W4A8 (ACAI_W4A8_DECODE=1): int4 nibble-packed weights under
+    int8 caches — ~1/4 the bf16 weight stream. Off by default: a DIFFERENT
+    (coarser) weight quantization than the e2e-validated W8A8; validated
+    token-identical on the trained synthetic-task checkpoint
+    (tools/w4a8_quality.py, docs/w4a8_quality_r5.json) — validate on your
+    own weights before enabling. Single-chip only (TP shards keep their
+    own modes)."""
+    return _W4A8 and cache_dtype == jnp.int8
+
+
+def weight_quant_mode(cache_dtype, tp_mono: bool = False):
+    """Weight mode for decode_segment's prepack: "int4" | "int8" | False.
+
+    TP shards never ride W4A8 (per-shard W4A8 would be a third distinct
+    quantization; ACAI_TP_W8A8 already covers the sharded-weights case)."""
+    if cache_dtype != jnp.int8:
+        return False
+    if tp_mono:
+        return "int8" if want_tp_w8a8() else False
+    if _W4A8:
+        return "int4"
+    return "int8" if _W8A8 else False
 
 
 def want_tp_w8a8() -> bool:
@@ -534,6 +607,44 @@ def _qdot(x, w8, s_row):
         x8 = jnp.round(x32 / rs).astype(jnp.int8)
     acc = jnp.dot(x8, w8, preferred_element_type=jnp.int32)
     return acc.astype(jnp.float32) * rs * s_row
+
+
+def _qdot4(x, wp, s_lo, s_hi):
+    """W4A8 matmul: nibble-packed int4 weights, two half int8 MXU dots.
+
+    wp: (IN/2, OUT) int8 bytes, byte = 16*q_hi + (q_lo + 8) where q_lo is
+    original input-row r and q_hi is row r + IN/2 (prepack "int4") — the
+    f32 unpack (floor-divide; the only scheme Mosaic lowers on this chip:
+    native s4 operands fail at the host layer and int8 shifts fail to
+    compile — tools/int4_probe.py) yields two CONTIGUOUS half-matrices, so
+    the contraction splits into two lane-aligned half dots (IN/2 is a
+    multiple of 128 at all flagship widths). Activations are per-row
+    per-half max-abs int8 (finer than _qdot's whole-row scale — the halves
+    need separate dots anyway). s_lo/s_hi: (1, OUT) fp32 per-half
+    per-output-column weight scales. Returns (bt, OUT) fp32.
+    """
+    half = wp.shape[0]
+    b32 = wp[...].astype(jnp.float32)
+    hi = jnp.floor(b32 * (1.0 / 16.0))
+    lo = b32 - 16.0 * hi - 8.0
+    x32 = x.astype(jnp.float32)
+
+    def rowq(xh):
+        if "qdotquant" in _ABLATE:  # timing-only: skip the row max-abs pass
+            return (jnp.clip(jnp.round(xh), -INT8_QMAX, INT8_QMAX)
+                    .astype(jnp.int8), jnp.ones((xh.shape[0], 1), jnp.float32))
+        rs = jnp.maximum(jnp.max(jnp.abs(xh), axis=1, keepdims=True),
+                         1e-8) / INT8_QMAX
+        return jnp.round(xh / rs).astype(jnp.int8), rs
+
+    x8l, rsl = rowq(x32[:, :half])
+    x8h, rsh = rowq(x32[:, half:])
+    accl = jnp.dot(x8l, lo.astype(jnp.int8),
+                   preferred_element_type=jnp.int32)
+    acch = jnp.dot(x8h, hi.astype(jnp.int8),
+                   preferred_element_type=jnp.int32)
+    return (accl.astype(jnp.float32) * rsl * s_lo
+            + acch.astype(jnp.float32) * rsh * s_hi)
 
 
 def _erf(z):
@@ -832,7 +943,7 @@ def _attend_shared(q, k_mem, v_mem, bias_col, e, scale, dtype, consts,
 
 def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
             nlayers: int, dtype, quantized: bool, tt: int,
-            w8a8: bool = False, mem_group: int = 1,
+            w8a8: bool = False, w4a8: bool = False, mem_group: int = 1,
             manual_wdma: bool = False, manual_cdma: bool = False,
             n_tiles: int = 1, n_cslots: int = 2, ea: int | None = None,
             tp: int = 1):
@@ -854,7 +965,7 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
             wsem = refs
         wbufs = (wq_buf, wso_buf, wcq_buf, wco_buf, wf1_buf, wf2_buf)
     if quantized:
-        if w8a8:
+        if w8a8 or w4a8:
             (x_in_ref, w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref, w_ff1_ref,
              w_ff2_ref, misc_ref, k_ref, v_ref, ks_ref, vs_ref, mk_ref,
              mv_ref, mks_ref, mvs_ref, mbias_ref, ws_ref,
@@ -1129,7 +1240,14 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
             del srow
             return wref[0]
 
-    if w8a8:
+    if w4a8:
+        ws4 = ws_ref[0]                                     # (12, F) fp32
+
+        def mat(xv, wref, srow, width):
+            return _qdot4(xv, wread(wref, srow),
+                          ws4[2 * srow:2 * srow + 1, :width],
+                          ws4[2 * srow + 1:2 * srow + 2, :width])
+    elif w8a8:
         ws = ws_ref[0]                                      # (6, F) fp32
 
         def mat(xv, wref, srow, width):
@@ -1345,6 +1463,7 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     tt = time_tile(k_cache.dtype)
     bt = pick_row_tile(b, t_len, m_len, ea, jnp.dtype(k_cache.dtype).itemsize,
                        num_heads, mem_group, w8a8="wscale" in mono,
+                       w4a8="wscale4" in mono,
                        manual_cdma=(_manual_cdma(k_scale is not None)
                                     and tp == 1))
     grid = (nlayers, b // bt)
@@ -1497,12 +1616,23 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
                                      memory_space=pltpu.VMEM))
     inputs.append(mem_bias_col)
     w8a8 = "wscale" in mono
-    if w8a8 and not quantized:
-        raise ValueError("W8A8 weights require int8 caches (quantized mode)")
+    w4a8 = "wscale4" in mono
+    if (w8a8 or w4a8) and not quantized:
+        raise ValueError("W8A8/W4A8 weights require int8 caches "
+                         "(quantized mode)")
+    if w8a8 and w4a8:
+        raise ValueError("W8A8 and W4A8 weight packs are exclusive")
+    if w4a8 and tp > 1:
+        raise ValueError("W4A8 is single-chip only (TP shards use "
+                         "ACAI_TP_W8A8 for quantized weights)")
     if w8a8:
         in_specs.append(pl.BlockSpec((1, 6, f), lambda i, j, s: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
         inputs.append(mono["wscale"])
+    elif w4a8:
+        in_specs.append(pl.BlockSpec((1, 12, f), lambda i, j, s: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(mono["wscale4"])
 
     scratch_shapes = [
         pltpu.VMEM((b // bt, max(bt, 16), e), dtype),
@@ -1536,7 +1666,8 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
         # the executed tiles admit (round-4 review)
         n_cslots = pick_cdma_plan(
             b, t_len, m_len, ea, jnp.dtype(k_cache.dtype).itemsize,
-            num_heads, mem_group, w8a8="wscale" in mono)[1]
+            num_heads, mem_group, w8a8="wscale" in mono,
+            w4a8="wscale4" in mono)[1]
         S = n_cslots
         cw = k_cache.shape[-1]                  # == ea (cache lane width)
         scratch_shapes += [pltpu.VMEM((S, bt, t_len, cw), cdt),
@@ -1574,7 +1705,7 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
     kernel = functools.partial(
         _kernel, bt=bt, t_len=t_len, m_len=m_len, e=e, h=h,
         nlayers=nlayers, dtype=dtype, quantized=quantized, tt=tt, w8a8=w8a8,
-        mem_group=mem_group, manual_wdma=manual_wdma,
+        w4a8=w4a8, mem_group=mem_group, manual_wdma=manual_wdma,
         manual_cdma=manual_cdma, n_tiles=n_tiles, n_cslots=n_cslots,
         ea=ea, tp=tp)
     outs = pl.pallas_call(

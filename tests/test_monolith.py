@@ -673,3 +673,93 @@ def test_pick_row_tile_sub_128_lane_self_consistent(monkeypatch):
             # same args no matter how many times it is consulted
             assert pallas_monolith.pick_row_tile(
                 b, 512, 512, 1024, 1, num_heads=h, manual_cdma=False) == bt
+
+
+def test_prepack_int4_pack_roundtrip(setup):
+    """The int4 nibble pack is exactly invertible: floor-divide unpack of the
+    packed bytes (the kernel's _qdot4 scheme, tools/int4_probe.py EXACT
+    variant) reconstructs the per-half per-column quantized values, and
+    dequant matches direct fake-quantization."""
+    params, _, _ = setup
+    mono4 = pallas_monolith.prepack(params, CFG, jnp.float32,
+                                    quantize_weights="int4")
+    assert mono4["wscale4"].shape == (CFG.num_layers, 12, CFG.mlp_dim)
+    for m_idx, name in enumerate(("w_qkv", "w_self_out", "w_cross_q",
+                                  "w_cross_out", "w_ff1", "w_ff2")):
+        wp = np.asarray(mono4[name], np.float32)           # (L, IN/2, OUT)
+        assert mono4[name].dtype == jnp.int8
+        hi = np.floor(wp / 16.0)
+        lo = wp - 16.0 * hi - 8.0
+        assert lo.min() >= -8 and lo.max() <= 7
+        assert hi.min() >= -8 and hi.max() <= 7
+        cout = {"w_qkv": 3 * CFG.hidden_dim, "w_ff1": CFG.mlp_dim}.get(
+            name, CFG.hidden_dim)
+        s = np.asarray(mono4["wscale4"], np.float32)[
+            :, 2 * m_idx:2 * m_idx + 2, :cout]             # (L, 2, OUT)
+        deq = np.concatenate([lo * s[:, 0:1], hi * s[:, 1:2]], axis=1)
+        # reference fake-quant: per-half per-column symmetric int4
+        blocks = params["blocks"]
+        src = {"w_qkv": blocks["self_attn"]["in_kernel"],
+               "w_self_out": blocks["self_attn"]["out"]["kernel"],
+               # prepack slices the cross in_kernel to its q columns
+               "w_cross_q": blocks["cross_attn"]["in_kernel"]
+               [:, :, :CFG.hidden_dim],
+               "w_cross_out": blocks["cross_attn"]["out"]["kernel"],
+               "w_ff1": blocks["linear1"]["kernel"],
+               "w_ff2": blocks["linear2"]["kernel"]}[name]
+        w = np.asarray(src, np.float32)
+        l, cin, co = w.shape
+        wg = w.reshape(l, 2, cin // 2, co)
+        amax = np.abs(wg).max(axis=2, keepdims=True)
+        sref = (np.maximum(amax, 1e-8) / 7.0).astype(jnp.bfloat16) \
+            .astype(np.float32)
+        qref = np.clip(np.round(wg / sref), -7, 7)
+        np.testing.assert_array_equal(lo, qref[:, 0])
+        np.testing.assert_array_equal(hi, qref[:, 1])
+        np.testing.assert_allclose(deq, (qref * sref).reshape(l, cin, co),
+                                   rtol=0, atol=1e-6)
+
+
+def test_int8_w4a8_step_close(setup):
+    """W4A8 (nibble-packed int4 weights + per-half per-row int8 activations)
+    tracks the fp32 path within combined quantization noise on one full
+    layer-stack step (VERDICT r4 #1; reference decode protocol
+    kv_caching.py:258-302 — the reference decodes bf16 only)."""
+    params, latent, valid = setup
+    mem_te = decode.precompute_memory_kv(params, CFG, latent, valid,
+                                         jnp.float32, jnp.int8, layout="te")
+    mem_f32 = decode.precompute_memory_kv(params, CFG, latent, valid,
+                                          jnp.float32, jnp.float32,
+                                          layout="te")
+    tt = pallas_monolith.time_tile(jnp.int8)
+    t_cache = tt * 2
+    g = pallas_monolith.scale_pack_group(B, t_cache, M, CFG.hidden_dim,
+                                         CFG.num_heads, w4a8=True)
+    pack = lambda s: pallas_monolith.pack_scales(s.astype(jnp.bfloat16), g)
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, CFG.hidden_dim),
+                          jnp.float32)
+    bias_col = mem_te.bias.reshape(B, M, 1).astype(jnp.float32)
+
+    mono4 = pallas_monolith.prepack(params, CFG, jnp.float32,
+                                    quantize_weights="int4")
+    assert mono4["w_qkv"].shape == (CFG.num_layers, CFG.hidden_dim // 2,
+                                    3 * CFG.hidden_dim)
+    state = decode.init_decode_state(CFG, B, 16, t_cache,
+                                     cache_dtype=jnp.int8, monolith=True,
+                                     scale_group=g)
+    x4 = pallas_monolith.decode_layers(
+        mono4, x, 3, state.k_cache, state.v_cache, mem_te.k, mem_te.v,
+        bias_col, num_heads=CFG.num_heads, k_scale=state.k_scale,
+        v_scale=state.v_scale, mem_k_scale=pack(mem_te.k_scale),
+        mem_v_scale=pack(mem_te.v_scale))[0]
+
+    monof = pallas_monolith.prepack(params, CFG, jnp.float32)
+    statef = decode.init_decode_state(CFG, B, 16, t_cache,
+                                      cache_dtype=jnp.float32, monolith=True)
+    xf = pallas_monolith.decode_layers(
+        monof, x, 3, statef.k_cache, statef.v_cache, mem_f32.k, mem_f32.v,
+        bias_col, num_heads=CFG.num_heads)[0]
+
+    xf_n, x4_n = np.asarray(xf, np.float32), np.asarray(x4, np.float32)
+    rel = np.abs(x4_n - xf_n).mean() / (np.abs(xf_n).mean() + 1e-9)
+    assert rel < 0.15, rel

@@ -119,6 +119,14 @@ def run_variant(name, bt, cin, cout, interpret=False):
     return ok
 
 
+def _k_i8ref(x_ref, w_ref, o_ref):
+    # W8A8-style baseline: one full-width int8 dot (the per-matrix compute
+    # the monolith's _qdot issues today, minus the activation-quant pass)
+    o_ref[...] = jax.lax.dot_general(
+        x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
 def time_variant(name, bt, cin, cout, reps):
     """Chained timing: reps iterations inside one jit, one host pull."""
     rng = np.random.default_rng(0)
@@ -129,6 +137,9 @@ def time_variant(name, bt, cin, cout, reps):
     if name in ("s4dot", "s4conv"):
         w_in = jnp.asarray(w_full, jnp.int4)
         kern = _k_s4dot if name == "s4dot" else _k_s4conv
+    elif name == "i8ref":
+        w_in = jnp.asarray(w_full, jnp.int8)
+        kern = _k_i8ref
     else:
         w_in = jnp.asarray(pack_bytes(lo, hi))
         kern = _k_i8shift if name == "i8shift" else _k_f32unpack
@@ -143,8 +154,9 @@ def time_variant(name, bt, cin, cout, reps):
     def chain(x0):
         def body(_, x):
             y = call(x, w_in)
-            # fold output back into int8 input so iterations chain (no LICM)
-            return (y & 0x7F).astype(jnp.int8) - x
+            # fold output back into int8 input so iterations chain (no LICM);
+            # OUT >= IN at these shapes, slice the first IN lanes
+            return (y[:, :cin] & 0x7F).astype(jnp.int8) - x
         return jax.lax.fori_loop(0, reps, body, x0)
 
     x0 = jnp.asarray(rng.integers(-127, 128, (bt, cin), np.int32), jnp.int8)

@@ -40,7 +40,9 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
                     length_penalty: float = 0.6,
                     compute_dtype=jnp.bfloat16,
                     cache_dtype=jnp.bfloat16,
-                    mesh=None, model_axis: str | None = None) -> BatchResult:
+                    mesh=None, model_axis: str | None = None,
+                    progress_cb=None,
+                    progress_interval: int = 25) -> BatchResult:
     """Transcribe a list of (C, H, W) float arrays of arbitrary sizes.
 
     Groups by patch-count bucket, then runs encode+decode in ``decode_batch``
@@ -56,6 +58,14 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
     — the batch is padded up to the data axis and shards get independent
     decode loops; ``model_axis`` adds tensor parallelism on top (heads/MLP
     split — the low-batch latency lever; beams ride the TP monolith too).
+
+    ``progress_cb(img_indices, seqs, t, finished)``: mid-decode streaming
+    hook (reference SSE STEP parity under dynamic batching, ui/routes.py:
+    66-104): called every ``progress_interval`` decode steps per bucket
+    group with the ORIGINAL image indices for the group's rows, the raw
+    (rows, max_len) int32 sequence buffer so far, the decode position, and
+    a per-row finished mask. Plain single-host decode only (mesh/beam
+    paths run their loops device-side and don't surface mid-decode state).
     """
     order = sorted(range(len(imgs)),
                    key=lambda i: _bucket_key(imgs[i], cfg, bucket_multiple))
@@ -124,10 +134,18 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
                 max_len=max_inference_len, compute_dtype=compute_dtype,
                 cache_dtype=cache_dtype, tp_params=tp_params)
         else:
+            group_cb = None
+            seg_steps = None
+            if progress_cb is not None:
+                group_idx = list(group)
+                group_cb = (lambda s, t, fin, gi=group_idx:
+                            progress_cb(gi, s, t, fin))
+                seg_steps = progress_interval
             seqs, lps, mask = decode_lib.generate(
                 params["decoder"], cfg.decoder, latent, latent_valid,
                 max_len=max_inference_len, compute_dtype=compute_dtype,
-                cache_dtype=cache_dtype)
+                cache_dtype=cache_dtype, progress_cb=group_cb,
+                segment_steps=seg_steps)
         seqs, lps, mask = np.asarray(seqs), np.asarray(lps), np.asarray(mask)
         for row, g in enumerate(group):
             ids = seqs[row][mask[row]]

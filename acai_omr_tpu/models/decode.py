@@ -592,7 +592,8 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
              *, max_len: int = 1536, sampling: SamplingConfig | None = None,
              rng=None, initial_segment: int = 256, segment_steps: int | None = None,
              compute_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16,
-             compact: bool = True, mem_group: int = 1, pe_offset: int = 0):
+             compact: bool = True, mem_group: int = 1, pe_offset: int = 0,
+             progress_cb=None):
     """Batched KV-cached generation (greedy or sampled).
 
     Equivalent of ``ViTOMR.cached_greedy_generate`` /
@@ -605,6 +606,16 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
     cross K/V are projected and streamed once per unique image; returns
     G * img_latent.shape[0] rows, ordered group-major (row i*G+g is image i's
     g-th rollout), identical to decoding a ``jnp.repeat``-expanded latent.
+
+    ``progress_cb(seqs, t, finished)``: mid-decode progress hook for
+    streaming servers (reference SSE STEP events, ui/routes.py:66-104 /
+    models.py:625-647). Called at every segment boundary with the host
+    copies of the full master sequence buffer (B, max_len) int32 (row
+    order = input order; includes BOS at column 0 and pad tails), the
+    current decode position ``t``, and a (B,) finished mask. Granularity =
+    ``segment_steps`` (pass e.g. 25 to flush like the reference's
+    FLUSH_INTERVAL); each boundary already pays one host round trip for
+    the status pull, the extra sequence pull rides the same sync window.
 
     ``pe_offset=1`` reproduces the reference's *cached* decode PE indexing,
     which embeds token ``seqs[:, t-1]`` with ``pos_embedding[t]``
@@ -697,6 +708,11 @@ def generate(params: Params, cfg: DecoderConfig, img_latent, latent_valid,
             [state.t[None], state.finished.astype(jnp.int32)]))
         t = t_known = int(status[0])
         finished_rows = status[1:].astype(bool)
+        if progress_cb is not None:
+            # rows no longer in row_map were compacted away == finished
+            fin_master = np.ones(master_seqs.shape[0], bool)
+            fin_master[row_map] = finished_rows[: len(row_map)]
+            progress_cb(np.asarray(master_seqs), t, fin_master)
         if t >= max_len or bool(finished_rows.all()):
             break
         # segment boundary: drop finished rows before continuing (batch

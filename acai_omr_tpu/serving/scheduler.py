@@ -66,15 +66,20 @@ class BatcherStats:
 
 
 class _Request:
-    __slots__ = ("item", "event", "result", "error", "t_submit", "t_done")
+    __slots__ = ("item", "event", "result", "error", "t_submit", "t_done",
+                 "progress_queue")
 
-    def __init__(self, item):
+    def __init__(self, item, progress_queue=None):
         self.item = item
         self.event = threading.Event()
         self.result = None
         self.error = None
         self.t_submit = time.perf_counter()
         self.t_done = None
+        # optional caller-owned queue.Queue: the scheduler thread puts
+        # (request, payload) mid-decode progress events here (SSE STEP
+        # streaming under dynamic batching — serving/routes.py)
+        self.progress_queue = progress_queue
 
 
 class DynamicBatcher:
@@ -97,6 +102,14 @@ class DynamicBatcher:
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self._run_batch = run_batch
+        # streaming protocol: a run_batch accepting a second parameter is
+        # called as run_batch(items, emit) where emit(idx, payload) routes
+        # mid-decode progress to the submitting request's progress queue
+        import inspect
+        try:
+            self._emits = len(inspect.signature(run_batch).parameters) >= 2
+        except (TypeError, ValueError):
+            self._emits = False
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self._lock = threading.Lock()
@@ -110,9 +123,13 @@ class DynamicBatcher:
 
     # -- client side --------------------------------------------------------
 
-    def submit(self, item) -> _Request:
-        """Enqueue one request; returns a handle (see :meth:`result`)."""
-        req = _Request(item)
+    def submit(self, item, progress_queue=None) -> _Request:
+        """Enqueue one request; returns a handle (see :meth:`result`).
+
+        ``progress_queue``: optional ``queue.Queue`` that receives
+        ``(request, payload)`` mid-decode progress events (when the
+        batcher's ``run_batch`` supports the emit protocol)."""
+        req = _Request(item, progress_queue)
         with self._cv:
             if self._closed:
                 raise RuntimeError("batcher is closed")
@@ -169,7 +186,14 @@ class DynamicBatcher:
                 return
             t0 = time.perf_counter()
             try:
-                results = self._run_batch([r.item for r in batch])
+                if self._emits:
+                    def _emit(idx, payload, batch=batch):
+                        q = batch[idx].progress_queue
+                        if q is not None:
+                            q.put((batch[idx], payload))
+                    results = self._run_batch([r.item for r in batch], _emit)
+                else:
+                    results = self._run_batch([r.item for r in batch])
                 if len(results) != len(batch):
                     raise RuntimeError(
                         f"run_batch returned {len(results)} results for "
@@ -206,13 +230,31 @@ def bucketed_runner(run_batch: Callable[[list], Sequence[Any]],
     rows are ``pad_item`` (default: the batch's first item, re-used) and
     their results are dropped.
     """
-    def run(items: list) -> list:
+    import inspect
+    try:
+        emits = len(inspect.signature(run_batch).parameters) >= 2
+    except (TypeError, ValueError):
+        emits = False
+
+    def pad(items):
         n = len(items)
         b = 1
         while b < n:
             b *= 2
         fill = pad_item if pad_item is not None else items[0]
-        return list(run_batch(list(items) + [fill] * (b - n)))[:n]
+        return list(items) + [fill] * (b - n)
+
+    if emits:
+        # pads go at the END, so item indices are stable and emit(idx, ...)
+        # for pad rows simply never fires (idx >= n is dropped here)
+        def run(items: list, emit=None) -> list:
+            n = len(items)
+            fwd = None if emit is None else (
+                lambda idx, payload: emit(idx, payload) if idx < n else None)
+            return list(run_batch(pad(items), fwd))[:n]
+    else:
+        def run(items: list) -> list:
+            return list(run_batch(pad(items)))[:len(items)]
     return run
 
 

@@ -59,7 +59,7 @@ _INTERPRET = False
 _ABLATE: frozenset = frozenset()
 
 ABLATIONS = ("quantrows", "packscale", "qdotquant", "gelu", "selfattn",
-             "crossattn", "exp")
+             "crossattn", "exp", "w4unpack")
 
 
 def set_ablate(names=()) -> None:
@@ -189,7 +189,7 @@ def time_tile(cache_dtype) -> int:
 _VMEM_LIMIT = int(119.5 * 1024 * 1024)
 _WEIGHTS_VMEM = 56 * 1024 * 1024
 _WEIGHTS_VMEM_INT8 = 30 * 1024 * 1024
-_WEIGHTS_VMEM_INT4 = 17 * 1024 * 1024
+_WEIGHTS_VMEM_INT4 = 31 * 1024 * 1024  # packed x2 (~15) + layer unpack scratch (~15)
 _SLACK_VMEM = 6 * 1024 * 1024
 # row-tile cap. bt=16 at the flagship shape has been MEASURED as a negative
 # twice: pre-CDMA, Mosaic's double-buffered windows for the in+out aliased
@@ -455,16 +455,17 @@ def prepack(params: Params, cfg, compute_dtype=jnp.bfloat16,
 
     ``quantize_weights="int4"`` (W4A8, ``ACAI_W4A8_DECODE=1``) packs two
     int4 values per byte pairing input-rows (r, r + IN/2): byte =
-    16*q[r + IN/2] + (q[r] + 8), so the in-kernel unpack yields two
-    CONTIGUOUS (IN/2, OUT) int8 half-matrices (no lane interleave — the
-    matmul splits into two lane-aligned half dots, see :func:`_qdot4`).
-    Scales are per-half per-output-column ("wscale4", (L, 12, mlp_dim)
-    fp32: rows 2m/2m+1 = matrix m's lo/hi half) — the halves already need
-    separate dots, so the finer granularity is free. Weight streaming
-    drops to ~1/4 of bf16 (~88 MB/step at flagship shapes vs 176 int8 /
-    352 bf16) — the B<=64 decode lever (weights dominate small-batch
-    steps; VERDICT r4 #1). int4 quality on the trained synthetic-task
-    checkpoint is token-identical to fp32 (tools/w4a8_quality.py).
+    16*q[r + IN/2] + (q[r] + 8), so the in-kernel unpack (once per layer,
+    into VMEM scratch) yields the two CONTIGUOUS halves of the full
+    (IN, OUT) int8 matrix — no lane interleave — and the matmuls then
+    ride the same ``_qdot`` path as W8A8. Scales are per-output-column
+    over the full input ("wscale4", (L, 6, mlp_dim) fp32, same shape as
+    W8A8's): a per-half-scale variant needed split dots and measured
+    +1.46 ms/step at B=32 while per-column is already token-identical on
+    the trained checkpoint (tools/w4a8_quality.py --sweep). Weight
+    streaming drops to ~1/4 of bf16 (~88 MB/step at flagship shapes vs
+    176 int8 / 352 bf16) — the B<=64 decode lever (weights dominate
+    small-batch steps; VERDICT r4 #1).
     """
     blocks = params["blocks"]
     e, f = cfg.hidden_dim, cfg.mlp_dim
@@ -510,19 +511,31 @@ def prepack(params: Params, cfg, compute_dtype=jnp.bfloat16,
             w = mats[name].astype(jnp.float32)               # (L, IN, OUT)
             l, cin, cout = w.shape
             half = cin // 2
-            wg = w.reshape(l, 2, half, cout)
-            amax = jnp.max(jnp.abs(wg), axis=2, keepdims=True)  # (L, 2, 1, O)
+            amax = jnp.max(jnp.abs(w), axis=1, keepdims=True)  # (L, 1, OUT)
+            # ONE scale per output column over the full input (like W8A8's):
+            # a per-half variant (finer, free-looking since halves unpack
+            # separately) measured +1.46 ms/step at B=32 — the split dots
+            # and per-half dequant, not the unpack, were the entire cost —
+            # and the per-column granularity is already token-identical on
+            # the trained checkpoint (tools/w4a8_quality.py --sweep).
             s = (jnp.maximum(amax, 1e-8) / INT4_QMAX).astype(jnp.bfloat16) \
                 .astype(jnp.float32)
-            q = jnp.clip(jnp.round(wg / s), -INT4_QMAX,
+            q = jnp.clip(jnp.round(w / s), -INT4_QMAX,
                          INT4_QMAX).astype(jnp.int32)
-            # byte = 16*hi + (lo + 8): lo = rows [0, IN/2), hi = the paired
-            # row IN/2 later — unpack yields two contiguous half-matrices
-            out[name] = (16 * q[:, 1] + (q[:, 0] + 8)).astype(jnp.int8)
-            s2 = s.reshape(l, 2, cout)                       # rows: lo, hi
-            srows.append(jnp.pad(s2, ((0, 0), (0, 0), (0, f - cout))))
+            # byte = 16*q[pair_hi] + (q[pair_lo] + 8), pairing along the
+            # int4_pack_axis: unpack yields the two contiguous halves of
+            # the full (IN, OUT) matrix (sublane blocks for input-packed,
+            # lane blocks for output-packed)
+            if int4_pack_axis(cin, cout) == 0:
+                out[name] = (16 * q[:, half:]
+                             + (q[:, :half] + 8)).astype(jnp.int8)
+            else:
+                oh = cout // 2
+                out[name] = (16 * q[:, :, oh:]
+                             + (q[:, :, :oh] + 8)).astype(jnp.int8)
+            srows.append(jnp.pad(s, ((0, 0), (0, 0), (0, f - cout))))
         out["misc"] = misc
-        out["wscale4"] = jnp.concatenate(srows, axis=1)      # (L, 12, F)
+        out["wscale4"] = jnp.concatenate(srows, axis=1)      # (L, 6, F)
         return out
     for name in ("w_qkv", "w_self_out", "w_cross_q", "w_cross_out",
                  "w_ff1", "w_ff2"):
@@ -609,42 +622,26 @@ def _qdot(x, w8, s_row):
     return acc.astype(jnp.float32) * rs * s_row
 
 
-def _qdot4(x, wp, s_lo, s_hi):
-    """W4A8 matmul: nibble-packed int4 weights, two half int8 MXU dots.
+def int4_pack_axis(cin: int, cout: int) -> int:
+    """Which axis the int4 nibble pairs pack along: 0 = input rows
+    (r, r + IN/2), 1 = output columns (c, c + OUT/2).
 
-    wp: (IN/2, OUT) int8 bytes, byte = 16*q_hi + (q_lo + 8) where q_lo is
-    original input-row r and q_hi is row r + IN/2 (prepack "int4") — the
-    f32 unpack (floor-divide; the only scheme Mosaic lowers on this chip:
-    native s4 operands fail at the host layer and int8 shifts fail to
-    compile — tools/int4_probe.py) yields two CONTIGUOUS half-matrices, so
-    the contraction splits into two lane-aligned half dots (IN/2 is a
-    multiple of 128 at all flagship widths). Activations are per-row
-    per-half max-abs int8 (finer than _qdot's whole-row scale — the halves
-    need separate dots anyway). s_lo/s_hi: (1, OUT) fp32 per-half
-    per-output-column weight scales. Returns (bt, OUT) fp32.
-    """
-    half = wp.shape[0]
-    b32 = wp[...].astype(jnp.float32)
-    hi = jnp.floor(b32 * (1.0 / 16.0))
-    lo = b32 - 16.0 * hi - 8.0
-    x32 = x.astype(jnp.float32)
+    Chosen to minimize the in-kernel identity-dot conversion cost
+    (~contracted_dim x unpacked_elems MACs): pack the SHORTER axis, i.e.
+    input iff cin <= cout. At flagship shapes every matrix then converts
+    through one (E/2, E/2) identity (ff2 is the only cout < cin matrix)."""
+    return 0 if cin <= cout else 1
 
-    def rowq(xh):
-        if "qdotquant" in _ABLATE:  # timing-only: skip the row max-abs pass
-            return (jnp.clip(jnp.round(xh), -INT8_QMAX, INT8_QMAX)
-                    .astype(jnp.int8), jnp.ones((xh.shape[0], 1), jnp.float32))
-        rs = jnp.maximum(jnp.max(jnp.abs(xh), axis=1, keepdims=True),
-                         1e-8) / INT8_QMAX
-        return jnp.round(xh / rs).astype(jnp.int8), rs
 
-    x8l, rsl = rowq(x32[:, :half])
-    x8h, rsh = rowq(x32[:, half:])
-    accl = jnp.dot(x8l, lo.astype(jnp.int8),
-                   preferred_element_type=jnp.int32)
-    acch = jnp.dot(x8h, hi.astype(jnp.int8),
-                   preferred_element_type=jnp.int32)
-    return (accl.astype(jnp.float32) * rsl * s_lo
-            + acch.astype(jnp.float32) * rsh * s_hi)
+def unpack_int4(wp32):
+    """(IN/2, OUT) packed bytes as f32 -> (lo, hi) int4-valued f32 halves.
+
+    byte = 16*q_hi + (q_lo + 8); the f32 floor-divide is the only unpack
+    scheme Mosaic lowers on this chip (native s4 operands fail at the host
+    layer and int8 shifts fail to compile - tools/int4_probe.py, EXACT)."""
+    hi = jnp.floor(wp32 * (1.0 / 16.0))
+    lo = wp32 - 16.0 * hi - 8.0
+    return lo, hi
 
 
 def _erf(z):
@@ -950,6 +947,12 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
     ea = e if ea is None else ea
     ws_ref = None
     ksc_buf = vsc_buf = mksc_buf = mvsc_buf = None
+    if w4a8:
+        # int4 mode: the last six scratch refs hold this layer's UNPACKED
+        # (IN, OUT) int8 weights (filled once per layer at its first tile;
+        # w4a8 excludes tp, so this peel never collides with the tp peel)
+        *refs, u_qkv, u_sout, u_cq, u_cout, u_ff1, u_ff2 = refs
+        ubufs = (u_qkv, u_sout, u_cq, u_cout, u_ff1, u_ff2)
     if tp > 1:
         # tensor-parallel shard: the last four scratch refs are the
         # all-reduce exchange buffers/semaphores (see tp_allreduce below)
@@ -1241,12 +1244,55 @@ def _kernel(s_ref, *refs, bt: int, t_len: int, m_len: int, e: int, h: int,
             return wref[0]
 
     if w4a8:
-        ws4 = ws_ref[0]                                     # (12, F) fp32
+        ws4 = ws_ref[0]                                     # (6, F) fp32
+        w4refs = (w_qkv_ref, w_sout_ref, w_cq_ref, w_cout_ref,
+                  w_ff1_ref, w_ff2_ref)
+
+        # unpack this layer's six packed-nibble matrices ONCE, at the
+        # layer's first batch tile, into full (IN, OUT) int8 scratch; the
+        # matmuls then ride the SAME _qdot path as W8A8 (per-column
+        # scales; the per-half-scale variant with split dots measured
+        # +1.46 ms/step at B=32 — the split-dot machinery, not the
+        # unpack, was the entire cost). Requires in-order tiles
+        # (decode_layers forces "arbitrary" j under w4a8).
+        if "w4unpack" not in _ABLATE:  # timing-only: stale scratch weights
+            # full logical dims per matrix (w4a8 excludes tp, so ea == e)
+            w4_fulls = ((e, 3 * ea), (ea, e), (e, ea), (ea, e),
+                        (e, w_ff1_ref.shape[-1]), (w_ff1_ref.shape[-1], e))
+
+            @pl.when(j == 0)
+            def _():
+                # identity-dot conversion: packed int8 -> int32 through the
+                # MXU, so the (32,128)->(8,128) relayout rides the matmul
+                # instead of the VPU (tools/unpack_probe.py: 12.5 vs 25.8
+                # us per ff1-sized block; i16/i8 shift/div don't lower).
+                # Every matrix's contracted dim is E/2 by the pack-axis
+                # rule, so one identity serves all six.
+                d = ea // 2
+                eye8 = (jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+                        == jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+                        ).astype(jnp.int8)
+                for m_i, ub in enumerate(ubufs):
+                    cin, cout = w4_fulls[m_i]
+                    wp = wread(w4refs[m_i], m_i)
+                    if int4_pack_axis(cin, cout) == 0:
+                        conv = jax.lax.dot_general(
+                            eye8, wp, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                        lo4, hi4 = unpack_int4(conv.astype(jnp.float32))
+                        ub[0:cin // 2] = lo4.astype(jnp.int8)
+                        ub[cin // 2:] = hi4.astype(jnp.int8)
+                    else:
+                        conv = jax.lax.dot_general(
+                            wp, eye8, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                        lo4, hi4 = unpack_int4(conv.astype(jnp.float32))
+                        ub[:, 0:cout // 2] = lo4.astype(jnp.int8)
+                        ub[:, cout // 2:] = hi4.astype(jnp.int8)
 
         def mat(xv, wref, srow, width):
-            return _qdot4(xv, wread(wref, srow),
-                          ws4[2 * srow:2 * srow + 1, :width],
-                          ws4[2 * srow + 1:2 * srow + 2, :width])
+            del wref
+            return _qdot(xv, ubufs[srow][...], ws4[srow:srow + 1, :width])
     elif w8a8:
         ws = ws_ref[0]                                      # (6, F) fp32
 
@@ -1630,7 +1676,7 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
                                      memory_space=pltpu.VMEM))
         inputs.append(mono["wscale"])
     elif w4a8:
-        in_specs.append(pl.BlockSpec((1, 12, f), lambda i, j, s: (i, 0, 0),
+        in_specs.append(pl.BlockSpec((1, 6, f), lambda i, j, s: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
         inputs.append(mono["wscale4"])
 
@@ -1695,6 +1741,15 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
                            pltpu.VMEM((s_tp, bt_pad, e), jnp.float32),
                            pltpu.SemaphoreType.DMA((s_tp,)),
                            pltpu.SemaphoreType.DMA((s_tp,))]
+    if w4a8:
+        # per-layer unpacked int8 weights (peeled FIRST in _kernel; w4a8
+        # excludes tp so the peel order is unambiguous): full (IN, OUT)
+        # logical shapes — note ff2 packs its OUTPUT axis (int4_pack_axis)
+        scratch_shapes += [
+            pltpu.VMEM(fd, jnp.int8)
+            for fd in ((e, 3 * ea), (ea, e), (e, ea), (ea, e),
+                       (e, f), (f, e))
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -1724,9 +1779,11 @@ def decode_layers(mono: Params, x: jnp.ndarray, pos, k_cache, v_cache,
             # giving the weight DMA a whole layer of lookahead. TP shards
             # must execute exchanges in matching order -> in-order tiles,
             # and the remote DMAs need a collective_id.
+            # w4a8's layer-unpack at j == 0 writes scratch later tiles read
+            # -> tiles must execute in order
             dimension_semantics=("arbitrary",
                                  "arbitrary" if (manual_wdma or manual_cdma
-                                                 or tp > 1)
+                                                 or tp > 1 or w4a8)
                                  else "parallel"),
             **({"collective_id": 0} if tp > 1 else {})),
         interpret=interpret,

@@ -61,6 +61,12 @@ class UpdateConfig:
     epsilon: float
     update_epochs: int
     max_grad_norm: float
+    # CONTROL-ARM knob (evidence runs only): randomly permute the flat
+    # advantage vector across the batch before the update, destroying the
+    # rollout<->advantage credit assignment while keeping update magnitude,
+    # lr schedule, and data flow identical — the null hypothesis arm for
+    # the GRPO lift (tools/grpo_evidence_run.py --control).
+    shuffle_advantages: bool = False
 
 
 @dataclasses.dataclass

@@ -464,6 +464,11 @@ def grpo_update(old_params, state, update_step, cfg: ViTOMRConfig,
         rwc, rollouts, rollout_mask, target_lmx, target_xml, num_groups, g,
         tokenizer.idxs_to_tokens, pad_idx, reward_workers)
     advantages = group_advantages(raw_rewards)
+    if grpo_config.update_config.shuffle_advantages:
+        # control arm: see UpdateConfig.shuffle_advantages. The fresh
+        # fixed-seed rng gives a deterministic (but data-independent)
+        # permutation per call — credit assignment is destroyed either way.
+        advantages = np.random.default_rng(12345).permutation(advantages)
     t_reward = time.perf_counter()
 
     rollout_inputs, input_valid = prepare_rollouts_for_policy_theta(

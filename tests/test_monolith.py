@@ -677,16 +677,16 @@ def test_pick_row_tile_sub_128_lane_self_consistent(monkeypatch):
 
 def test_prepack_int4_pack_roundtrip(setup):
     """The int4 nibble pack is exactly invertible: floor-divide unpack of the
-    packed bytes (the kernel's _qdot4 scheme, tools/int4_probe.py EXACT
+    packed bytes (the kernel's unpack_int4 scheme, tools/int4_probe.py EXACT
     variant) reconstructs the per-half per-column quantized values, and
     dequant matches direct fake-quantization."""
     params, _, _ = setup
     mono4 = pallas_monolith.prepack(params, CFG, jnp.float32,
                                     quantize_weights="int4")
-    assert mono4["wscale4"].shape == (CFG.num_layers, 12, CFG.mlp_dim)
+    assert mono4["wscale4"].shape == (CFG.num_layers, 6, CFG.mlp_dim)
     for m_idx, name in enumerate(("w_qkv", "w_self_out", "w_cross_q",
                                   "w_cross_out", "w_ff1", "w_ff2")):
-        wp = np.asarray(mono4[name], np.float32)           # (L, IN/2, OUT)
+        wp = np.asarray(mono4[name], np.float32)   # packed along pack axis
         assert mono4[name].dtype == jnp.int8
         hi = np.floor(wp / 16.0)
         lo = wp - 16.0 * hi - 8.0
@@ -694,9 +694,15 @@ def test_prepack_int4_pack_roundtrip(setup):
         assert hi.min() >= -8 and hi.max() <= 7
         cout = {"w_qkv": 3 * CFG.hidden_dim, "w_ff1": CFG.mlp_dim}.get(
             name, CFG.hidden_dim)
+        cin = CFG.mlp_dim if name == "w_ff2" else CFG.hidden_dim
         s = np.asarray(mono4["wscale4"], np.float32)[
-            :, 2 * m_idx:2 * m_idx + 2, :cout]             # (L, 2, OUT)
-        deq = np.concatenate([lo * s[:, 0:1], hi * s[:, 1:2]], axis=1)
+            :, m_idx:m_idx + 1, :cout]                     # (L, 1, OUT)
+        # halves stack along the packed axis (ff2 packs OUTPUT columns)
+        if pallas_monolith.int4_pack_axis(cin, cout) == 0:
+            q_unpacked = np.concatenate([lo, hi], axis=1)
+        else:
+            q_unpacked = np.concatenate([lo, hi], axis=2)
+        deq = q_unpacked * s
         # reference fake-quant: per-half per-column symmetric int4
         blocks = params["blocks"]
         src = {"w_qkv": blocks["self_attn"]["in_kernel"],
@@ -708,16 +714,18 @@ def test_prepack_int4_pack_roundtrip(setup):
                "w_ff1": blocks["linear1"]["kernel"],
                "w_ff2": blocks["linear2"]["kernel"]}[name]
         w = np.asarray(src, np.float32)
-        l, cin, co = w.shape
-        wg = w.reshape(l, 2, cin // 2, co)
-        amax = np.abs(wg).max(axis=2, keepdims=True)
+        l, cin2, co = w.shape
+        amax = np.abs(w).max(axis=1, keepdims=True)        # per column
         sref = (np.maximum(amax, 1e-8) / 7.0).astype(jnp.bfloat16) \
             .astype(np.float32)
-        qref = np.clip(np.round(wg / sref), -7, 7)
-        np.testing.assert_array_equal(lo, qref[:, 0])
-        np.testing.assert_array_equal(hi, qref[:, 1])
-        np.testing.assert_allclose(deq, (qref * sref).reshape(l, cin, co),
-                                   rtol=0, atol=1e-6)
+        qref = np.clip(np.round(w / sref), -7, 7)
+        if pallas_monolith.int4_pack_axis(cin2, co) == 0:
+            np.testing.assert_array_equal(lo, qref[:, :cin2 // 2])
+            np.testing.assert_array_equal(hi, qref[:, cin2 // 2:])
+        else:
+            np.testing.assert_array_equal(lo, qref[:, :, :co // 2])
+            np.testing.assert_array_equal(hi, qref[:, :, co // 2:])
+        np.testing.assert_allclose(deq, qref * sref, rtol=0, atol=1e-6)
 
 
 def test_int8_w4a8_step_close(setup):

@@ -94,6 +94,13 @@ def main():
                     help="stage-2 epochs; default under-trains the policy so "
                          "reward is not compressed at its ceiling")
     ap.add_argument("--lr", type=float, default=1e-5)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="GRPO training seed (rollout sampling / data order) "
+                         "- evidence v3 runs >=3 seeds for noise bars")
+    ap.add_argument("--control", action="store_true",
+                    help="control arm: shuffle advantages across the batch "
+                         "(UpdateConfig.shuffle_advantages) - identical "
+                         "update magnitude, destroyed credit assignment")
     args = ap.parse_args()
 
     import copy
@@ -145,7 +152,8 @@ def main():
         reward_config=copy.deepcopy(grpo.INITIAL_REWARD_CONFIG),
         loss_config=LossConfig(entropy_beta=0.02, lambda_ce=0.1),
         update_config=UpdateConfig(epsilon=0.2, update_epochs=2,
-                                   max_grad_norm=1.0),
+                                   max_grad_norm=1.0,
+                                   shuffle_advantages=args.control),
         mini_validation_freq=4, checkpoint_freq=10 ** 6)
     batch_size = 4
     n_train = args.steps * batch_size  # one epoch of `steps` outer steps
@@ -168,7 +176,7 @@ def main():
     gparams_after, gstats = grpo.grpo_train(
         gcfg, gparams, grpo_ds, tok, grpo_config=grpo_config, epochs=1,
         batch_size=batch_size, lr=args.lr, model_dir=workdir / "grpo",
-        compute_dtype=jnp.bfloat16, reward_workers=8,
+        seed=args.seed, compute_dtype=jnp.bfloat16, reward_workers=8,
         exploration_steps=10 ** 6, val_dataset=val_ds)
 
     rows, mini_val_rows = [], []
@@ -211,6 +219,7 @@ def main():
         "train_reward_last_quarter_mean": last_q,
         "config": {"steps": args.steps, "batch_size": batch_size,
                    "lr": args.lr, "tf_epochs": args.tf_epochs,
+                   "seed": args.seed, "control_shuffled_adv": args.control,
                    "group_size": 4, "max_actions": 48},
     }, indent=1))
 

@@ -25,15 +25,17 @@ strict LOWER bound):
   dots-saveable remat saves qkv/LN/FFN-hidden but not the (T, S) probs —
   tools/remat_ab.py; no-remat OOMs) plus the 4-dot backward (`_attend_bwd`)
   = 3x the forward's attention-dot FLOPs.
-* VPU work (softmax exp, LN, GELU, dropout) is left UNPRICED: at VPU
-  element throughput (tens of TB/s on VMEM-resident data) it is minor and
-  overlaps the MXU, so omitting it keeps the floor a valid lower bound.
-  (An earlier revision priced it with a chained-LN probe — that probe was
-  HBM-bound at ~760 GB/s and over-priced VMEM-resident elementwise work
-  ~40x; the XLA-sequential attention stage similarly measures SLOWER than
-  the fused kernels and is a roofline for unfused execution, not a floor.)
-* floor_phase = max(mxu_t, hbm_bytes / bw); phases are sequential (each is
-  one fused grid with a data dependence on the previous).
+* VPU work (softmax exp, LN, GELU) is PRICED from measured in-kernel
+  rates (tools/vpu_probe.py, round 5 — RECORDED_VPU; an earlier chained-XLA
+  probe was HBM-bound and over-priced VMEM-resident work ~40x, which is why
+  rounds 3-4 left the term out). VPU overlaps the MXU in a fused grid, so
+  the FLOOR is max(mxu, hbm, vpu) per phase — still a strict lower bound —
+  and mxu + vpu is additionally reported as the SERIAL CEILING (zero
+  overlap). Measured phase times land between the two, which bounds the
+  residual: what separates 82%-of-floor from 100% is exactly the fraction
+  of the (now-measured) VPU term that fails to overlap (VERDICT r4 #3).
+* floor_phase = max(mxu_t, hbm_bytes / bw, vpu_t); phases are sequential
+  (each is one fused grid with a data dependence on the previous).
 
 Usage: python tools/train_floor_model.py [--measure] (measure = run the
 on-chip shape probes; otherwise use the recorded rates). One JSON line.
@@ -90,9 +92,12 @@ MEASURED_PHASE = {"enc_fwd": 14.9, "enc_bwd": 34.1, "dec_fwd_pass1": 6.7,
 # (see the "VPU work is left UNPRICED" note above) — these come from an
 # in-kernel fori_loop over a resident block, fixed costs differenced out.
 RECORDED_VPU = {
-    "softmax": 13.5,   # (1024, 1024) rows; the (T, S) prob (re)computes
-    "ln": 18.6,        # (1024, 768) rows
-    "gelu": 12.4,      # (1024, 3072) rows (exact-form, rational erf)
+    "softmax": 270.0,  # 264-274 at (256-1024, 1024) blocks
+    "ln": 293.0,       # 293-317
+    "gelu": 55.8,      # 55-58 — the exact-form rational-erf GELU is ~5x
+                       # costlier per element than a softmax pass (the
+                       # reference's torch GELU is exact-erf; parity keeps
+                       # the form)
 }
 
 

@@ -120,13 +120,17 @@ def vpu_seconds(rates=None):
     dec_ln = 3 * L_DEC * B * T_LMX * E_DEC
     enc_ge = L_ENC * B * T_IMG * F_ENC
     dec_ge = L_DEC * B * T_LMX * F_DEC
-    fwd_enc = enc_sm / sm + enc_ln / ln + enc_ge / ge
-    fwd_dec = dec_sm / sm + dec_ln / ln + dec_ge / ge
-    # bwd: recompute the fwd passes (remat) + ~1 elementwise backward pass
-    # per site (dsoftmax = probs * (dp - rowsum(dp*probs)) ~ one softmax-
-    # class pass; dLN / dGELU likewise ~1x their fwd pass)
-    bwd_enc = 2.0 * fwd_enc
-    bwd_dec = 2.0 * fwd_dec
+    # fwd: softmax + LN + GELU, plus the phi = exp(-u^2/2) pass the kernels
+    # compute to SAVE the GELU derivative for the backward (priced at the
+    # softmax-class exp rate)
+    fwd_enc = enc_sm / sm + enc_ln / ln + enc_ge / ge + enc_ge / sm
+    fwd_dec = dec_sm / sm + dec_ln / ln + dec_ge / ge + dec_ge / sm
+    # bwd (saves-aware — ops/pallas_train_layer.py): softmax is RECOMPUTED
+    # (probs aren't saved) + one dsoftmax pass; LN backward ~2 LN-class
+    # passes; GELU backward multiplies the SAVED derivative (one cheap
+    # LN-class pass, NOT an erf recompute)
+    bwd_enc = 2.0 * enc_sm / sm + 2.0 * enc_ln / ln + enc_ge / ln
+    bwd_dec = 2.0 * dec_sm / sm + 2.0 * dec_ln / ln + dec_ge / ln
     return {"enc_fwd": fwd_enc, "enc_bwd": bwd_enc,
             "dec_fwd_pass1": fwd_dec, "dec_fwd_pass2": fwd_dec,
             "dec_bwd_pass1": bwd_dec, "dec_bwd_pass2": bwd_dec,

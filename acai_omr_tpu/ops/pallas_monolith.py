@@ -644,7 +644,7 @@ def unpack_int4(wp32):
     return lo, hi
 
 
-def _erf(z):
+def _erf_rational(z):
     """Abramowitz & Stegun 7.1.26 rational erf (max abs err 1.5e-7, fp32).
 
     Mosaic has no erf/erfc primitive; this uses only exp, which it lowers.
@@ -655,6 +655,47 @@ def _erf(z):
         1.421413741 + t * (-1.453152027 + t * 1.061405429))))
     y = 1.0 - poly * jnp.exp(-a * a)
     return jnp.where(z < 0, -y, y)
+
+
+# exp/div-free erf: the VPU probe measured the exact-form GELU at only
+# ~56 Gelem/s vs ~270 for a softmax pass — the A&S rational's divide + exp
+# + deep Horner is ~5x a softmax-class element cost, and GELU(+phi) is
+# ~half the decoder's forward VPU time in the fused training kernels
+# (docs/PERF.md round-5 floor study). This two-branch polynomial is pure
+# FMA + selects. Chebyshev fits (this repo, tools/vpu_probe.py):
+# |z| < 2: z * P8(z^2) (max err 5.6e-7 fp32); 2 <= |z| <= 4: Q8(|z| - 3)
+# (3e-7); |z| > 4: 1 (erf(4) = 1 - 1.6e-8). Combined max err 5.4e-7 —
+# under every kernel parity tolerance (2e-4) and far below bf16 activation
+# resolution. A/B: ACAI_ERF_RATIONAL=1 reverts to the A&S form.
+_ERF_P_INNER = (1.1283791196906645, -0.37612431815137987,
+                0.11282301835706048, -0.02682474115101642,
+                0.005165745149216882, -0.0008080523031585587,
+                9.773775549318082e-05, -7.991255935925338e-06,
+                3.205006352036684e-07)
+_ERF_Q_OUTER = (0.9999779388686203, 0.00013951109721889064,
+                -0.00041936053857775154, 0.0007858608011556055,
+                -0.0010307062836143713, 0.0010255980999460375,
+                -0.0007781201077135403, 0.00038805285608613824,
+                -8.875076493734391e-05)
+_ERF_RATIONAL = os.environ.get("ACAI_ERF_RATIONAL", "0") == "1"
+
+
+def _erf_poly(z):
+    a = jnp.abs(z)
+    z2 = a * a
+    pin = jnp.float32(_ERF_P_INNER[-1])
+    for coef in _ERF_P_INNER[-2::-1]:
+        pin = pin * z2 + jnp.float32(coef)
+    u = a - 3.0
+    q = jnp.float32(_ERF_Q_OUTER[-1])
+    for coef in _ERF_Q_OUTER[-2::-1]:
+        q = q * u + jnp.float32(coef)
+    y = jnp.where(a < 2.0, a * pin, jnp.where(a <= 4.0, q, 1.0))
+    return jnp.where(z < 0, -y, y)
+
+
+def _erf(z):
+    return _erf_rational(z) if _ERF_RATIONAL else _erf_poly(z)
 
 
 def _ln(x, scale, bias, eps):

@@ -771,3 +771,17 @@ def test_int8_w4a8_step_close(setup):
     xf_n, x4_n = np.asarray(xf, np.float32), np.asarray(x4, np.float32)
     rel = np.abs(x4_n - xf_n).mean() / (np.abs(xf_n).mean() + 1e-9)
     assert rel < 0.15, rel
+
+
+def test_erf_poly_accuracy():
+    """The exp/div-free two-branch polynomial erf (default; the A&S
+    rational is the ACAI_ERF_RATIONAL=1 fallback) matches math.erf to
+    <1e-6 everywhere — far below every kernel parity tolerance (2e-4) and
+    bf16 activation resolution (round-5 VPU study, docs/PERF.md)."""
+    import math
+    z = np.linspace(-6.0, 6.0, 120001).astype(np.float32)
+    ref = np.vectorize(math.erf)(z)
+    got = np.asarray(pallas_monolith._erf_poly(jnp.asarray(z)))
+    assert np.abs(got - ref).max() < 1e-6
+    got_rat = np.asarray(pallas_monolith._erf_rational(jnp.asarray(z)))
+    assert np.abs(got_rat - ref).max() < 1e-6

@@ -657,16 +657,18 @@ def _erf_rational(z):
     return jnp.where(z < 0, -y, y)
 
 
-# exp/div-free erf: the VPU probe measured the exact-form GELU at only
-# ~56 Gelem/s vs ~270 for a softmax pass — the A&S rational's divide + exp
-# + deep Horner is ~5x a softmax-class element cost, and GELU(+phi) is
-# ~half the decoder's forward VPU time in the fused training kernels
-# (docs/PERF.md round-5 floor study). This two-branch polynomial is pure
-# FMA + selects. Chebyshev fits (this repo, tools/vpu_probe.py):
+# exp/div-free erf candidate — MEASURED SLOWER, kept as an opt-in knob
+# and a documented negative: the VPU probe clocks the exact-form GELU at
+# ~56 Gelem/s (vs ~270 for a softmax pass), which looked like the A&S
+# rational's divide + exp + Horner chain. But the pure-FMA two-branch
+# polynomial below probes at only ~32-34 Gelem/s (tools/vpu_probe.py
+# gelu_poly): v5e's exp/divide are fast hardware ops, and the 17-FMA
+# Horner DEPENDENCY CHAIN is the real cost — serial latency, not
+# transcendental throughput, bounds elementwise GELU on this VPU. Fits:
 # |z| < 2: z * P8(z^2) (max err 5.6e-7 fp32); 2 <= |z| <= 4: Q8(|z| - 3)
-# (3e-7); |z| > 4: 1 (erf(4) = 1 - 1.6e-8). Combined max err 5.4e-7 —
-# under every kernel parity tolerance (2e-4) and far below bf16 activation
-# resolution. A/B: ACAI_ERF_RATIONAL=1 reverts to the A&S form.
+# (3e-7); |z| > 4: 1. Combined max err 5.4e-7 — numerically safe
+# everywhere, so the knob (ACAI_ERF_POLY=1) stays for hardware where the
+# tradeoff inverts.
 _ERF_P_INNER = (1.1283791196906645, -0.37612431815137987,
                 0.11282301835706048, -0.02682474115101642,
                 0.005165745149216882, -0.0008080523031585587,
@@ -677,7 +679,7 @@ _ERF_Q_OUTER = (0.9999779388686203, 0.00013951109721889064,
                 -0.0010307062836143713, 0.0010255980999460375,
                 -0.0007781201077135403, 0.00038805285608613824,
                 -8.875076493734391e-05)
-_ERF_RATIONAL = os.environ.get("ACAI_ERF_RATIONAL", "0") == "1"
+_ERF_POLY = os.environ.get("ACAI_ERF_POLY", "0") == "1"
 
 
 def _erf_poly(z):
@@ -695,7 +697,7 @@ def _erf_poly(z):
 
 
 def _erf(z):
-    return _erf_rational(z) if _ERF_RATIONAL else _erf_poly(z)
+    return _erf_poly(z) if _ERF_POLY else _erf_rational(z)
 
 
 def _ln(x, scale, bias, eps):

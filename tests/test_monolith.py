@@ -774,10 +774,11 @@ def test_int8_w4a8_step_close(setup):
 
 
 def test_erf_poly_accuracy():
-    """The exp/div-free two-branch polynomial erf (default; the A&S
-    rational is the ACAI_ERF_RATIONAL=1 fallback) matches math.erf to
-    <1e-6 everywhere — far below every kernel parity tolerance (2e-4) and
-    bf16 activation resolution (round-5 VPU study, docs/PERF.md)."""
+    """Both erf forms — the A&S rational (default) and the exp/div-free
+    two-branch polynomial (ACAI_ERF_POLY=1; measured slower on v5e, kept
+    for hardware where the tradeoff inverts) — match math.erf to <1e-6
+    everywhere, far below every kernel parity tolerance (round-5 VPU
+    study, docs/PERF.md)."""
     import math
     z = np.linspace(-6.0, 6.0, 120001).astype(np.float32)
     ref = np.vectorize(math.erf)(z)

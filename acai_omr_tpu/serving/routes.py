@@ -33,7 +33,12 @@ except Exception:  # flask optional at import time
     _FLASK = False
 
 MAX_INFERENCE_LEN = 1536
-FLUSH_INTERVAL = 25
+# SSE STEP flush cadence in decode steps (the reference's flush interval,
+# ui/routes.py). Under dynamic batching each flush costs one device->host
+# status+sequence pull at a segment boundary: ~free on locally-attached
+# TPUs (<1 ms), ~29 ms through this dev harness's remote tunnel — operators
+# on tunneled/remote device links can raise it (ACAI_FLUSH_INTERVAL).
+FLUSH_INTERVAL = int(os.environ.get("ACAI_FLUSH_INTERVAL", "25"))
 
 _MODEL = {}
 _BATCHER = {"b": None}

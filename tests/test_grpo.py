@@ -128,6 +128,30 @@ def test_curriculum_scheduler():
     np.testing.assert_allclose(cfg.loss_config.lambda_ce, G.MIN_LAMBDA_CE)
 
 
+def test_curriculum_scheduler_clamps_past_horizon():
+    """Steps past the anneal horizon hold the FINAL values (round-4 advisor
+    finding: unclamped progress p>1 annealed lambda_ce below its 0.01 floor
+    — sign-flipping the CE term into gradient ascent around p~1.12 — and
+    entropy_beta negative)."""
+    import copy
+    cfg = R.GRPOConfig(copy.deepcopy(G.INITIAL_ROLLOUT_CONFIG),
+                       copy.deepcopy(G.INITIAL_REWARD_CONFIG),
+                       copy.deepcopy(G.INITIAL_LOSS_CONFIG),
+                       copy.deepcopy(G.INITIAL_UPDATE_CONFIG), 100, 100)
+    sched = G.CurriculumScheduler(cfg, exploration_steps=2, total_steps=12)
+    for _ in range(40):  # 3x past the horizon
+        sched.step()
+    np.testing.assert_allclose(cfg.loss_config.lambda_ce, G.MIN_LAMBDA_CE)
+    np.testing.assert_allclose(cfg.loss_config.entropy_beta,
+                               G.MIN_ENTROPY_BETA)
+    # the failure mode was SIGN-level (lambda_ce < 0 => gradient ascent on
+    # CE); the clamp holds both at their floors modulo fp round-off
+    assert cfg.loss_config.lambda_ce > 0.5 * G.MIN_LAMBDA_CE
+    assert cfg.loss_config.entropy_beta >= 0.0
+    assert cfg.rollout_config.max_actions == G.MAX_MAX_ACTIONS
+    assert cfg.rollout_config.top_k == G.MIN_TOP_K
+
+
 def test_prepare_rollouts_right_shift():
     rollouts = np.array([[0, 5, 2, PAD, PAD], [0, 5, 6, 7, 2]])
     mask = np.array([[1, 1, 1, 0, 0], [1, 1, 1, 1, 1]], dtype=bool)

@@ -148,6 +148,45 @@ def test_frozen_stop_gradient_blocks_frozen_layers(rng):
     assert l0 == 0.0 and l1 > 0.0
 
 
+def test_frozen_stop_gradient_whole_encoder(rng):
+    """fine_tune_depth=0 + frozen_stop_gradient=True freezes the ENTIRE
+    encoder stack (round-4 advisor finding: encode() used to map depth 0 to
+    n_frozen=0, silently training — and paying the backward for — a
+    nominally frozen encoder; encoder_llrd_scales already treated it as
+    fully frozen)."""
+    import dataclasses
+    enc0 = dataclasses.replace(TINY_ENC, fine_tune_depth=0)
+    cfg0 = dataclasses.replace(TINY, encoder=enc0)
+    params = vitomr.init_vitomr_params(jax.random.PRNGKey(0), cfg0)
+    pb, inputs, targets, lmx_valid = make_inputs(rng, [(16, 16)], [4])
+
+    def loss_fn(p):
+        logits = vitomr.forward_teacher_forced(
+            p, cfg0, jnp.asarray(pb.patches), jnp.asarray(pb.pe_idx),
+            jnp.asarray(pb.pe_w), jnp.asarray(pb.valid), jnp.asarray(inputs),
+            jnp.asarray(lmx_valid), frozen_stop_gradient=True)
+        return vitomr.omr_ce_loss(logits, jnp.asarray(targets), TINY_DEC.pad_idx)
+
+    def total_abs(tree):
+        return sum(float(np.abs(np.asarray(x)).sum())
+                   for x in jax.tree.leaves(tree))
+
+    g = jax.grad(loss_fn)(params)
+    assert total_abs(g["encoder"]["blocks"]) == 0.0
+    # decoder still trains
+    assert total_abs(g["decoder"]) > 0.0
+    # and the MAE-pretraining meaning of depth 0 (no split, no freeze
+    # requested) is unchanged: without frozen_stop_gradient all blocks train
+    def loss_unfrozen(p):
+        logits = vitomr.forward_teacher_forced(
+            p, cfg0, jnp.asarray(pb.patches), jnp.asarray(pb.pe_idx),
+            jnp.asarray(pb.pe_w), jnp.asarray(pb.valid), jnp.asarray(inputs),
+            jnp.asarray(lmx_valid), frozen_stop_gradient=False)
+        return vitomr.omr_ce_loss(logits, jnp.asarray(targets), TINY_DEC.pad_idx)
+    g2 = jax.grad(loss_unfrozen)(params)
+    assert total_abs(g2["encoder"]["blocks"]) > 0.0
+
+
 def test_mae_to_vitomr_transfer():
     mae_cfg = MaeConfig(encoder=TINY_ENC, decoder_num_layers=2,
                         decoder_hidden_dim=8, decoder_num_heads=2,

@@ -38,9 +38,13 @@ def run_arm(name, workdir, tf_params, steps, lr, seed, control=False):
         print(f"[{name}] reusing existing {out_json}", flush=True)
         return json.loads(out_json.read_text())
     cmd = [sys.executable, "tools/grpo_evidence_run.py",
-           "--tf-params", str(tf_params), "--steps", str(steps),
+           "--steps", str(steps),
            "--lr", str(lr), "--seed", str(seed),
            "--workdir", str(arm_dir)]
+    if tf_params is not None:
+        # shared stage-2 checkpoint; with None the arm trains stages 1+2
+        # itself into <arm_dir>/tf/vitomr (one-time cost, reused by the rest)
+        cmd += ["--tf-params", str(tf_params)]
     if control:
         cmd.append("--control")
     print(f"[{name}] {' '.join(cmd)}", flush=True)
@@ -57,6 +61,10 @@ def run_arm(name, workdir, tf_params, steps, lr, seed, control=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--control-seeds", type=int, default=1,
+                    help="number of shuffled-advantage control arms (paired "
+                         "seeds 0..N-1); >1 puts noise bars on the control "
+                         "side of the comparison too")
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--lr", type=float, default=1e-5)
     ap.add_argument("--tf-params", default=".evidence/grpo_r4/tf/vitomr")
@@ -67,22 +75,41 @@ def main():
     workdir = Path(args.workdir)
     workdir.mkdir(parents=True, exist_ok=True)
 
+    tf_params = args.tf_params
     arms = {}
+    if tf_params and not Path(tf_params).exists():
+        # checkpoint binaries are kept out of git (advisor r4) — retrain
+        # stages 1+2 once inside the first arm and share the result
+        print(f"[setup] {tf_params} missing - seed0 arm trains stages 1+2",
+              flush=True)
+        arms["seed0"] = run_arm("seed0", workdir, None, args.steps,
+                                args.lr, seed=0)
+        tf_params = workdir / "seed0" / "tf" / "vitomr"
     for s in range(args.seeds):
-        arms[f"seed{s}"] = run_arm(f"seed{s}", workdir, args.tf_params,
+        if f"seed{s}" in arms:
+            continue
+        arms[f"seed{s}"] = run_arm(f"seed{s}", workdir, tf_params,
                                    args.steps, args.lr, seed=s)
-    arms["control"] = run_arm("control", workdir, args.tf_params, args.steps,
-                              args.lr, seed=0, control=True)
+    ctrl_names = []
+    for s in range(args.control_seeds):
+        # paired rollout/data seed with treatment arm s; only the
+        # advantage<->rollout credit assignment differs
+        name = "control" if s == 0 and args.control_seeds == 1 else \
+            f"control{s}"
+        ctrl_names.append(name)
+        arms[name] = run_arm(name, workdir, tf_params, args.steps,
+                             args.lr, seed=s, control=True)
 
     def delta(a):
         return a["mini_val_after"]["reward"] - a["mini_val_before"]["reward"]
 
     import numpy as np
     seed_deltas = [delta(arms[f"seed{s}"]) for s in range(args.seeds)]
-    ctrl_delta = delta(arms["control"])
+    ctrl_deltas = [delta(arms[n]) for n in ctrl_names]
     summary = {
         "recipe": {"steps": args.steps, "lr": args.lr, "seeds": args.seeds,
-                   "tf_params": args.tf_params,
+                   "control_seeds": args.control_seeds,
+                   "tf_params": str(tf_params),
                    "control": "shuffled advantages (UpdateConfig"
                               ".shuffle_advantages; fixed permutation/step)"},
         "per_arm": {
@@ -102,12 +129,28 @@ def main():
         "seed_delta_std": float(np.std(seed_deltas, ddof=1))
         if len(seed_deltas) > 1 else None,
         "seed_deltas": seed_deltas,
-        "control_delta": ctrl_delta,
+        "control_delta": ctrl_deltas[0] if len(ctrl_deltas) == 1 else None,
+        "control_deltas": ctrl_deltas,
+        "control_delta_mean": float(np.mean(ctrl_deltas)),
+        "control_delta_std": float(np.std(ctrl_deltas, ddof=1))
+        if len(ctrl_deltas) > 1 else None,
         "lift_exceeds_control": bool(
-            np.mean(seed_deltas) > ctrl_delta),
+            np.mean(seed_deltas) > np.mean(ctrl_deltas)),
         "arm_jsons": {n: str(workdir / n / "grpo_evidence.json")
                       for n in arms},
     }
+    # two-sample effect: GRPO-specific component = treatment mean - control
+    # mean; SE combines both arms' sample variance (Welch). Honest caveat:
+    # with 3-5 runs/arm this bounds run noise, it does not power a
+    # publication-grade test.
+    if len(seed_deltas) > 1 and len(ctrl_deltas) > 1:
+        diff = float(np.mean(seed_deltas) - np.mean(ctrl_deltas))
+        se = float(np.sqrt(
+            np.var(seed_deltas, ddof=1) / len(seed_deltas)
+            + np.var(ctrl_deltas, ddof=1) / len(ctrl_deltas)))
+        summary["grpo_specific_lift"] = {
+            "treatment_minus_control": diff, "welch_se": se,
+            "z": diff / se if se > 0 else None}
     Path(args.out).write_text(json.dumps(summary, indent=1))
     print(json.dumps(summary, indent=1))
 

@@ -64,8 +64,11 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
     66-104): called every ``progress_interval`` decode steps per bucket
     group with the ORIGINAL image indices for the group's rows, the raw
     (rows, max_len) int32 sequence buffer so far, the decode position, and
-    a per-row finished mask. Plain single-host decode only (mesh/beam
-    paths run their loops device-side and don't surface mid-decode state).
+    a per-row finished mask. Supported by the plain AND the ``mesh`` greedy
+    decode paths (``sharded_generate`` streams the same merged
+    segment-boundary pull per shard — multi-chip serving keeps the SSE
+    contract); batch-pad rows never surface. Beam paths run their reorder
+    loops device-side and don't surface mid-decode state.
     """
     order = sorted(range(len(imgs)),
                    key=lambda i: _bucket_key(imgs[i], cfg, bucket_multiple))
@@ -128,11 +131,20 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
                     [latent, jnp.repeat(latent[:1], pad, axis=0)])
                 latent_valid = jnp.concatenate(
                     [latent_valid, jnp.repeat(latent_valid[:1], pad, axis=0)])
+            group_cb = None
+            seg_steps = None
+            if progress_cb is not None:
+                group_idx = list(group)
+                # pad rows (row >= len(group)) never surface
+                group_cb = (lambda s, t, fin, gi=group_idx:
+                            progress_cb(gi, s[: len(gi)], t, fin[: len(gi)]))
+                seg_steps = progress_interval
             seqs, lps, mask = decode_lib.sharded_generate(
                 params["decoder"], cfg.decoder, latent, latent_valid, mesh,
                 axis=mesh_lib.DATA_AXIS, model_axis=model_axis,
                 max_len=max_inference_len, compute_dtype=compute_dtype,
-                cache_dtype=cache_dtype, tp_params=tp_params)
+                cache_dtype=cache_dtype, tp_params=tp_params,
+                progress_cb=group_cb, segment_steps=seg_steps)
         else:
             group_cb = None
             seg_steps = None

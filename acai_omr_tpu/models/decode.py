@@ -921,7 +921,8 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
                      initial_segment: int = 256,
                      segment_steps: int | None = None,
                      compute_dtype=jnp.bfloat16, cache_dtype=jnp.bfloat16,
-                     mem_group: int = 1, tp_params=None, pe_offset: int = 0):
+                     mem_group: int = 1, tp_params=None, pe_offset: int = 0,
+                     progress_cb=None):
     """Batch-sharded KV-cached generation over a named mesh axis.
 
     Each device runs the complete decode loop — including the monolithic
@@ -951,6 +952,15 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
     PRNG streams are independent (``rng`` is pre-split per shard), so sampled
     tokens differ from the single-device sampling order. Returns the same
     (seqs, log_probs, mask) as :func:`generate`.
+
+    ``progress_cb(seqs, t, finished)``: same segment-boundary streaming hook
+    as :func:`generate` (SSE STEP events under multi-chip serving — the
+    reference streams per flush interval, ui/routes.py:66-104). The sequence
+    buffer rides the SAME merged device->host status pull the loop already
+    pays per segment; ``t`` is the max live-shard position (early-exited
+    shards' rows are finished, and their buffer tails are pad — filter pads
+    when consuming). Row order = input order (group-major when
+    ``mem_group > 1``); granularity = ``segment_steps``.
     """
     import numpy as np
     from jax import shard_map
@@ -1131,15 +1141,24 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
                             out_specs=carry_p, check_vma=False))
     while True:
         carry = seg(params_s, carry, memd)
-        # one pull: per-shard t + all finished flags
-        status = np.asarray(jnp.concatenate(
-            [carry["t"], carry["fin"].astype(jnp.int32)]))
+        # one pull: per-shard t + all finished flags — with a progress_cb
+        # the sequence buffer rides the same pull (a separate pull would
+        # double the ~29 ms-per-round-trip streaming tax on tunneled links)
+        nf = n_dev + b
+        parts = [carry["t"], carry["fin"].astype(jnp.int32)]
+        if progress_cb is not None:
+            parts.append(carry["seqs"].reshape(-1))
+        status = np.asarray(jnp.concatenate(parts))
         t_all = status[:n_dev]
-        fin = status[n_dev:].astype(bool)
+        fin = status[n_dev:nf].astype(bool)
         shard_alive = ~fin.reshape(n_dev, local_b).all(axis=1)
+        t_report = int(t_all[shard_alive].max()) if shard_alive.any() \
+            else int(t_all.max())
+        if progress_cb is not None:
+            progress_cb(status[nf:].reshape(b, max_len), t_report, fin)
         if not shard_alive.any():
             break
-        t_max = int(t_all[shard_alive].max())
+        t_max = t_report
         if t_max >= max_len:
             break
         if t_max > cache_len:

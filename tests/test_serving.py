@@ -283,12 +283,25 @@ def test_batch_inference_meshed(tiny_model, rng):
     ref = batch_inference(m["params"], m["cfg"], imgs, m["tokenizer"],
                           **kwargs)
     mesh = mesh_lib.make_mesh(2, 2, devices=jax.devices()[:4])
+    events = []
     res = batch_inference(m["params"], m["cfg"], imgs, m["tokenizer"],
                           mesh=mesh, model_axis=mesh_lib.MODEL_AXIS,
-                          **kwargs)
+                          progress_cb=lambda gi, s, t, fin: events.append(
+                              (list(gi), s.copy(), t, fin.copy())),
+                          progress_interval=4, **kwargs)
     assert res.lmx == ref.lmx
     np.testing.assert_allclose(res.avg_log_probs, ref.avg_log_probs,
                                atol=1e-5)
+    # the mesh greedy path streams mid-decode progress too (multi-chip SSE
+    # STEP parity): original image indices only, batch-pad rows never
+    # surface, every submitted image appears
+    assert events, "meshed decode surfaced no progress events"
+    seen = set()
+    for gi, s, t, fin in events:
+        assert set(gi) <= {0, 1, 2}
+        assert s.shape[0] == len(gi) == fin.shape[0]
+        seen |= set(gi)
+    assert seen == {0, 1, 2}
 
 
 def test_batch_inference_quantized_kv(tiny_model, rng):

@@ -72,8 +72,49 @@ def test_shard_map_decode_matches_single_device():
                                np.asarray(ref[1])[:, :n], atol=1e-5)
 
 
-@pytest.mark.slow
-def test_shard_map_decode_grouped_mem():
+def test_shard_map_decode_streams_progress():
+    """sharded_generate(progress_cb=): segment-boundary streaming under the
+    multi-chip decode (SSE STEP parity for DP serving — reference streams
+    per flush interval, ui/routes.py:66-104). Every flushed buffer must be
+    a consistent snapshot (prefix of the final sequences up to its t), the
+    finished mask must only ever grow, and the decode output must be
+    unchanged by streaming."""
+    mesh = mesh_lib.make_mesh(8, 1)
+    params = omr_decoder.init_decoder_params(jax.random.PRNGKey(0), CFG)
+    b, m = 16, 12
+    mem = jax.random.normal(jax.random.PRNGKey(1), (b, m, CFG.hidden_dim))
+    mem_valid = jnp.asarray(
+        np.arange(m)[None, :] < (np.arange(b) % 4 * 2 + 5)[:, None])
+
+    ref = decode_lib.sharded_generate(params, CFG, mem, mem_valid, mesh,
+                                      max_len=24, initial_segment=8,
+                                      compute_dtype=jnp.float32,
+                                      cache_dtype=jnp.float32)
+    events = []
+    out = decode_lib.sharded_generate(
+        params, CFG, mem, mem_valid, mesh, max_len=24, initial_segment=8,
+        segment_steps=5, compute_dtype=jnp.float32, cache_dtype=jnp.float32,
+        progress_cb=lambda s, t, fin: events.append((s.copy(), t, fin.copy())))
+
+    assert events, "no progress events at segment boundaries"
+    n = min(ref[0].shape[1], out[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])
+    final = np.asarray(out[0])
+    prev_fin = np.zeros(b, bool)
+    for seqs, t, fin in events:
+        assert seqs.shape == (b, 24) and fin.shape == (b,)
+        assert fin.dtype == bool
+        assert (~prev_fin | fin).all(), "finished mask must be monotone"
+        prev_fin = fin
+        k = min(t, final.shape[1])
+        for row in range(b):
+            # live rows: streamed prefix == final tokens; finished rows may
+            # carry pad tails past their eos (documented; consumers filter)
+            row_final = final[row, :k]
+            row_seen = seqs[row, :k]
+            keep = row_final != CFG.pad_idx
+            np.testing.assert_array_equal(row_seen[keep], row_final[keep])
     """sharded_generate composes with grouped memory (mem_group=G): greedy
     grouped sharded decode == single-device grouped decode."""
     mesh = mesh_lib.make_mesh(8, 1)

@@ -115,6 +115,10 @@ def test_shard_map_decode_streams_progress():
             row_seen = seqs[row, :k]
             keep = row_final != CFG.pad_idx
             np.testing.assert_array_equal(row_seen[keep], row_final[keep])
+
+
+@pytest.mark.slow
+def test_shard_map_decode_grouped_mem():
     """sharded_generate composes with grouped memory (mem_group=G): greedy
     grouped sharded decode == single-device grouped decode."""
     mesh = mesh_lib.make_mesh(8, 1)

@@ -491,6 +491,57 @@ def test_serving_flow_with_dynamic_batching(tiny_model, rng):
         routes.disable_dynamic_batching()
 
 
+def test_serving_flow_batched_meshed_streams(tiny_model, rng):
+    """Dynamic batching + device mesh + streaming compose: with a mesh
+    passed through enable_dynamic_batching, the batcher's decode rides
+    sharded_generate per bucket group and STEP token events still flow
+    (multi-chip serving keeps the SSE contract, VERDICT r4 #4 extended)."""
+    from acai_omr_tpu.parallel import mesh as mesh_lib
+    from acai_omr_tpu.serving import routes
+
+    old_flush = routes.FLUSH_INTERVAL
+    routes.FLUSH_INTERVAL = 4
+    mesh = mesh_lib.make_mesh(2, 1, devices=jax.devices()[:2])
+    b = routes.enable_dynamic_batching(max_batch=4, max_wait_ms=10.0,
+                                       bucket_multiple=8,
+                                       compute_dtype=jnp.float32,
+                                       mesh=mesh)
+    try:
+        c = WsgiClient()
+        status, data = c.get_json("POST", "/tmpdir/create")
+        tmpdir = data["tmpdir"]
+        hdr = {"X-Tmpdir": tmpdir}
+        mp_body, mp_ctype = _multipart(_png_bytes(rng))
+        status, data = c.get_json("POST", "/upload", body=mp_body,
+                                  headers=hdr, ctype=mp_ctype)
+        assert data["ok"]
+        status, data = c.get_json("POST", "/inference/setup",
+                                  body=json.dumps({"bboxes": []}).encode(),
+                                  headers=hdr, ctype="application/json")
+        assert data["num_systems"] == 1
+
+        status, headers, body = c.request(
+            "GET", f"/inference/stream?tmpdir={tmpdir}")
+        text = body.decode()
+        assert "event: inference_finish" in text
+        assert "event: all_inference_finish" in text
+        assert b.stats.completed >= 1
+        step_blocks = [blk for blk in text.split("\n\n")
+                       if blk.startswith("event: step")]
+        assert step_blocks, "no STEP events streamed in batched+meshed mode"
+        streamed = []
+        for blk in step_blocks:
+            streamed += json.loads(
+                blk.split("\n")[1].removeprefix("data: "))["tokens"]
+        finish = json.loads([blk for blk in text.split("\n\n")
+                             if blk.startswith("event: inference_finish")][0]
+                            .split("\n")[1].removeprefix("data: "))
+        assert " ".join(streamed) in finish["lmx"] or streamed == []
+    finally:
+        routes.FLUSH_INTERVAL = old_flush
+        routes.disable_dynamic_batching()
+
+
 def test_bucketed_runner_pads_and_trims():
     """bucketed_runner rounds batches up to powers of two (bounding the XLA
     compile set) and drops the pad rows' results."""

@@ -169,6 +169,46 @@ def test_batch_compaction_matches_uncompacted(setup):
                                atol=1e-5)
 
 
+def test_generate_progress_streaming_with_compaction(setup):
+    """generate(progress_cb=) under batch compaction: the master-buffer
+    snapshots stream in INPUT row order even as finished rows are compacted
+    out of the live batch (the fin_master/row_map mapping), the finished
+    mask is monotone, and streaming changes no output."""
+    params, mem, mem_valid = setup
+    big_mem = jnp.concatenate([mem, mem * 0.5, mem * -0.3, mem * 1.7], axis=0)
+    big_valid = jnp.concatenate([mem_valid] * 4, axis=0)
+    b = big_mem.shape[0]
+    kwargs = dict(max_len=40, compute_dtype=jnp.float32,
+                  cache_dtype=jnp.float32, initial_segment=8, compact=True)
+    ref = decode_lib.generate(params, CFG, big_mem, big_valid, **kwargs)
+    events = []
+    out = decode_lib.generate(
+        params, CFG, big_mem, big_valid, segment_steps=6,
+        progress_cb=lambda s, t, fin: events.append((s.copy(), t, fin.copy())),
+        **kwargs)
+
+    n = min(ref[0].shape[1], out[0].shape[1])
+    np.testing.assert_array_equal(np.asarray(out[0])[:, :n],
+                                  np.asarray(ref[0])[:, :n])
+    assert events, "no progress events"
+    final = np.asarray(out[0])
+    prev_fin = np.zeros(b, bool)
+    saw_partial = False
+    for seqs, t, fin in events:
+        assert seqs.shape[0] == b and fin.shape == (b,)
+        assert (~prev_fin | fin).all(), "finished mask must be monotone"
+        prev_fin = fin
+        saw_partial |= bool(fin.any() and not fin.all())
+        k = min(t, final.shape[1])
+        for row in range(b):
+            row_final, row_seen = final[row, :k], seqs[row, :k]
+            keep = row_final != CFG.pad_idx
+            np.testing.assert_array_equal(row_seen[keep], row_final[keep])
+    # the scenario must actually exercise mixed finish states (else the
+    # fin_master mapping is untested)
+    assert saw_partial, "no event with mixed finished/live rows"
+
+
 # ---------------------------------------------------------------------------
 # grouped memory (GRPO rollout groups share each image's cross K/V,
 # reference expands the latent instead: models.py:883-891)

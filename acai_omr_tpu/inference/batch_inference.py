@@ -95,6 +95,16 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
             group.append(order[i + len(group)])
         i += len(group)
 
+        # streaming hook shared by the plain and mesh greedy branches: the
+        # slice to len(group) drops batch-pad rows (a no-op when unpadded)
+        group_cb = None
+        seg_steps = None
+        if progress_cb is not None and beam_size == 1:
+            group_idx = list(group)
+            group_cb = (lambda s, t, fin, gi=group_idx:
+                        progress_cb(gi, s[: len(gi)], t, fin[: len(gi)]))
+            seg_steps = progress_interval
+
         pb = vit_encoder.batchify([imgs[g] for g in group], cfg.encoder,
                                   bucket_multiple)
         latent, latent_valid = vitomr_lib.encode_image_jit(
@@ -131,14 +141,6 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
                     [latent, jnp.repeat(latent[:1], pad, axis=0)])
                 latent_valid = jnp.concatenate(
                     [latent_valid, jnp.repeat(latent_valid[:1], pad, axis=0)])
-            group_cb = None
-            seg_steps = None
-            if progress_cb is not None:
-                group_idx = list(group)
-                # pad rows (row >= len(group)) never surface
-                group_cb = (lambda s, t, fin, gi=group_idx:
-                            progress_cb(gi, s[: len(gi)], t, fin[: len(gi)]))
-                seg_steps = progress_interval
             seqs, lps, mask = decode_lib.sharded_generate(
                 params["decoder"], cfg.decoder, latent, latent_valid, mesh,
                 axis=mesh_lib.DATA_AXIS, model_axis=model_axis,
@@ -146,13 +148,6 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
                 cache_dtype=cache_dtype, tp_params=tp_params,
                 progress_cb=group_cb, segment_steps=seg_steps)
         else:
-            group_cb = None
-            seg_steps = None
-            if progress_cb is not None:
-                group_idx = list(group)
-                group_cb = (lambda s, t, fin, gi=group_idx:
-                            progress_cb(gi, s, t, fin))
-                seg_steps = progress_interval
             seqs, lps, mask = decode_lib.generate(
                 params["decoder"], cfg.decoder, latent, latent_valid,
                 max_len=max_inference_len, compute_dtype=compute_dtype,

@@ -957,9 +957,10 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
     as :func:`generate` (SSE STEP events under multi-chip serving — the
     reference streams per flush interval, ui/routes.py:66-104). The sequence
     buffer rides the SAME merged device->host status pull the loop already
-    pays per segment; ``t`` is the max live-shard position (early-exited
-    shards' rows are finished, and their buffer tails are pad — filter pads
-    when consuming). Row order = input order (group-major when
+    pays per segment; ``t`` is the max position over all shards (monotone
+    across events). Rows on slower shards — and finished rows' tails — hold
+    pad beyond their own position, so a row's valid tokens are its non-pad
+    prefix of ``seqs[row, :t]``. Row order = input order (group-major when
     ``mem_group > 1``); granularity = ``segment_steps``.
     """
     import numpy as np
@@ -1152,13 +1153,19 @@ def sharded_generate(params: Params, cfg: DecoderConfig, img_latent,
         t_all = status[:n_dev]
         fin = status[n_dev:nf].astype(bool)
         shard_alive = ~fin.reshape(n_dev, local_b).all(axis=1)
-        t_report = int(t_all[shard_alive].max()) if shard_alive.any() \
-            else int(t_all.max())
         if progress_cb is not None:
-            progress_cb(status[nf:].reshape(b, max_len), t_report, fin)
+            # reported t = max over ALL shards (monotone across events —
+            # per-shard t is monotone, and a live-shards-only max would
+            # regress when the leading shard finishes first). Rows on
+            # slower shards simply have pad beyond their own position;
+            # per-row valid tokens are the non-pad prefix.
+            progress_cb(status[nf:].reshape(b, max_len), int(t_all.max()),
+                        fin)
         if not shard_alive.any():
             break
-        t_max = t_report
+        # loop control (growth/stop) keys on LIVE shards only: a finished
+        # shard's frozen t must not force cache growth nobody needs
+        t_max = int(t_all[shard_alive].max())
         if t_max >= max_len:
             break
         if t_max > cache_len:

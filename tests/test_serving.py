@@ -481,7 +481,10 @@ def test_serving_flow_with_dynamic_batching(tiny_model, rng):
         finish = json.loads([blk for blk in text.split("\n\n")
                              if blk.startswith("event: inference_finish")][0]
                             .split("\n")[1].removeprefix("data: "))
-        assert " ".join(streamed) in finish["lmx"] or streamed == []
+        # strict: streamed tokens are non-empty, in order, and a prefix of
+        # the final LMX word-for-word (both sides filter special tokens)
+        assert streamed
+        assert finish["lmx"].split()[: len(streamed)] == streamed
 
         status, data = c.get_json("POST", "/inference/postprocess",
                                   headers=hdr)
@@ -536,7 +539,9 @@ def test_serving_flow_batched_meshed_streams(tiny_model, rng):
         finish = json.loads([blk for blk in text.split("\n\n")
                              if blk.startswith("event: inference_finish")][0]
                             .split("\n")[1].removeprefix("data: "))
-        assert " ".join(streamed) in finish["lmx"] or streamed == []
+        # strict prefix check, as in the unmeshed batched-flow test
+        assert streamed
+        assert finish["lmx"].split()[: len(streamed)] == streamed
     finally:
         routes.FLUSH_INTERVAL = old_flush
         routes.disable_dynamic_batching()

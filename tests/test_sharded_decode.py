@@ -102,9 +102,12 @@ def test_shard_map_decode_streams_progress():
                                   np.asarray(ref[0])[:, :n])
     final = np.asarray(out[0])
     prev_fin = np.zeros(b, bool)
+    prev_t = 0
     for seqs, t, fin in events:
         assert seqs.shape == (b, 24) and fin.shape == (b,)
         assert fin.dtype == bool
+        assert t >= prev_t, "reported t must be monotone across events"
+        prev_t = t
         assert (~prev_fin | fin).all(), "finished mask must be monotone"
         prev_fin = fin
         k = min(t, final.shape[1])

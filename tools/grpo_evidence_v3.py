@@ -71,20 +71,39 @@ def main():
     ap.add_argument("--workdir", default=".evidence/grpo_r5")
     ap.add_argument("--out", default="docs/grpo_evidence_r5.json")
     args = ap.parse_args()
+    if args.seeds < 1:
+        ap.error("--seeds must be >= 1")
+    if args.control_seeds < 0:
+        ap.error("--control-seeds must be >= 0")
 
+    # arms run with cwd=REPO — resolve repo-relative paths the same way
+    # regardless of the invoking directory
     workdir = Path(args.workdir)
+    if not workdir.is_absolute():
+        workdir = REPO / workdir
     workdir.mkdir(parents=True, exist_ok=True)
 
-    tf_params = args.tf_params
+    tf_params = Path(args.tf_params)
+    if not tf_params.is_absolute():
+        tf_params = REPO / tf_params
     arms = {}
-    if tf_params and not Path(tf_params).exists():
+    if not tf_params.exists():
         # checkpoint binaries are kept out of git (advisor r4) — retrain
         # stages 1+2 once inside the first arm and share the result
         print(f"[setup] {tf_params} missing - seed0 arm trains stages 1+2",
               flush=True)
         arms["seed0"] = run_arm("seed0", workdir, None, args.steps,
                                 args.lr, seed=0)
-        tf_params = workdir / "seed0" / "tf" / "vitomr"
+        tf_params = (workdir / "seed0" / "tf" / "vitomr").resolve()
+        if not tf_params.exists():
+            # run_arm reuses a cached arm JSON without training — a kept
+            # JSON with cleaned-out checkpoint binaries can't seed the
+            # other arms
+            raise RuntimeError(
+                f"seed0 arm produced no checkpoint at {tf_params} (its "
+                f"grpo_evidence.json was reused from a previous run whose "
+                f"tf/ binaries were cleaned). Delete "
+                f"{workdir / 'seed0'} to retrain, or pass --tf-params.")
     for s in range(args.seeds):
         if f"seed{s}" in arms:
             continue
@@ -131,11 +150,13 @@ def main():
         "seed_deltas": seed_deltas,
         "control_delta": ctrl_deltas[0] if len(ctrl_deltas) == 1 else None,
         "control_deltas": ctrl_deltas,
-        "control_delta_mean": float(np.mean(ctrl_deltas)),
+        "control_delta_mean": float(np.mean(ctrl_deltas))
+        if ctrl_deltas else None,
         "control_delta_std": float(np.std(ctrl_deltas, ddof=1))
         if len(ctrl_deltas) > 1 else None,
         "lift_exceeds_control": bool(
-            np.mean(seed_deltas) > np.mean(ctrl_deltas)),
+            np.mean(seed_deltas) > np.mean(ctrl_deltas))
+        if ctrl_deltas else None,
         "arm_jsons": {n: str(workdir / n / "grpo_evidence.json")
                       for n in arms},
     }

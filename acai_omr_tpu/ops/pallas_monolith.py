@@ -233,9 +233,17 @@ def _cdma_vmem(bt: int, t: int, m: int, e: int, h: int, s: int,
 def _weights_vmem_for(quantized: bool, w8a8, w4a8) -> tuple[int, bool, bool]:
     """Resolve the (weights VMEM budget, w8a8, w4a8) triple from explicit
     flags or the module env policy (W4A8 wins over W8A8 when both set —
-    they are exclusive weight modes)."""
+    they are exclusive weight modes).
+
+    An EXPLICIT ``w8a8`` pins the whole weight mode: callers that pass it
+    (TP pack-group sites, decode_layers) have already resolved their mode,
+    so the env W4A8 policy must not override them — under
+    ``ACAI_W4A8_DECODE=1`` a TP shard (which never runs int4,
+    ``weight_quant_mode``) would otherwise plan VMEM/row tiles for int4
+    while the kernel runs the W8A8/bf16 plan, desynchronizing the host
+    scale-pack group from the kernel row tile (round-5 review)."""
     if w4a8 is None:
-        w4a8 = _W4A8 and quantized
+        w4a8 = _W4A8 and quantized and w8a8 is None
     if w8a8 is None:
         w8a8 = _W8A8 and quantized and not w4a8
     if w4a8:
@@ -576,11 +584,16 @@ def weight_quant_mode(cache_dtype, tp_mono: bool = False):
     """Weight mode for decode_segment's prepack: "int4" | "int8" | False.
 
     TP shards never ride W4A8 (per-shard W4A8 would be a third distinct
-    quantization; ACAI_TP_W8A8 already covers the sharded-weights case)."""
+    quantization; ACAI_TP_W8A8 already covers the sharded-weights case).
+    The tp branch keeps the _W8A8 conjunction: ACAI_TP_W8A8=1 is an opt-in
+    ON TOP of W8A8, and the host-side scale-pack groups (decode.py
+    _pack_group sites) key on want_w8a8() AND want_tp_w8a8() — dropping
+    _W8A8 here would run the kernel on the W8A8 plan while the host packs
+    for the unquantized one (round-5 review)."""
     if cache_dtype != jnp.int8:
         return False
     if tp_mono:
-        return "int8" if want_tp_w8a8() else False
+        return "int8" if (_W8A8 and want_tp_w8a8()) else False
     if _W4A8:
         return "int4"
     return "int8" if _W8A8 else False

@@ -228,29 +228,60 @@ def _sse_stream(d: Path):
         for sys_idx in range(len(handles)):
             yield (f"event: {InferenceEvent.ENCODING_START.value}\n"
                    f"data: {json.dumps({'system': sys_idx})}\n\n")
+        encoding_done = set()
+
+        def step_events(req, payload):
+            sys_idx = idx_of.get(id(req))
+            if sys_idx is None or not payload.get("tokens"):
+                return
+            if sys_idx not in encoding_done:
+                # reference event order is encoding_finish BEFORE any STEP
+                # (ui/routes.py); a decode token proves encoding finished
+                encoding_done.add(sys_idx)
+                yield (f"event: {InferenceEvent.ENCODING_FINISH.value}\n"
+                       f"data: {json.dumps({'system': sys_idx})}\n\n")
+            tokens = [tok.idxs_to_tokens[int(t)]
+                      for t in payload["tokens"]]
+            yield (f"event: {InferenceEvent.STEP.value}\n"
+                   f"data: {json.dumps({'system': sys_idx, 'tokens': tokens})}\n\n")
+
+        def drain_steps():
+            while True:
+                try:
+                    req, payload = progress_q.get_nowait()
+                except queue_lib.Empty:
+                    return
+                yield from step_events(req, payload)
+
         import time as time_lib
-        deadline = time_lib.monotonic() + 600.0  # same bound result() had
+        # progress-based deadline: refreshed whenever a system completes,
+        # so each system effectively gets the 600 s bound the unbatched
+        # result() path had (a fixed request-wide deadline aborted legit
+        # many-system uploads mid-stream — round-5 review)
+        deadline = time_lib.monotonic() + 600.0
         next_finish = 0  # INFERENCE_FINISH events stay in system order
         while next_finish < len(handles):
             if time_lib.monotonic() > deadline:
                 raise TimeoutError("batched inference did not complete")
             try:
                 req, payload = progress_q.get(timeout=0.25)
-                sys_idx = idx_of.get(id(req))
-                if sys_idx is not None and payload.get("tokens"):
-                    tokens = [tok.idxs_to_tokens[int(t)]
-                              for t in payload["tokens"]]
-                    yield (f"event: {InferenceEvent.STEP.value}\n"
-                           f"data: {json.dumps({'system': sys_idx, 'tokens': tokens})}\n\n")
+                yield from step_events(req, payload)
                 continue
             except queue_lib.Empty:
                 pass
             while next_finish < len(handles) \
                     and handles[next_finish].event.is_set():
+                # the batcher queues every STEP emit BEFORE setting result
+                # events, so a full drain here guarantees no STEP for this
+                # system trails its INFERENCE_FINISH (and nothing is
+                # dropped at stream end)
+                yield from drain_steps()
                 sys_idx = next_finish
                 lmx, avg_lp = b.result(handles[sys_idx], timeout=600.0)
-                yield (f"event: {InferenceEvent.ENCODING_FINISH.value}\n"
-                       f"data: {json.dumps({'system': sys_idx})}\n\n")
+                if sys_idx not in encoding_done:
+                    encoding_done.add(sys_idx)
+                    yield (f"event: {InferenceEvent.ENCODING_FINISH.value}\n"
+                           f"data: {json.dumps({'system': sys_idx})}\n\n")
                 (d / f"system_{sys_idx}.lmx").write_text(lmx)
                 (d / f"system_{sys_idx}.meta.json").write_text(
                     json.dumps({"avg_log_prob": float(avg_lp)}))
@@ -259,9 +290,8 @@ def _sse_stream(d: Path):
                 yield (f"event: {InferenceEvent.INFERENCE_FINISH.value}\n"
                        f"data: {json.dumps(data)}\n\n")
                 next_finish += 1
-        # drain any stragglers so late STEP events can't be lost silently
-        while not progress_q.empty():
-            progress_q.get_nowait()
+                deadline = time_lib.monotonic() + 600.0
+        yield from drain_steps()  # safety net; normally empty here
         yield (f"event: {InferenceEvent.ALL_INFERENCE_FINISH.value}\n"
                f"data: {json.dumps({})}\n\n")
         return

@@ -33,6 +33,16 @@ from typing import Any, Callable, Sequence
 _STATS_WINDOW = 4096  # most recent samples kept per series
 
 
+def _accepts_emit(fn) -> bool:
+    """True iff ``fn`` has a parameter named ``emit`` (the streaming
+    opt-in shared by DynamicBatcher and bucketed_runner)."""
+    import inspect
+    try:
+        return "emit" in inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 @dataclasses.dataclass
 class BatcherStats:
     """Rolling service statistics (all times seconds). The series are
@@ -102,14 +112,13 @@ class DynamicBatcher:
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self._run_batch = run_batch
-        # streaming protocol: a run_batch accepting a second parameter is
-        # called as run_batch(items, emit) where emit(idx, payload) routes
-        # mid-decode progress to the submitting request's progress queue
-        import inspect
-        try:
-            self._emits = len(inspect.signature(run_batch).parameters) >= 2
-        except (TypeError, ValueError):
-            self._emits = False
+        # streaming protocol: a run_batch with a parameter literally named
+        # ``emit`` opts in to run_batch(items, emit), where emit(idx,
+        # payload) routes mid-decode progress to the submitting request's
+        # progress queue. Name-based (not arity-based) detection: an
+        # unrelated second parameter (run_batch(items, retries=3)) must not
+        # silently receive the callback (round-5 review).
+        self._emits = _accepts_emit(run_batch)
         self.max_batch = max_batch
         self.max_wait = max_wait_ms / 1e3
         self._lock = threading.Lock()
@@ -230,11 +239,7 @@ def bucketed_runner(run_batch: Callable[[list], Sequence[Any]],
     rows are ``pad_item`` (default: the batch's first item, re-used) and
     their results are dropped.
     """
-    import inspect
-    try:
-        emits = len(inspect.signature(run_batch).parameters) >= 2
-    except (TypeError, ValueError):
-        emits = False
+    emits = _accepts_emit(run_batch)
 
     def pad(items):
         n = len(items)

@@ -675,6 +675,46 @@ def test_pick_row_tile_sub_128_lane_self_consistent(monkeypatch):
                 b, 512, 512, 1024, 1, num_heads=h, manual_cdma=False) == bt
 
 
+def test_weight_mode_plan_consistency_under_env_combos(monkeypatch):
+    """The host scale-pack planning and the kernel's weight mode must agree
+    for every (W8A8, TP_W8A8, W4A8) env combination (round-5 review: two
+    split-brain bugs where the host planned one weight mode's VMEM budget
+    while the kernel ran another).
+
+    1. An EXPLICIT w8a8= (the TP pack-group sites) pins the mode: the env
+       W4A8 policy must not silently re-plan those calls for int4 — TP
+       shards never run int4 (weight_quant_mode).
+    2. weight_quant_mode's tp branch requires _W8A8 AND ACAI_TP_W8A8, like
+       the host expression want_w8a8() and want_tp_w8a8().
+    """
+    args = (16, 512, 512, 1024)   # b, t, m, e at flagship-ish widths
+
+    # int4 env policy on: explicit-w8a8 call sites must plan exactly as
+    # they do with the policy off (they resolve to W8A8/bf16, never int4)
+    for w8 in (True, False):
+        monkeypatch.setattr(pallas_monolith, "_W4A8", False)
+        base = pallas_monolith.pick_row_tile(*args, 1, num_heads=16, w8a8=w8)
+        monkeypatch.setattr(pallas_monolith, "_W4A8", True)
+        got = pallas_monolith.pick_row_tile(*args, 1, num_heads=16, w8a8=w8)
+        assert got == base, (w8, got, base)
+    # ... while env-policy calls (w8a8 unspecified) DO follow int4
+    assert pallas_monolith._weights_vmem_for(True, None, None)[2] is True
+    monkeypatch.setattr(pallas_monolith, "_W4A8", False)
+
+    # tp branch: "int8" only when BOTH _W8A8 and _TP_W8A8 (the host packs
+    # with want_w8a8() and want_tp_w8a8())
+    import jax.numpy as jnp
+    for w8, tpw8 in ((True, True), (True, False), (False, True),
+                     (False, False)):
+        monkeypatch.setattr(pallas_monolith, "_W8A8", w8)
+        monkeypatch.setattr(pallas_monolith, "_TP_W8A8", tpw8)
+        kernel_mode = pallas_monolith.weight_quant_mode(jnp.int8,
+                                                        tp_mono=True)
+        host_w8a8 = (pallas_monolith.want_w8a8(jnp.int8)
+                     and pallas_monolith.want_tp_w8a8())
+        assert (kernel_mode == "int8") == host_w8a8, (w8, tpw8, kernel_mode)
+
+
 def test_prepack_int4_pack_roundtrip(setup):
     """The int4 nibble pack is exactly invertible: floor-divide unpack of the
     packed bytes (the kernel's unpack_int4 scheme, tools/int4_probe.py EXACT

@@ -485,6 +485,12 @@ def test_serving_flow_with_dynamic_batching(tiny_model, rng):
         # the final LMX word-for-word (both sides filter special tokens)
         assert streamed
         assert finish["lmx"].split()[: len(streamed)] == streamed
+        # reference event order (ui/routes.py): encoding_finish precedes
+        # any STEP for the system, and no STEP trails inference_finish
+        assert text.index("event: encoding_finish") \
+            < text.index("event: step")
+        assert text.rindex("event: step") \
+            < text.index("event: inference_finish")
 
         status, data = c.get_json("POST", "/inference/postprocess",
                                   headers=hdr)

@@ -351,14 +351,13 @@ def main():
     phases["mem_kv"] = (3 * mem_kv_flops() / mkv_rate, 0.0, by["mem_kv"])
 
     vpu = vpu_seconds()
-    ledger, floor_s, ceil_s = {}, 0.0, 0.0
+    ledger, floor_s = {}, 0.0
     for name, (proj_t, at, byts) in phases.items():
         mxu_t = proj_t + at
         vpu_t = vpu.get(name, 0.0)
         t = max(mxu_t, byts / HBM_BW, vpu_t)
         serial = mxu_t + vpu_t          # no-overlap ceiling for the phase
         floor_s += t
-        ceil_s += max(serial, byts / HBM_BW)
         row = {"floor_ms": round(t * 1e3, 2),
                "proj_ms": round(proj_t * 1e3, 2),
                "attn_ms": round(at * 1e3, 2),
@@ -399,10 +398,13 @@ def main():
         "kernels_achieved_of_floor": round(kernels_floor / kernels_measured, 3),
         # serial ceiling: MXU + measured-VPU with zero overlap per phase.
         # measured falling between floor (full overlap) and ceiling (none)
-        # bounds the residual; kernels_measured/ceiling > 1 would mean the
-        # kernels beat the no-overlap model (overlap is happening)
+        # bounds the residual; ceiling/measured > 1 means the kernels beat
+        # the no-overlap model (overlap is happening) — e.g. 1.17 = the
+        # kernels run 17% faster than fully-serialized MXU+VPU would.
+        # (Key renamed from the round-5 "kernels_measured_over_ceiling",
+        # which mislabeled this exact ratio — the value is unchanged.)
         "kernels_serial_ceiling_ms": round(kernels_ceiling, 1),
-        "kernels_measured_over_ceiling": round(
+        "kernels_ceiling_over_measured": round(
             kernels_ceiling / kernels_measured, 3),
         "vpu_rates_gelem_s": RECORDED_VPU,
         "gemm_rates_tf_s": {str(k): v for k, v in gemm.items()},

@@ -42,13 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 VMEM_LIMIT = int(119.5 * 1024 * 1024)
 
 
-def _erf(z):
-    a = jnp.abs(z)
-    t = 1.0 / (1.0 + 0.3275911 * a)
-    poly = t * (0.254829592 + t * (-0.284496736 + t * (
-        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
-    y = 1.0 - poly * jnp.exp(-a * a)
-    return jnp.where(z < 0, -y, y)
+# the kernels' own erf implementations — imported, not duplicated, so the
+# probe prices exactly the arithmetic the kernels run (round-5 review)
+from acai_omr_tpu.ops.pallas_monolith import (_erf_poly,  # noqa: E402
+                                              _erf_rational as _erf)
 
 
 def _work_softmax(x):
@@ -66,35 +63,6 @@ def _work_ln(x):
 
 def _work_gelu(x):
     return 0.5 * x * (1.0 + _erf(x / math.sqrt(2.0)))
-
-
-# candidate exp/div-free erf: two-branch polynomial (|z|<2: z*P8(z^2), err
-# 5.6e-7 fp32; 2<=|z|<=4: Q8(|z|-3), err 3e-7; |z|>4: 1). Coefficients from
-# Chebyshev fits (this repo, round 5). Combined max err ~6e-7 vs the A&S
-# rational's 1.5e-7 — both far below bf16 activation resolution.
-_P_INNER = (1.1283791196906645, -0.37612431815137987, 0.11282301835706048,
-            -0.02682474115101642, 0.005165745149216882,
-            -0.0008080523031585587, 9.773775549318082e-05,
-            -7.991255935925338e-06, 3.205006352036684e-07)
-_Q_OUTER = (0.9999779388686203, 0.00013951109721889064,
-            -0.00041936053857775154, 0.0007858608011556055,
-            -0.0010307062836143713, 0.0010255980999460375,
-            -0.0007781201077135403, 0.00038805285608613824,
-            -8.875076493734391e-05)
-
-
-def _erf_poly(z):
-    a = jnp.abs(z)
-    z2 = a * a
-    pin = jnp.float32(_P_INNER[-1])
-    for coef in _P_INNER[-2::-1]:
-        pin = pin * z2 + jnp.float32(coef)
-    u = a - 3.0
-    q = jnp.float32(_Q_OUTER[-1])
-    for coef in _Q_OUTER[-2::-1]:
-        q = q * u + jnp.float32(coef)
-    y = jnp.where(a < 2.0, a * pin, jnp.where(a <= 4.0, q, 1.0))
-    return jnp.where(z < 0, -y, y)
 
 
 def _work_gelu_poly(x):

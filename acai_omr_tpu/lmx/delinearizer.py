@@ -164,8 +164,17 @@ class Delinearizer:
                 pending = {"chord": False, "grace": None, "print_object": True}
                 continue
 
+            # malformed structured tokens (unreachable from vocab-constrained
+            # model output, reachable via the public delinearize()/CLI) are
+            # MINOR errors, not uncaught ValueError/IndexError — the
+            # documented contract is minor-recovery vs DelinearizationError
+            # (round-5 review: a crash here escaped TEDn's catastrophic
+            # catch and killed whole reward pools)
             if tok.startswith("key:fifths:"):
-                get_attr().key_fifths = int(tok.rsplit(":", 1)[1])
+                try:
+                    get_attr().key_fifths = int(tok.rsplit(":", 1)[1])
+                except ValueError:
+                    minor(f"malformed token '{tok}'")
                 continue
             if tok == "time":
                 get_attr()
@@ -173,31 +182,50 @@ class Delinearizer:
                 time_parts = {}
                 continue
             if tok.startswith("beats:"):
+                try:
+                    beats_val = int(tok.split(":")[1])
+                except ValueError:
+                    minor(f"malformed token '{tok}'")
+                    continue
                 if expect_time:
-                    time_parts["beats"] = int(tok.split(":")[1])
+                    time_parts["beats"] = beats_val
                     expect_time -= 1
                 else:
                     minor("beats token outside time signature")
-                    time_parts = {"beats": int(tok.split(":")[1])}
+                    time_parts = {"beats": beats_val}
                     expect_time = 1
                 if "beats" in time_parts and "beat-type" in time_parts:
                     get_attr().time = (time_parts["beats"], time_parts["beat-type"])
+                    # consume the pair: a stale 'beats' left here would
+                    # combine with a later stray beat-type token into a
+                    # fabricated time-signature change (round-5 review)
+                    time_parts = {}
                 continue
             if tok.startswith("beat-type:"):
+                try:
+                    bt_val = int(tok.split(":")[1])
+                except ValueError:
+                    minor(f"malformed token '{tok}'")
+                    continue
                 if expect_time:
-                    time_parts["beat-type"] = int(tok.split(":")[1])
+                    time_parts["beat-type"] = bt_val
                     expect_time -= 1
                 else:
                     minor("beat-type token outside time signature")
-                    time_parts["beat-type"] = int(tok.split(":")[1])
+                    time_parts["beat-type"] = bt_val
                 if "beats" in time_parts and "beat-type" in time_parts:
                     get_attr().time = (time_parts["beats"], time_parts["beat-type"])
                     time_parts = {}
                 continue
             if tok.startswith("clef:"):
                 sig = tok.split(":")[1]
+                try:
+                    sign, line = sig[0], int(sig[1:])
+                except (ValueError, IndexError):
+                    minor(f"malformed token '{tok}'")
+                    continue
                 a = get_attr()
-                a.clefs.append([sig[0], int(sig[1]), None])
+                a.clefs.append([sign, line, None])
                 last_clef_pending = True
                 continue
 
@@ -533,13 +561,19 @@ class Delinearizer:
     def _resolve_alter(self, note: _Note, step, octave, key_fifths,
                        accidental_state):
         """<alter> from printed accidental, else in-measure accidental state,
-        else key signature."""
+        else key signature.
+
+        Accidental state is keyed per STAFF: in a grand staff, a printed
+        accidental on one staff does not alter the same pitch on the other
+        (round-5 review — the staff-less key contaminated cross-staff
+        pitches, charging TEDn edits against token-perfect rollouts)."""
+        key = (note.staff, step, octave)
         if note.accidental:
             alter = G.accidental_to_alter(note.accidental)
-            accidental_state[(step, octave)] = alter
+            accidental_state[key] = alter
             return alter
-        if (step, octave) in accidental_state:
-            return accidental_state[(step, octave)]
+        if key in accidental_state:
+            return accidental_state[key]
         return _key_alters(key_fifths).get(step)
 
 

@@ -57,7 +57,6 @@ def linearize_element(root: ET.Element) -> str:
 
     tokens: list[str] = []
     divisions = 1
-    sticky = {"voice": None, "per_voice": {}}
 
     for measure in part.findall("measure"):
         tokens.append("measure")
@@ -78,12 +77,26 @@ def linearize_element(root: ET.Element) -> str:
                 if t is not None and t.find("beats") is not None \
                         and t.find("beat-type") is not None:
                     # schema-valid <time><senza-misura/></time> has neither
-                    # child; emit no time tokens rather than crash
-                    tokens.append("time")
-                    tokens.append(f"beats:{int(t.find('beats').text)}")
-                    tokens.append(f"beat-type:{int(t.find('beat-type').text)}")
+                    # child; emit no time tokens rather than crash. Compound
+                    # signatures ('3+2' beats) have no vocab token — skip
+                    # the time tokens rather than crash target production
+                    # (round-5 review)
+                    try:
+                        beats = int(t.find("beats").text)
+                        beat_type = int(t.find("beat-type").text)
+                    except (TypeError, ValueError):
+                        beats = None
+                    if beats is not None:
+                        tokens.append("time")
+                        tokens.append(f"beats:{beats}")
+                        tokens.append(f"beat-type:{beat_type}")
                 for clef in el.findall("clef"):
                     sign = clef.find("sign").text
+                    if sign not in ("G", "F", "C"):
+                        # percussion/TAB/none clefs have no vocab token —
+                        # skip like other out-of-vocab elements instead of
+                        # KeyError-crashing linearize() (round-5 review)
+                        continue
                     line = clef.find("line")
                     line = line.text if line is not None else {"G": "2", "F": "4", "C": "3"}[sign]
                     tokens.append(f"clef:{sign}{line}")
@@ -155,12 +168,23 @@ def _note_tokens(el: ET.Element, sticky: dict) -> list[str]:
             out.append(tok)
 
     notations = el.find("notations")
-    seen_tied = {t.get("type") for t in el.findall("tie")}
+    # DOCUMENT order, not canonical (start, stop): mid-tie notes carry
+    # stop-then-start (the MusicXML convention for tie chains), and the
+    # delinearizer rebuilds <tie>/<tied> in token order — canonicalizing
+    # here charged 4 TEDn edits per mid-tie note on token-perfect output
+    # (round-5 review)
+    tied_order: list[str] = []
+    for t in el.findall("tie"):
+        ty = t.get("type")
+        if ty in ("start", "stop") and ty not in tied_order:
+            tied_order.append(ty)
     if notations is not None:
-        seen_tied |= {t.get("type") for t in notations.findall("tied")}
-    for t in ("start", "stop"):
-        if t in seen_tied:
-            out.append(f"tied:{t}")
+        for t in notations.findall("tied"):
+            ty = t.get("type")
+            if ty in ("start", "stop") and ty not in tied_order:
+                tied_order.append(ty)
+    for ty in tied_order:
+        out.append(f"tied:{ty}")
     if notations is not None:
         for tup in notations.findall("tuplet"):
             out.append(f"tuplet:{tup.get('type')}")

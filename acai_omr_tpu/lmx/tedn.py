@@ -35,10 +35,14 @@ def _load_native():
     _LIB_TRIED = True
     so = Path(__file__).resolve().parents[2] / "native" / "libtedn.so"
     if not so.exists():
-        # attempt a build if the toolchain is present
+        # attempt a build if the toolchain is present (argv form: an
+        # os.system f-string broke on checkout paths with spaces/shell
+        # metacharacters, silently dropping to the O(n^2 m^2) Python DP)
         makefile = so.parent / "Makefile"
         if makefile.exists():
-            os.system(f"make -C {so.parent} libtedn.so >/dev/null 2>&1")
+            import subprocess
+            subprocess.run(["make", "-C", str(so.parent), "libtedn.so"],
+                           capture_output=True, check=False)
     if so.exists():
         lib = ctypes.CDLL(str(so))
         lib.tree_edit_distance.restype = ctypes.c_int64
@@ -88,10 +92,25 @@ def element_to_postorder(root: ET.Element, intern: dict):
 
 
 def _score_tree(xml_root: ET.Element) -> ET.Element:
-    """Strip to the musical content: compare the <part> subtree(s)."""
+    """Strip to the musical content: compare <part> subtrees.
+
+    Predictions are always a single bare <part> (the model decodes one
+    system); a target's <part-list>/<part-name>/metadata must never be
+    charged. With multiple <part> elements, the parts are regrafted under
+    a bare <part> root so the comparison stays part-vs-parts without the
+    unmatchable header nodes (round-5 review: comparing the whole
+    <score-partwise> charged a constant asymmetric cost; the corpus
+    itself is single-part pianoform, reference olimpic TEDn scope)."""
+    if xml_root.tag == "part":
+        return xml_root
     parts = xml_root.findall("part")
     if len(parts) == 1:
         return parts[0]
+    if parts:
+        merged = ET.Element("part")
+        for p in parts:
+            merged.extend(list(p))
+        return merged
     return xml_root
 
 

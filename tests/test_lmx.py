@@ -424,3 +424,107 @@ def test_linearize_senza_misura_time():
     </measure></part></score-partwise>"""
     out = linearize(xml)
     assert "time" not in out.split() and "C4" in out.split(), out
+
+
+# ---------------------------------------------------------------------------
+# round-5 review regressions (accidental staffing, tie order, parser
+# robustness — each was empirically confirmed against the pre-fix code)
+# ---------------------------------------------------------------------------
+
+def test_accidental_state_is_per_staff():
+    """A printed accidental on staff 1 must NOT alter the same pitch on
+    staff 2 of a grand staff (MusicXML accidentals apply per staff; the
+    old (step, octave) key contaminated cross-staff pitches and charged
+    TEDn edits against token-perfect rollouts)."""
+    lmx = ("measure clef:G2 staff:1 clef:F4 staff:2 "
+           "C5 voice:1 quarter sharp stem:up staff:1 "
+           "backup quarter "
+           "C5 voice:2 quarter stem:down staff:2")
+    root, errors = delinearize_to_element(lmx)
+    assert errors == []
+    notes = root.findall("part/measure/note")
+    alters = [n.findtext("pitch/alter") for n in notes]
+    assert alters[0] == "1"          # printed sharp on staff 1
+    assert alters[1] is None, alters  # staff 2 C5 is natural
+    # and the SAME staff still inherits the accidental within the measure
+    lmx2 = ("measure clef:G2 C5 voice:1 quarter sharp stem:up "
+            "C5 voice:1 quarter stem:up")
+    root2, errs2 = delinearize_to_element(lmx2)
+    assert errs2 == []
+    alters2 = [n.findtext("pitch/alter")
+               for n in root2.findall("part/measure/note")]
+    assert alters2 == ["1", "1"]
+
+
+def test_tie_tokens_preserve_document_order():
+    """Mid-tie notes carry <tie type="stop"/><tie type="start"/> in that
+    document order; canonicalizing to (start, stop) charged 4 TEDn edits
+    per mid-tie note on token-perfect output."""
+    xml = """<score-partwise><part id="P1"><measure number="1">
+      <attributes><divisions>1</divisions>
+        <time><beats>4</beats><beat-type>4</beat-type></time>
+        <clef><sign>G</sign><line>2</line></clef></attributes>
+      <note><pitch><step>C</step><octave>4</octave></pitch><duration>4</duration>
+        <tie type="stop"/><tie type="start"/>
+        <voice>1</voice><type>whole</type>
+        <notations><tied type="stop"/><tied type="start"/></notations></note>
+    </measure></part></score-partwise>"""
+    toks = linearize(xml).split()
+    i_stop, i_start = toks.index("tied:stop"), toks.index("tied:start")
+    assert i_stop < i_start, toks
+    cost, catastrophic, _ = tedn_lib.TEDn_lmx_xml(linearize(xml), xml)
+    assert not catastrophic
+    assert cost == 0.0, cost
+
+
+def test_linearizer_skips_out_of_vocab_clef_and_compound_time():
+    """percussion/TAB clefs and compound ('3+2') time signatures have no
+    vocab tokens: skip them (like other out-of-vocab elements) instead of
+    crashing linearize()."""
+    xml = """<score-partwise><part id="P1"><measure number="1">
+      <attributes><divisions>1</divisions>
+        <time><beats>3+2</beats><beat-type>8</beat-type></time>
+        <clef><sign>percussion</sign></clef></attributes>
+      <note><pitch><step>C</step><octave>4</octave></pitch><duration>1</duration>
+        <voice>1</voice><type>quarter</type></note>
+    </measure></part></score-partwise>"""
+    toks = linearize(xml).split()
+    assert "time" not in toks and not any(t.startswith("clef:") for t in toks)
+    assert "C4" in toks
+
+
+def test_delinearizer_malformed_structured_tokens_are_minor():
+    """Malformed structured tokens (reachable via the public API/CLI, not
+    from vocab-constrained decode) must be MINOR errors per the documented
+    contract — the old IndexError/ValueError escaped TEDn's catastrophic
+    catch and crashed whole reward pools."""
+    for bad in ("measure clef:G C4 voice:1 quarter",
+                "measure beats:x C4 voice:1 quarter",
+                "measure key:fifths: C4 voice:1 quarter",
+                "measure time beats:3 beat-type:zz C4 voice:1 quarter"):
+        root, errors = delinearize_to_element(bad)
+        assert errors, bad  # flagged, not crashed
+        assert len(root.findall("part/measure/note")) == 1, bad
+    # and TEDn scores such input instead of raising
+    gold = """<score-partwise><part id="P1"><measure number="1">
+      <attributes><divisions>1</divisions></attributes>
+      <note><pitch><step>C</step><octave>4</octave></pitch><duration>1</duration>
+        <voice>1</voice><type>quarter</type></note>
+    </measure></part></score-partwise>"""
+    cost, catastrophic, minor = tedn_lib.TEDn_lmx_xml(
+        "measure clef:G C4 voice:1 quarter", gold)
+    assert np.isfinite(cost)
+
+
+def test_stale_beats_cannot_fabricate_time_signature():
+    """After a complete time pair is consumed, a later stray beat-type token
+    must not combine with the stale beats value into a fabricated
+    mid-measure time-signature change."""
+    lmx = ("measure time beat-type:4 beats:3 C4 voice:1 quarter "
+           "beat-type:8 C4 voice:1 quarter")
+    root, errors = delinearize_to_element(lmx)
+    assert any("beat-type" in e for e in errors)
+    times = root.findall("part/measure/attributes/time")
+    assert len(times) == 1, ET.tostring(root)
+    assert times[0].findtext("beats") == "3"
+    assert times[0].findtext("beat-type") == "4"

@@ -82,6 +82,12 @@ def adamw(learning_rate, betas=(0.9, 0.95), weight_decay: float = 0.05,
     return optax.chain(*chain)
 
 
+def key_path_names(kp) -> tuple:
+    """jax key-path -> tuple of name strings (shared by the scale-tree
+    builders here and train/omr_grpo_train.grpo_frozen_scales)."""
+    return tuple(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+
+
 def encoder_llrd_scales(params: Params, cfg, fine_tune_lr_ratio: float,
                         decay_factor: float) -> Params:
     """Scale tree implementing the reference's fine-tune param groups
@@ -119,11 +125,8 @@ def encoder_llrd_scales(params: Params, cfg, fine_tune_lr_ratio: float,
         # pos_embedding, projection — lowest fine-tune LR (models.py:776-777)
         return min_scale if enc_cfg.fine_tune_depth else 0.0
 
-    def names(kp):
-        return tuple(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
-
     return jax.tree_util.tree_map_with_path(
-        lambda kp, leaf: scale_for(names(kp), leaf), params)
+        lambda kp, leaf: scale_for(key_path_names(kp), leaf), params)
 
 
 # ---------------------------------------------------------------------------

@@ -99,6 +99,10 @@ class RewardComponents:
         return RewardComponents(*(getattr(self, f.name) / d
                                   for f in dataclasses.fields(self)))
 
+    def __mul__(self, m):
+        return RewardComponents(*(getattr(self, f.name) * m
+                                  for f in dataclasses.fields(self)))
+
     def avg_over_rollouts(self):
         return RewardComponents(*(float(np.mean(getattr(self, f.name)))
                                   for f in dataclasses.fields(self)))

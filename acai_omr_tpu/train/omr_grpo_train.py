@@ -23,6 +23,7 @@ TPU-first differences:
 
 from __future__ import annotations
 
+import functools
 import time
 from pathlib import Path
 
@@ -575,10 +576,24 @@ def set_up_grpo(cfg_tf: ViTOMRConfig, tf_params) -> tuple[ViTOMRConfig, dict]:
 def grpo_frozen_scales(params) -> dict:
     """Freeze encoder + transition head; train the decoder only
     (reference: models.py:850-853)."""
-    def names(kp):
-        return tuple(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
     return jax.tree_util.tree_map_with_path(
-        lambda kp, _: 1.0 if names(kp)[0] == "decoder" else 0.0, params)
+        lambda kp, _: 1.0 if trainer.key_path_names(kp)[0] == "decoder"
+        else 0.0, params)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dcfg", "pad_idx", "compute_dtype"))
+def _decoder_ce_jit(dec_params, dcfg, inputs, latent, lmx_valid,
+                    latent_valid, targets, pad_idx, compute_dtype):
+    """Jitted teacher-forced decoder CE for EAGER call sites (mini_validate).
+
+    Called un-jitted, the 12-layer forward dispatches hundreds of ops
+    through the axon tunnel per validation batch — the same pathology
+    encode_image_jit exists to avoid (round-5 review)."""
+    logits = omr_decoder.forward(dec_params, dcfg, inputs, latent, lmx_valid,
+                                 latent_valid, compute_dtype=compute_dtype,
+                                 deterministic=True)
+    return vitomr_lib.omr_ce_loss(logits, targets, pad_idx)
 
 
 def mini_validate(state_params, cfg: ViTOMRConfig,
@@ -618,19 +633,18 @@ def mini_validate(state_params, cfg: ViTOMRConfig,
         gold_inputs, gold_targets, gold_valid = \
             omr_decoder.batchify_and_split_lmx_seqs(
                 seqs, pad_idx, max_len=cfg.decoder.max_lmx_seq_len)
-        logits = omr_decoder.forward(
+        ce = float(_decoder_ce_jit(
             state_params["decoder"], cfg.decoder, jnp.asarray(gold_inputs),
             latent, jnp.asarray(gold_valid), valid,
-            compute_dtype=compute_dtype, deterministic=True)
-        ce = float(vitomr_lib.omr_ce_loss(logits, jnp.asarray(gold_targets),
-                                          pad_idx))
+            jnp.asarray(gold_targets), pad_idx, compute_dtype))
         total_reward += float(rewards.mean()) * len(batch)
         total_ce += ce * len(batch)
         n += len(batch)
-        avg = comps.avg_over_rollouts()
+        # example-weighted like reward/CE (an equal-weight-per-batch mean
+        # over-weighted ragged tail batches 8x — round-5 review)
+        avg = comps.avg_over_rollouts() * len(batch)
         comp_sum = avg if comp_sum is None else comp_sum + avg
-    comps = comp_sum / max(n // batch_size + (n % batch_size > 0), 1) \
-        if comp_sum is not None else None
+    comps = comp_sum / max(n, 1) if comp_sum is not None else None
     return {"reward": total_reward / max(n, 1), "ce_loss": total_ce / max(n, 1),
             "components": comps}
 
@@ -713,6 +727,15 @@ def grpo_train(cfg: ViTOMRConfig, params, dataset, tokenizer: LmxTokenizer, *,
         cfg, tx, batch_size, grpo_config.update_config.epsilon, compute_dtype,
         mesh=mesh)
 
+    # the INITIAL rollout budget must respect the decoder's scoring budget
+    # too, not just the anneal target: rollouts wider than
+    # max_lmx_seq_len - 1 crash omr_decoder.forward at the first update
+    # step, AFTER the expensive rollout + TEDn work (round-5 review)
+    rc0 = grpo_config.rollout_config
+    if rc0.max_actions > cfg.decoder.max_lmx_seq_len - 1:
+        print(f"[grpo] clamping rollout max_actions {rc0.max_actions} -> "
+              f"{cfg.decoder.max_lmx_seq_len - 1} (decoder budget)")
+        rc0.max_actions = cfg.decoder.max_lmx_seq_len - 1
     curriculum = CurriculumScheduler(
         grpo_config, exploration_steps, total_steps,
         # never anneal rollouts past what the decoder can score
@@ -720,6 +743,18 @@ def grpo_train(cfg: ViTOMRConfig, params, dataset, tokenizer: LmxTokenizer, *,
     writer = MetricsWriter(str(model_dir / "tb"), str(model_dir / "stats.csv"))
     rng = jax.random.PRNGKey(seed)
     np_rng = np.random.default_rng(seed)
+
+    def emergency_checkpoint():
+        # crash-resilient save, like stages 1+2 (round-5 review: a crash at
+        # outer step checkpoint_freq-1 lost every step since the last
+        # periodic save — minutes of rollout+reward+update work)
+        try:
+            ckpt_lib.save_train_state(
+                model_dir / "checkpoints" / "emergency", state)
+            print(f"Saved emergency checkpoint to "
+                  f"{model_dir}/checkpoints/emergency")
+        except Exception:
+            pass
 
     step_idx = 0
     stats = []
@@ -741,48 +776,53 @@ def grpo_train(cfg: ViTOMRConfig, params, dataset, tokenizer: LmxTokenizer, *,
         batch_examples = load_batch(0)
         next_examples = load_batch(1)
         preencoded = None  # encode-ahead chain (frozen encoder => exact)
-        for bi in range(len(starts)):
-            old_params = state.params  # snapshot = old policy (refreshed per batch)
-            rng, step_rng = jax.random.split(rng)
-            t0 = time.perf_counter()
-            state, metrics = grpo_update(
-                old_params, state, update_step, cfg, grpo_config,
-                batch_examples, tokenizer, step_rng, writer, step_idx,
-                compute_dtype, reward_workers, mesh=mesh,
-                next_examples=next_examples,
-                preencoded=preencoded)
-            batch_examples = next_examples
-            next_examples = load_batch(bi + 2)
-            preencoded = metrics.pop("preencoded_next")
-            metrics["seconds"] = time.perf_counter() - t0
-            stats.append(metrics)
-            curriculum.step()
-            step_idx += 1
-            if step_idx % grpo_config.checkpoint_freq == 0:
-                ckpt_lib.save_train_state(
-                    model_dir / "checkpoints" / f"step_{step_idx}", state)
-            if (val_dataset is not None
-                    and step_idx % grpo_config.mini_validation_freq == 0):
-                rng, val_rng = jax.random.split(rng)
-                val = mini_validate(state.params, cfg, grpo_config,
-                                    val_dataset, tokenizer, val_rng,
-                                    max_examples=mini_validation_size,
-                                    compute_dtype=compute_dtype,
-                                    reward_workers=reward_workers)
-                writer.scalar("mini_val/reward", val["reward"], step_idx)
-                writer.scalar("mini_val/ce_loss", val["ce_loss"], step_idx)
-                if val["components"] is not None:
-                    writer.scalars("mini_val/reward/components",
-                                   val["components"].to_dict(), step_idx)
-                # surface mini-val in the returned stats too (not just TB):
-                # evidence artifacts must be reconstructible from the return
-                # value alone (tools/grpo_evidence_run.py)
-                metrics["mini_val"] = {
-                    "step": step_idx, "reward": val["reward"],
-                    "ce_loss": val["ce_loss"],
-                    "components": (val["components"].to_dict()
-                                   if val["components"] is not None else None),
-                }
+        try:
+            for bi in range(len(starts)):
+                old_params = state.params  # snapshot = old policy (refreshed per batch)
+                rng, step_rng = jax.random.split(rng)
+                t0 = time.perf_counter()
+                state, metrics = grpo_update(
+                    old_params, state, update_step, cfg, grpo_config,
+                    batch_examples, tokenizer, step_rng, writer, step_idx,
+                    compute_dtype, reward_workers, mesh=mesh,
+                    next_examples=next_examples,
+                    preencoded=preencoded)
+                batch_examples = next_examples
+                next_examples = load_batch(bi + 2)
+                preencoded = metrics.pop("preencoded_next")
+                metrics["seconds"] = time.perf_counter() - t0
+                stats.append(metrics)
+                curriculum.step()
+                step_idx += 1
+                if step_idx % grpo_config.checkpoint_freq == 0:
+                    ckpt_lib.save_train_state(
+                        model_dir / "checkpoints" / f"step_{step_idx}", state)
+                if (val_dataset is not None
+                        and step_idx % grpo_config.mini_validation_freq == 0):
+                    rng, val_rng = jax.random.split(rng)
+                    val = mini_validate(state.params, cfg, grpo_config,
+                                        val_dataset, tokenizer, val_rng,
+                                        max_examples=mini_validation_size,
+                                        compute_dtype=compute_dtype,
+                                        reward_workers=reward_workers)
+                    writer.scalar("mini_val/reward", val["reward"], step_idx)
+                    writer.scalar("mini_val/ce_loss", val["ce_loss"], step_idx)
+                    if val["components"] is not None:
+                        writer.scalars("mini_val/reward/components",
+                                       val["components"].to_dict(), step_idx)
+                    # surface mini-val in the returned stats too (not just
+                    # TB): evidence artifacts must be reconstructible from
+                    # the return value alone (tools/grpo_evidence_run.py)
+                    metrics["mini_val"] = {
+                        "step": step_idx, "reward": val["reward"],
+                        "ce_loss": val["ce_loss"],
+                        "components": (val["components"].to_dict()
+                                       if val["components"] is not None
+                                       else None),
+                    }
+        except (KeyboardInterrupt, Exception):
+            emergency_checkpoint()
+            raise
         writer.flush()
 
     ckpt_lib.save_pytree(model_dir / "grpo_vitomr", state.params)

@@ -141,16 +141,39 @@ def make_eval_fn(cfg: ViTOMRConfig, compute_dtype=jnp.bfloat16,
 
 
 def _device_batch(batch, extra=None, sharding=None):
-    arrays = {k: jnp.asarray(v) for k, v in batch.items()
-              if isinstance(v, np.ndarray)}
-    if sharding is not None:
+    # one transfer: device_put straight from numpy with the DP sharding —
+    # jnp.asarray-then-device_put committed each array to device 0 and paid
+    # a second resharding copy per microbatch (round-5 review; pre_train's
+    # sibling helper already had the single-transfer form)
+    arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+    if sharding is None:
+        arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+    else:
         arrays = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
     if extra:  # scalar hyperparams stay replicated
         arrays.update(extra)
     return arrays
 
 
-def omr_teacher_force_train(cfg: ViTOMRConfig, params, train_dataset,
+def omr_teacher_force_train(*args, **kwargs):
+    """Full stage-2 loop; returns (params, stats).
+
+    Thin wrapper scoping the stage-2-only ``ACAI_FLASH_ATTENTION``
+    default to THIS call: the setdefault used to leak to the rest of the
+    process (round-5 review — a same-process later stage with different
+    shapes, e.g. tools/e2e_pipeline_run.py's GRPO, silently inherited a
+    tuning default validated only on stage-2 shapes). An explicit env
+    setting still wins, exactly as before.
+    """
+    flash_unset = "ACAI_FLASH_ATTENTION" not in os.environ
+    try:
+        return _omr_teacher_force_train(*args, **kwargs)
+    finally:
+        if flash_unset:
+            os.environ.pop("ACAI_FLASH_ATTENTION", None)
+
+
+def _omr_teacher_force_train(cfg: ViTOMRConfig, params, train_dataset,
                             validation_dataset, tokenizer: LmxTokenizer, *,
                             epochs: int = EPOCHS, batch_size: int = BATCH_SIZE,
                             grad_accumulation_steps: int = GRAD_ACCUMULATION_STEPS,
@@ -299,7 +322,13 @@ def omr_teacher_force_train(cfg: ViTOMRConfig, params, train_dataset,
                     opt_step += 1
             if window_losses:  # epoch-final partial window (reference: :126)
                 state = apply_fn(state, grads_acc, jnp.float32(1.0))
-                epoch_loss += float(sum(window_losses))
+                window_mean = float(sum(window_losses)) / len(window_losses)
+                epoch_loss += window_mean * len(window_losses)
+                # log like full windows: skipping left a hole at this
+                # opt_step in every ragged-tail epoch's TB/CSV series
+                writer.scalar("train/loss", window_mean, opt_step)
+                writer.scalar("train/hyperparams/tf_prob", tf_prob, opt_step)
+                writer.scalar("train/hyperparams/tau", tau, opt_step)
                 grads_acc, window_losses = None, []
                 opt_step += 1
         except (KeyboardInterrupt, Exception):

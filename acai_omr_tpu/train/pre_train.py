@@ -172,6 +172,11 @@ def pre_train(mae_cfg: MaeConfig, train_dataset, validation_dataset, *,
 
     writer = MetricsWriter(str(model_dir / "tb"), str(model_dir / "stats.csv"))
     rng = jax.random.PRNGKey(seed + 1)
+    if start_epoch:
+        # a resumed run must not replay the original run's early-epoch MAE
+        # mask / eval randomness (round-5 review) — fold the resume point
+        # into the stream so epochs start_epoch.. draw fresh masks
+        rng = jax.random.fold_in(rng, start_epoch)
     train_losses, val_losses = [], []
 
     def emergency_checkpoint():

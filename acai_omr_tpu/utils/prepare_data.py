@@ -53,8 +53,15 @@ def prepare_doremi(src: Path, dst: Path, crop_top: float = 0.08,
         # numeric suffix — no image is ever silently dropped.
         name = "_".join(png.relative_to(src).with_suffix("").parts)
         if name in seen:
-            seen[name] += 1
-            name = f"{name}-{seen[name]}"
+            # the suffixed name must be re-checked too: a renamed duplicate
+            # of 'X' landing on 'X-1' would overwrite a GENUINE page named
+            # 'X-1' (round-5 review)
+            while True:
+                seen[name] += 1
+                candidate = f"{name}-{seen[name]}"
+                if candidate not in seen:
+                    name = candidate
+                    break
         seen.setdefault(name, 0)
         img.save(images / f"{name}.png")
         rows.append(name)

@@ -28,6 +28,14 @@ class BucketBatchSampler:
                  resolutions_fn=None, seed=0):
         self.logger = logging.getLogger(__name__)
         if resolutions_fn is None:
+            # NOTE (startup cost, round-5 review): this default materializes
+            # EVERY example once (full decode+resize+augment pipeline,
+            # single-threaded) before step 1 — at reference dataset scale
+            # and the measured ~200 img/s/core host rate that is a long
+            # dead startup. All augments are size-preserving, so a
+            # production deployment should pass a resolutions_fn that reads
+            # PIL header sizes + the DynamicResize target math instead
+            # (~1000x cheaper); the hook exists for exactly that.
             def resolutions_fn(ds, i):
                 item = ds[i]
                 img = item[0] if isinstance(item, tuple) else item

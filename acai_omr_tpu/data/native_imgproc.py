@@ -9,34 +9,50 @@ pipeline. Falls back silently when the library isn't built — callers check
 from __future__ import annotations
 
 import ctypes
-import os
+import threading
 from pathlib import Path
 
 import numpy as np
 
 _LIB = None
 _TRIED = False
+_LOAD_LOCK = threading.Lock()
 
 
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
-    _TRIED = True
-    so = Path(__file__).resolve().parents[2] / "native" / "libimgproc.so"
-    if not so.exists():
-        makefile = so.parent / "Makefile"
-        if makefile.exists():
-            os.system(f"make -C {so.parent} libimgproc.so >/dev/null 2>&1")
-    if so.exists():
-        lib = ctypes.CDLL(str(so))
-        fp = ctypes.POINTER(ctypes.c_float)
-        lib.resize_bicubic.argtypes = [fp, ctypes.c_int32, ctypes.c_int32,
-                                       fp, ctypes.c_int32, ctypes.c_int32]
-        lib.resize_patchify.argtypes = [fp, ctypes.c_int32, ctypes.c_int32,
-                                        fp, ctypes.c_int32, ctypes.c_int32,
-                                        ctypes.c_int32]
-        _LIB = lib
+    # lock: PrefetchLoader worker threads race the check-then-build-then-set
+    # otherwise (two threads past the _TRIED check could kick off two
+    # concurrent `make`s against a half-written .so); CDLL failures mean
+    # "library unusable here" (wrong arch/libc) and must take the documented
+    # silent PIL fallback, not crash the pipeline (round-5 review)
+    with _LOAD_LOCK:
+        if _TRIED:
+            return _LIB
+        so = Path(__file__).resolve().parents[2] / "native" / "libimgproc.so"
+        try:
+            if not so.exists():
+                makefile = so.parent / "Makefile"
+                if makefile.exists():
+                    import subprocess
+                    subprocess.run(["make", "-C", str(so.parent),
+                                    "libimgproc.so"],
+                                   capture_output=True, check=False)
+            if so.exists():
+                lib = ctypes.CDLL(str(so))
+                fp = ctypes.POINTER(ctypes.c_float)
+                lib.resize_bicubic.argtypes = [
+                    fp, ctypes.c_int32, ctypes.c_int32,
+                    fp, ctypes.c_int32, ctypes.c_int32]
+                lib.resize_patchify.argtypes = [
+                    fp, ctypes.c_int32, ctypes.c_int32,
+                    fp, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
+                _LIB = lib
+        except OSError:
+            _LIB = None
+        _TRIED = True
     return _LIB
 
 

@@ -36,7 +36,14 @@ def to_float_chw(img) -> np.ndarray:
         if np.issubdtype(raw.dtype, np.integer):
             arr = arr / 255.0
         return arr
-    arr = np.asarray(img, dtype=np.float32)
+    raw = np.asarray(img)
+    arr = raw.astype(np.float32)
+    if np.issubdtype(raw.dtype, np.integer):
+        # same source-dtype rule as the PIL branch: an integer array
+        # (cv2/imageio uint8) is 0-255 data — passing it through unscaled
+        # fed a [0,1] pipeline values that clip to saturated white
+        # (round-5 review)
+        arr = arr / 255.0
     if arr.ndim == 2:
         arr = arr[None]
     return arr

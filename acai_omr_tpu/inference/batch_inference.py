@@ -105,7 +105,22 @@ def batch_inference(params, cfg: ViTOMRConfig, imgs, tokenizer, *,
                         progress_cb(gi, s[: len(gi)], t, fin[: len(gi)]))
             seg_steps = progress_interval
 
-        pb = vit_encoder.batchify([imgs[g] for g in group], cfg.encoder,
+        # pad ragged tail groups up to a power of two (capped at
+        # decode_batch): XLA programs are batch-shape-specialized, so every
+        # distinct tail size otherwise compiles its own encode+decode
+        # program — several multi-minute cold compiles per mixed request
+        # through a remote-compile tunnel (round-5 review; same rationale
+        # as serving's scheduler.bucketed_runner). Pad rows repeat the
+        # first image and are dropped by every consumer below (result
+        # loops iterate `group`; the streaming cb slices to len(group)).
+        n_real = len(group)
+        b_pad = 1
+        while b_pad < n_real:
+            b_pad *= 2
+        b_pad = min(b_pad, decode_batch)
+        group_imgs = [imgs[g] for g in group] \
+            + [imgs[group[0]]] * (b_pad - n_real)
+        pb = vit_encoder.batchify(group_imgs, cfg.encoder,
                                   bucket_multiple)
         latent, latent_valid = vitomr_lib.encode_image_jit(
             params, cfg, jnp.asarray(pb.patches), jnp.asarray(pb.pe_idx),

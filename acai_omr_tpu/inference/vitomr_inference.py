@@ -141,14 +141,22 @@ def delinearize(lmx_seq: str, lmx_seq_path: str, xml_file_path: str) -> dict:
 
 def convert_back_to_img(xml_file_path: str, img_file_path: str) -> str | None:
     """Render MusicXML via musescore3 + imagemagick when installed
-    (reference: :41-49); returns None when the toolchain is absent."""
+    (reference: :41-49); returns None when the toolchain is absent.
+
+    The musescore intermediate lives NEXT TO the caller's output file, not
+    at a fixed CWD name: the reference runs one request at a time, but this
+    port's threaded WSGI server renders concurrently, and a shared
+    ./mscore_out-1.png let request A return request B's score (round-5
+    review)."""
+    inter = str(Path(img_file_path).with_suffix("")) + ".mscore_out.png"
+    inter1 = str(Path(img_file_path).with_suffix("")) + ".mscore_out-1.png"
     try:
-        subprocess.run(["musescore3", "-o", "mscore_out.png", xml_file_path],
+        subprocess.run(["musescore3", "-o", inter, xml_file_path],
                        check=True, capture_output=True)
-        subprocess.run(["convert", "mscore_out-1.png", "-background", "white",
+        subprocess.run(["convert", inter1, "-background", "white",
                         "-alpha", "remove", "-alpha", "off", img_file_path],
                        check=True, capture_output=True)
-        os.remove("mscore_out-1.png")
+        os.remove(inter1)
         return img_file_path
     except (FileNotFoundError, subprocess.CalledProcessError) as e:
         logger.warning("musescore/imagemagick rendering unavailable: %s", e)

@@ -238,13 +238,25 @@ def build_datasets():
         tf_lib.DynamicResize(PATCH_SIZE, MAE_MAX_SEQ_LEN, PE_MAX_HEIGHT,
                              PE_MAX_WIDTH, crop_imgs=True),
     ])
+    # the PRETRAIN camera stack — weaker than stage 2's (reference
+    # pre_train.py:177-183: fixed sigma-1 blur, +/-1 degree, perspective
+    # 0.06, brightness 0.2); the port used the stage-2 parameters for both
+    # stages until the round-5 review caught the divergence
     camera = tf_lib.RandomApply([
-        tf_lib.GaussianBlur(15, (0.2, 0.7)),
+        tf_lib.GaussianBlur(15, (1.0, 1.0)),
         tf_lib.GaussianNoise(0.03),
-        tf_lib.RandomRotation((-2, 2)),
-        tf_lib.RandomPerspective(0.2, 1.0),
-        tf_lib.ColorJitter(0.15, 0.2, 0.2, 0),
+        tf_lib.RandomRotation((-1, 1)),
+        tf_lib.RandomPerspective(0.06, 1.0),
+        tf_lib.ColorJitter(0.2, 0.2, 0.2, 0),
     ], p=AUGMENTATION_P)
+    # grandstaff-specific stack: the dataset ships partially-augmented
+    # variants already, so only perspective + jitter, ALWAYS applied to the
+    # distorted branch (reference pre_train.py:186-189; the augment_p gate
+    # lives in the wrapper)
+    grandstaff_camera = tf_lib.Compose([
+        tf_lib.RandomPerspective(0.08, 1.0),
+        tf_lib.ColorJitter(0.2, 0.2, 0.2, 0),
+    ])
 
     grand_staff = ds_lib.GrandStaffLMXDataset(
         GRAND_STAFF_ROOT_DIR, "samples.train.txt", img_transform=base)
@@ -254,7 +266,8 @@ def build_datasets():
         OLIMPIC_SYNTHETIC_ROOT_DIR, "samples.train.txt", img_transform=base)
 
     train = ds_lib.ConcatDataset([
-        ds_lib.GrandStaffPreTrainWrapper(grand_staff, AUGMENTATION_P, camera),
+        ds_lib.GrandStaffPreTrainWrapper(grand_staff, AUGMENTATION_P,
+                                         grandstaff_camera),
         ds_lib.PreTrainWrapper(primus, transform=camera),
         ds_lib.PreTrainWrapper(doremi, transform=camera),
         ds_lib.OlimpicPreTrainWrapper(olimpic, transform=camera),

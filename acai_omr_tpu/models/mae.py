@@ -120,7 +120,8 @@ def forward(params: Params, cfg: MaeConfig, rng, patches, pe_idx, pe_w, valid,
     hidden = nn.layernorm(params["decoder_norm"], hidden, eps=1e-6)
     pred = nn.dense(params["decoder_unembed"], hidden)              # (B, L, P*P)
 
-    loss_mask = mask.seq_mask & valid
+    # mae_mask already intersects seq_mask with validity (vit_encoder.py)
+    loss_mask = mask.seq_mask
     return pred.astype(jnp.float32), loss_mask, target_patches
 
 
@@ -143,4 +144,6 @@ def mae_loss(pred: jnp.ndarray, loss_mask: jnp.ndarray,
     loss_mask = loss_mask.astype(jnp.float32)
     if reduction == "sum":
         return jnp.sum(loss * loss_mask), jnp.sum(loss_mask)
-    return jnp.sum(loss * loss_mask) / jnp.sum(loss_mask)
+    # zero-masked batches (tiny images / mask_ratio~0) contribute 0, not
+    # 0/0 = NaN (same guard omr_ce_loss carries)
+    return jnp.sum(loss * loss_mask) / jnp.maximum(jnp.sum(loss_mask), 1.0)

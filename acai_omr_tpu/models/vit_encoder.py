@@ -231,7 +231,14 @@ def mae_mask(rng, valid: jnp.ndarray, lengths: jnp.ndarray,
     ids_shuffle = jnp.argsort(noise, axis=-1)           # (B, L) valid-first random order
     ids_restore = jnp.argsort(ids_shuffle, axis=-1)     # inverse permutation
 
-    keep_lengths = jnp.floor(lengths.astype(jnp.float32) * (1.0 - mask_ratio)).astype(jnp.int32)
+    # keep length via a host-built float64 table (mae_keep_len = the
+    # reference's int(L * (1 - mask_ratio)) rounding, models.py:109): fp32
+    # on-device floor can round UP across an integer boundary for
+    # mask_ratios that aren't exactly representable — e.g. L=1000, r=0.9:
+    # reference keeps 99, fp32 floor(1000 * 0.100000001) keeps 100
+    # (round-5 review; the default 0.75 is exact, which hid it)
+    keep_table = jnp.asarray(mae_keep_len(np.arange(l + 1), mask_ratio))
+    keep_lengths = keep_table[lengths]
     ids_keep = ids_shuffle[:, :keep_bucket]
     col = jnp.arange(keep_bucket)[None, :]
     kept_valid = col < keep_lengths[:, None]

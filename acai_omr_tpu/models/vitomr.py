@@ -64,7 +64,7 @@ def vitomr_params_from_mae(vitomr_params: Params, mae_params: Params) -> Params:
     stacked array sliced at runtime.
     """
     out = dict(vitomr_params)
-    out["encoder"] = jax.tree.map(lambda x: x, mae_params["encoder"])
+    out["encoder"] = mae_params["encoder"]  # shared verbatim (arrays immutable)
     return out
 
 
@@ -118,10 +118,17 @@ def forward_teacher_forced(params: Params, cfg: ViTOMRConfig, patches, pe_idx,
         params, cfg, patches, pe_idx, pe_w, valid, compute_dtype=compute_dtype,
         rng=enc_rng, deterministic=deterministic,
         frozen_stop_gradient=frozen_stop_gradient, remat=remat)
+    # precompute the per-layer cross K/V like the scheduled-sampling path:
+    # the fused Pallas decoder stack keys its fast path on mem_kv being
+    # present, so without this the TF forward (and every eval pass) ran the
+    # ~1.5x-slower XLA scan stack on qualifying shapes (round-5 review)
+    from ..ops import transformer
+    mem_kv = transformer.precompute_memory_kv(
+        params["decoder"]["blocks"], img_latent.astype(compute_dtype))
     return omr_decoder.forward(
         params["decoder"], cfg.decoder, input_seqs, img_latent, lmx_valid,
         latent_valid, compute_dtype=compute_dtype, rng=dec_rng,
-        deterministic=deterministic, remat=remat)
+        deterministic=deterministic, remat=remat, mem_kv=mem_kv)
 
 
 # ---------------------------------------------------------------------------
@@ -225,16 +232,29 @@ def omr_ce_loss(logits: jnp.ndarray, target_seqs: jnp.ndarray, pad_idx: int,
 
 def generate_next_token_distr(params: Params, cfg: ViTOMRConfig,
                               img_latent: jnp.ndarray, seqs: jnp.ndarray,
-                              compute_dtype=jnp.float32) -> jnp.ndarray:
+                              compute_dtype=jnp.float32,
+                              latent_valid: jnp.ndarray | None = None
+                              ) -> jnp.ndarray:
     """Beam-search-ready next-token distribution (reference:
     TeacherForcedViTOMR.generate, models.py:749-757): expand a single image
     latent across ``seqs.shape[0]`` candidate sequences and return log probs
-    of the next token for each."""
+    of the next token for each.
+
+    ``latent_valid``: (1, M) latent validity — REQUIRED when the latent
+    comes from a padded batchify (bucket-pad rows carry nonzero
+    post-encoder values; without the mask the decoder cross-attends them
+    and the distribution is contaminated — round-5 review). The reference
+    equivalent operated on unpadded per-image latents, so it had no such
+    parameter."""
     num_seqs = seqs.shape[0]
     latent = jnp.broadcast_to(img_latent,
                               (num_seqs,) + img_latent.shape[1:])
+    if latent_valid is not None:
+        latent_valid = jnp.broadcast_to(
+            latent_valid, (num_seqs,) + latent_valid.shape[1:])
     logits = omr_decoder.forward(params["decoder"], cfg.decoder, seqs, latent,
-                                 None, None, compute_dtype=compute_dtype)
+                                 None, latent_valid,
+                                 compute_dtype=compute_dtype)
     return jax.nn.log_softmax(logits[:, -1, :], axis=-1)
 
 

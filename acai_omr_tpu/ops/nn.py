@@ -167,6 +167,17 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     q: (B, H, Tq, Dh), k/v: (B, H, Tk, Dh), bias broadcastable to
     (B, H, Tq, Tk) additive in fp32. Returns (B, H, Tq, Dh) in q.dtype.
+
+    KNOWN DIVERGENCE (documented, round-5 review): torch's
+    nn.MultiheadAttention additionally applies dropout to the softmax
+    WEIGHTS during training; neither this op nor the fused training
+    kernels implement that site (the residual/FFN dropout1/2/3 sites all
+    match exactly). With dropout active the port therefore trains with
+    slightly less regularization than the reference; deterministic
+    numerics (dropout off — all parity proofs) are unaffected. Adding the
+    site to the fused kernels means materializing/regenerating (T, S)
+    masks per head inside the grid — a measured-cost decision deferred
+    with this note rather than silently skipped.
     """
     scale = 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum("...qd,...kd->...qk", q, k,
@@ -383,3 +394,12 @@ def shard_activations(x: jnp.ndarray) -> jnp.ndarray:
     if _ACT_SHARD is None or _in_manual_ctx():
         return x
     return _ACT_SHARD(x)
+
+
+def gspmd_activation_constraint_active() -> bool:
+    """True when an activation_sharding constraint is installed AND we are
+    in a GSPMD (non-shard_map) tracing context. The fused Pallas stacks
+    must not dispatch then: an opaque pallas_call cannot be GSPMD-
+    partitioned, and taking the fused fast path would silently drop the
+    per-layer constraint the XLA scan applies (round-5 review)."""
+    return _ACT_SHARD is not None and not _in_manual_ctx()

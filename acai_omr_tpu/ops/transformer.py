@@ -171,12 +171,21 @@ def encoder_stack(stacked: Params, x: jnp.ndarray, bias, num_heads: int,
     per pass (ops/pallas_train_layer.py, default-on;
     ``ACAI_FUSED_TRAIN_LAYER=0`` opts out), like the decoder stack below.
     """
-    if isinstance(bias, nn.MaskSpec) and not bias.causal:
+    if isinstance(bias, nn.MaskSpec) and not bias.causal \
+            and not nn.gspmd_activation_constraint_active():
         from . import pallas_train_layer as ptl
         b, t, e = x.shape
         f = stacked["linear1"]["kernel"].shape[2]
-        if ptl.enabled_for_enc(b, t, e, num_heads) and ptl.fwd_vmem_fits(
-                b, t, 0, e, f, jnp.dtype(x.dtype).itemsize, cross=False):
+        itemsize = jnp.dtype(x.dtype).itemsize
+        # saves_fit: the decoder gate's HBM guard applies here too — large
+        # encoder batches otherwise dispatch fused with backward saves
+        # exceeding HBM instead of falling back to the rematerializing
+        # XLA stack (round-5 review; the formula over-counts the encoder's
+        # cross-free saves slightly, which only makes the guard safer)
+        if ptl.enabled_for_enc(b, t, e, num_heads) \
+                and ptl.saves_fit(b, t, e, f, num_stacked_layers(stacked),
+                                  itemsize) \
+                and ptl.fwd_vmem_fits(b, t, 0, e, f, itemsize, cross=False):
             valid = (bias.key_valid if bias.key_valid is not None
                      else jnp.ones((b, t), bool))
             return ptl.encoder_stack_fused(
@@ -249,7 +258,8 @@ def decoder_stack(stacked: Params, x: jnp.ndarray, memory: jnp.ndarray,
     """
     if (mem_kv is not None
             and isinstance(self_bias, nn.MaskSpec) and self_bias.causal
-            and (cross_bias is None or isinstance(cross_bias, nn.MaskSpec))):
+            and (cross_bias is None or isinstance(cross_bias, nn.MaskSpec))
+            and not nn.gspmd_activation_constraint_active()):
         from . import pallas_train_layer as ptl
         b, t, e = x.shape
         m = mem_kv.shape[2]
